@@ -1,0 +1,443 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The BI query inventory (SURVEY.md §2.10 Q1–Q27) re-expressed over the
+  * driver's TPC-H-ish fixtures: global/distinct aggregates, group-by +
+  * top-k, share-of-total windows, date-part group-bys, argmax-per-group,
+  * semi/anti joins, dedup, union, pivot, running windows.
+  *
+  * Scale notes (100 TB design point):
+  *  - dimension joins (`nation`, `region`) are explicit `broadcast`s; the
+  *    customer join is left to AQE, which broadcasts when the build side
+  *    is under the threshold and shuffle-joins otherwise;
+  *  - aggregates are declared via `groupBy().agg()` so Catalyst plans
+  *    partial (map-side) aggregation before the shuffle;
+  *  - top-k is `orderBy().limit(k)` which plans as TakeOrderedAndProject
+  *    (per-partition heap + driver merge — no global sort);
+  *  - the only unpartitioned window (q22) runs over a pre-aggregated
+  *    frame of one row per day, which is tiny at any scale.
+  */
+object CoreAnalytics {
+
+  private def revenue: Column = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+
+  val defs: Seq[Q] = Seq(
+    // ---- Q1/Q2/Q5/Q14 analogues: global KPI card aggregates -------------
+    Q(
+      "q01_orders_kpis",
+      (s, d) =>
+        Tables.orders(s, d).agg(
+          count(lit(1)).as("n_orders"),
+          countDistinct(col("o_custkey")).as("n_customers"),
+          round(avg(col("o_totalprice")), 2).as("avg_price"),
+          min(col("o_totalprice")).as("min_price"),
+          max(col("o_totalprice")).as("max_price")),
+      Some("""SELECT count(*) AS n_orders,
+             |       count(DISTINCT o_custkey) AS n_customers,
+             |       round(avg(o_totalprice), 2) AS avg_price,
+             |       min(o_totalprice) AS min_price,
+             |       max(o_totalprice) AS max_price
+             |FROM orders""".stripMargin)),
+
+    // ---- TPC-H Q1-style pricing summary (group agg + partial agg) -------
+    Q(
+      "q02_pricing_summary",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            sum(col("l_quantity")).as("sum_qty"),
+            round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+            round(sum(revenue), 4).as("sum_disc_price"),
+            count(lit(1)).as("n_rows"))
+          .orderBy(col("l_returnflag"), col("l_linestatus")),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |       sum(l_quantity) AS sum_qty,
+             |       round(sum(l_extendedprice), 2) AS sum_base_price,
+             |       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+             |       count(*) AS n_rows
+             |FROM lineitem
+             |GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // ---- Q3/Q4/Q19: distinct-count cards --------------------------------
+    Q(
+      "q03_customer_distincts",
+      (s, d) =>
+        Tables.customer(s, d).agg(
+          count(lit(1)).as("n_customers"),
+          countDistinct(col("c_mktsegment")).as("n_segments"),
+          countDistinct(col("c_nationkey")).as("n_nations")),
+      Some("""SELECT count(*) AS n_customers,
+             |       count(DISTINCT c_mktsegment) AS n_segments,
+             |       count(DISTINCT c_nationkey) AS n_nations
+             |FROM customer""".stripMargin)),
+
+    // ---- Q7: top-10 "companies hiring" = top customers by order count ---
+    Q(
+      "q04_top_customers",
+      (s, d) => {
+        val agg = Tables.orders(s, d)
+          .groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n_orders"),
+               round(sum(col("o_totalprice")), 2).as("total_spend"))
+        // post-agg side is one row per customer; dimension lookup joins on
+        // the grouped key. AQE broadcasts customer at small SF.
+        agg.join(Tables.customer(s, d), agg("o_custkey") === col("c_custkey"))
+          .select(col("c_name"), col("n_orders"), col("total_spend"))
+          .orderBy(col("n_orders").desc, col("c_name"))
+          .limit(10)
+      },
+      Some("""SELECT c_name, count(*) AS n_orders,
+             |       round(sum(o_totalprice), 2) AS total_spend
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |GROUP BY c_name
+             |ORDER BY n_orders DESC, c_name
+             |LIMIT 10""".stripMargin)),
+
+    // ---- Q9/Q26: share-of-total window over a group-by ------------------
+    Q(
+      "q05_priority_share",
+      (s, d) =>
+        Tables.orders(s, d)
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("pct",
+            round(col("n") * lit(100.0) / sum(col("n")).over(Window.partitionBy()), 4))
+          .orderBy(col("o_orderpriority")),
+      Some("""SELECT o_orderpriority, count(*) AS n,
+             |       round(count(*) * 100.0 / sum(count(*)) OVER (), 4) AS pct
+             |FROM orders
+             |GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin)),
+
+    // ---- Q6/Q24: jobs-by-month time series ------------------------------
+    Q(
+      "q06_monthly_orders",
+      (s, d) =>
+        Tables.orders(s, d)
+          .groupBy((year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+            .cast("long").as("ym"))
+          .agg(count(lit(1)).as("n"),
+               round(sum(col("o_totalprice")), 2).as("rev"))
+          .orderBy(col("ym")),
+      Some("""SELECT year(o_orderdate) * 100 + month(o_orderdate) AS ym,
+             |       count(*) AS n, round(sum(o_totalprice), 2) AS rev
+             |FROM orders
+             |GROUP BY ym
+             |ORDER BY ym""".stripMargin)),
+
+    // ---- Q25: two-key group (day x status) ------------------------------
+    Q(
+      "q07_daily_by_status",
+      (s, d) =>
+        Tables.orders(s, d)
+          .groupBy(to_date(col("o_orderdate")).as("d"), col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("d"), col("o_orderstatus")),
+      Some("""SELECT CAST(o_orderdate AS DATE) AS d, o_orderstatus, count(*) AS n
+             |FROM orders
+             |GROUP BY d, o_orderstatus
+             |ORDER BY d, o_orderstatus""".stripMargin)),
+
+    // ---- flagship: full star join, revenue per region/nation ------------
+    Q(
+      "q08_revenue_by_nation",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val o  = Tables.orders(s, d)
+        val c  = Tables.customer(s, d)
+        val n  = broadcast(Tables.nation(s, d))
+        val r  = broadcast(Tables.region(s, d))
+        // fact-fact join shuffles on the order key; both dims broadcast.
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .join(n, col("c_nationkey") === col("n_nationkey"))
+          .join(r, col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"), col("n_name"))
+          .agg(countDistinct(col("o_orderkey")).as("n_orders"),
+               round(sum(revenue), 4).as("rev"))
+          .orderBy(col("r_name"), col("n_name"))
+      },
+      Some("""SELECT r_name, n_name,
+             |       count(DISTINCT o_orderkey) AS n_orders,
+             |       round(sum(l_extendedprice * (1 - l_discount)), 4) AS rev
+             |FROM lineitem
+             |JOIN orders   ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation   ON c_nationkey = n_nationkey
+             |JOIN region   ON n_regionkey = r_regionkey
+             |GROUP BY r_name, n_name
+             |ORDER BY r_name, n_name""".stripMargin)),
+
+    // ---- Q20: global argmax ("top employer") ----------------------------
+    Q(
+      "q09_top_nation",
+      (s, d) =>
+        Tables.customer(s, d)
+          .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(count(lit(1)).as("n_customers"))
+          .orderBy(col("n_customers").desc, col("n_name"))
+          .limit(1),
+      Some("""SELECT n_name, count(*) AS n_customers
+             |FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |GROUP BY n_name
+             |ORDER BY n_customers DESC, n_name
+             |LIMIT 1""".stripMargin)),
+
+    // ---- Q12: explode comma/space list -> top-k tokens ------------------
+    Q(
+      "q10_part_tokens",
+      (s, d) =>
+        Tables.part(s, d)
+          .select(explode(split(col("p_name"), " ")).as("tok"))
+          .where(col("tok") =!= "")
+          .groupBy(col("tok"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("tok"))
+          .limit(10),
+      Some("""SELECT tok, count(*) AS n
+             |FROM (SELECT unnest(string_split(p_name, ' ')) AS tok FROM part)
+             |WHERE tok <> ''
+             |GROUP BY tok
+             |ORDER BY n DESC, tok
+             |LIMIT 10""".stripMargin)),
+
+    // ---- Q23: filtered agg + ratio of aggregates ------------------------
+    Q(
+      "q11_year_stats",
+      (s, d) =>
+        Tables.orders(s, d)
+          .where(year(col("o_orderdate")) === 1997)
+          .agg(
+            count(lit(1)).as("n"),
+            countDistinct(to_date(col("o_orderdate"))).as("n_days"))
+          .withColumn("per_day", round(col("n") * lit(1.0) / col("n_days"), 4)),
+      Some("""SELECT count(*) AS n,
+             |       count(DISTINCT CAST(o_orderdate AS DATE)) AS n_days,
+             |       round(count(*) * 1.0 / count(DISTINCT CAST(o_orderdate AS DATE)), 4) AS per_day
+             |FROM orders
+             |WHERE year(o_orderdate) = 1997""".stripMargin)),
+
+    // ---- Q17: argmax per group (max salary + first title by company) ----
+    Q(
+      "q12_argmax_per_group",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        Tables.orders(s, d)
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1)
+          .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""SELECT o_orderpriority, o_orderkey, o_totalprice
+             |FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+             |             row_number() OVER (PARTITION BY o_orderpriority
+             |                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+             |      FROM orders)
+             |WHERE rn = 1
+             |ORDER BY o_orderpriority""".stripMargin)),
+
+    // ---- D2: semi join (customers having orders) ------------------------
+    Q(
+      "q13_semi_join",
+      (s, d) =>
+        Tables.customer(s, d)
+          .join(Tables.orders(s, d).select(col("o_custkey")),
+                col("c_custkey") === col("o_custkey"), "left_semi")
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("c_mktsegment")),
+      Some("""SELECT c_mktsegment, count(*) AS n
+             |FROM customer
+             |WHERE c_custkey IN (SELECT o_custkey FROM orders)
+             |GROUP BY c_mktsegment
+             |ORDER BY c_mktsegment""".stripMargin)),
+
+    // ---- U2/S8: anti join (incremental-discovery pattern) ---------------
+    Q(
+      "q14_anti_join",
+      (s, d) =>
+        Tables.customer(s, d)
+          .join(Tables.orders(s, d).select(col("o_custkey")),
+                col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy(col("c_nationkey").cast("long").as("nationkey"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("nationkey")),
+      Some("""SELECT CAST(c_nationkey AS BIGINT) AS nationkey, count(*) AS n
+             |FROM customer
+             |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+             |GROUP BY nationkey
+             |ORDER BY nationkey""".stripMargin)),
+
+    // ---- E1/D1: exact keyed dedup, keep-first + dup audit ---------------
+    Q(
+      "q15_dedup_exact",
+      (s, d) =>
+        Tables.orders(s, d)
+          .groupBy(col("o_custkey"), to_date(col("o_orderdate")).as("od"))
+          .agg(min(col("o_orderkey")).as("first_key"), count(lit(1)).as("dup_cnt"))
+          .where(col("dup_cnt") > 1)
+          .orderBy(col("o_custkey"), col("od")),
+      Some("""SELECT o_custkey, CAST(o_orderdate AS DATE) AS od,
+             |       min(o_orderkey) AS first_key, count(*) AS dup_cnt
+             |FROM orders
+             |GROUP BY o_custkey, od
+             |HAVING count(*) > 1
+             |ORDER BY o_custkey, od""".stripMargin)),
+
+    // ---- F3: numeric range filter (salary-band analogue) ----------------
+    Q(
+      "q16_range_filter",
+      (s, d) =>
+        Tables.orders(s, d)
+          .where(col("o_totalprice").between(50000, 200000))
+          .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total")),
+      Some("""SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total
+             |FROM orders
+             |WHERE o_totalprice BETWEEN 50000 AND 200000""".stripMargin)),
+
+    // ---- F1: IN-list filter through a dimension join --------------------
+    Q(
+      "q17_in_filter",
+      (s, d) =>
+        Tables.customer(s, d)
+          .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+          .where(col("n_name").isin("NATION_1", "NATION_7", "NATION_19"))
+          .groupBy(col("n_name"))
+          .agg(count(lit(1)).as("n"), round(avg(col("c_acctbal")), 2).as("avg_bal"))
+          .orderBy(col("n_name")),
+      Some("""SELECT n_name, count(*) AS n, round(avg(c_acctbal), 2) AS avg_bal
+             |FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |WHERE n_name IN ('NATION_1', 'NATION_7', 'NATION_19')
+             |GROUP BY n_name
+             |ORDER BY n_name""".stripMargin)),
+
+    // ---- F2: regex predicate ---------------------------------------------
+    Q(
+      "q18_rlike_filter",
+      (s, d) =>
+        Tables.part(s, d)
+          .where(col("p_name").rlike("(red|blue)"))
+          .groupBy(col("p_brand"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("p_brand")),
+      Some("""SELECT p_brand, count(*) AS n
+             |FROM part
+             |WHERE regexp_matches(p_name, '(red|blue)')
+             |GROUP BY p_brand
+             |ORDER BY p_brand""".stripMargin)),
+
+    // ---- U1: union-all of two filtered branches --------------------------
+    Q(
+      "q19_union_all",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        val hi = o.where(col("o_totalprice") > 150000).select(col("o_orderstatus"))
+        val ur = o.where(col("o_orderpriority") === "1-URGENT").select(col("o_orderstatus"))
+        hi.unionByName(ur)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n
+             |FROM (SELECT o_orderstatus FROM orders WHERE o_totalprice > 150000
+             |      UNION ALL
+             |      SELECT o_orderstatus FROM orders WHERE o_orderpriority = '1-URGENT')
+             |GROUP BY o_orderstatus
+             |ORDER BY o_orderstatus""".stripMargin)),
+
+    // ---- window: top-3 per group -----------------------------------------
+    Q(
+      "q20_topn_per_group",
+      (s, d) => {
+        val j = Tables.orders(s, d)
+          .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        val w = Window.partitionBy(col("c_mktsegment"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        j.withColumn("rn", row_number().over(w))
+          .where(col("rn") <= 3)
+          .select(col("c_mktsegment"), col("o_orderkey"), col("o_totalprice"))
+          .orderBy(col("c_mktsegment"), col("o_totalprice").desc, col("o_orderkey"))
+      },
+      Some("""SELECT c_mktsegment, o_orderkey, o_totalprice
+             |FROM (SELECT c_mktsegment, o_orderkey, o_totalprice,
+             |             row_number() OVER (PARTITION BY c_mktsegment
+             |                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+             |      FROM orders JOIN customer ON o_custkey = c_custkey)
+             |WHERE rn <= 3
+             |ORDER BY c_mktsegment, o_totalprice DESC, o_orderkey""".stripMargin)),
+
+    // ---- pivot (Q25 stacked-area twin): counts per status as columns -----
+    Q(
+      "q21_pivot_status",
+      (s, d) =>
+        Tables.orders(s, d)
+          .groupBy(year(col("o_orderdate")).cast("long").as("yr"))
+          .pivot(col("o_orderstatus"), Seq("F", "O", "P"))
+          .agg(count(lit(1)))
+          .na.fill(0, Seq("F", "O", "P"))
+          .withColumnRenamed("F", "f_cnt")
+          .withColumnRenamed("O", "o_cnt")
+          .withColumnRenamed("P", "p_cnt")
+          .orderBy(col("yr")),
+      Some("""SELECT year(o_orderdate) AS yr,
+             |       count(*) FILTER (o_orderstatus = 'F') AS f_cnt,
+             |       count(*) FILTER (o_orderstatus = 'O') AS o_cnt,
+             |       count(*) FILTER (o_orderstatus = 'P') AS p_cnt
+             |FROM orders
+             |GROUP BY yr
+             |ORDER BY yr""".stripMargin)),
+
+    // ---- running / moving window over the daily series -------------------
+    // Pre-aggregation reduces to one row per day, so the global window is
+    // cheap at any scale (at 100 TB you'd still pre-agg, then window).
+    Q(
+      "q22_running_totals",
+      (s, d) => {
+        val daily = Tables.orders(s, d)
+          .groupBy(to_date(col("o_orderdate")).as("day"))
+          .agg(count(lit(1)).as("n"))
+        val w = Window.orderBy(col("day"))
+        daily
+          .withColumn("cum_n",
+            sum(col("n")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("ma7",
+            round(avg(col("n") * lit(1.0)).over(w.rowsBetween(-6, Window.currentRow)), 4))
+          .orderBy(col("day"))
+      },
+      Some("""SELECT day, n,
+             |       CAST(sum(n) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n,
+             |       round(avg(n * 1.0) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS ma7
+             |FROM (SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n
+             |      FROM orders GROUP BY day)
+             |ORDER BY day""".stripMargin)),
+
+    // ---- D1 exact keep-first semantics (first order per customer) --------
+    Q(
+      "q23_first_per_customer",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        Tables.orders(s, d)
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1)
+          .select(col("o_custkey"), col("o_orderkey"),
+                  to_date(col("o_orderdate")).as("od"))
+          .orderBy(col("o_custkey"))
+      },
+      Some("""SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS od
+             |FROM (SELECT o_custkey, o_orderkey, o_orderdate,
+             |             row_number() OVER (PARTITION BY o_custkey
+             |                                ORDER BY o_orderdate, o_orderkey) AS rn
+             |      FROM orders)
+             |WHERE rn = 1
+             |ORDER BY o_custkey""".stripMargin))
+  )
+}

@@ -1,0 +1,119 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream analytics over the `events` fixture (SURVEY.md §2.11
+  * E5/E6): tumbling windows, JSON-ish property extraction, gap-based
+  * sessionization, funnels, per-user top-k. These are the batch twins of
+  * the Structured Streaming jobs in `graft.streaming` — identical
+  * aggregation logic, so the streaming path can be validated against the
+  * batch oracle.
+  */
+object EventOps {
+
+  val defs: Seq[Q] = Seq(
+    // ---- E6: tumbling 1-hour window ---------------------------------------
+    Q(
+      "q45_events_hourly",
+      (s, d) =>
+        Tables.events(s, d)
+          .groupBy(
+            date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:00:00").as("h"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_v"))
+          .orderBy(col("h"), col("event_type")),
+      Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS h,
+             |       event_type, count(*) AS n, round(sum(value), 2) AS sum_v
+             |FROM events
+             |GROUP BY h, event_type
+             |ORDER BY h, event_type""".stripMargin)),
+
+    // ---- E5: property extraction from the JSON props column ---------------
+    Q(
+      "q46_events_props",
+      (s, d) =>
+        Tables.events(s, d)
+          .withColumn("k",
+            expr("""try_cast(nullif(regexp_extract(props, '"k":\\s*(\\d+)', 1), '') AS BIGINT)"""))
+          .groupBy((col("k") % 10).as("bucket"))
+          .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_v"))
+          .orderBy(col("bucket")),
+      Some("""SELECT TRY_CAST(NULLIF(regexp_extract(props, '"k":\s*(\d+)', 1), '') AS BIGINT) % 10 AS bucket,
+             |       count(*) AS n, round(sum(value), 2) AS sum_v
+             |FROM events
+             |GROUP BY bucket
+             |ORDER BY bucket""".stripMargin)),
+
+    // ---- E6: gap-based sessionization (30-min inactivity) -----------------
+    Q(
+      "q47_events_sessions",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("sec"))
+        Tables.events(s, d)
+          .select(col("user_id"), col("ts").cast("long").as("sec"))
+          .withColumn("prev", lag(col("sec"), 1).over(w))
+          .withColumn("new_sess",
+            when(col("prev").isNull || col("sec") - col("prev") > 1800, 1L).otherwise(0L))
+          .groupBy(col("user_id"))
+          .agg(sum(col("new_sess")).as("n_sessions"), count(lit(1)).as("n_events"))
+          .orderBy(col("user_id"))
+      },
+      Some("""SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions, count(*) AS n_events
+             |FROM (SELECT user_id,
+             |             CASE WHEN prev IS NULL OR sec - prev > 1800 THEN 1 ELSE 0 END AS new_sess
+             |      FROM (SELECT user_id,
+             |                   CAST(floor(date_part('epoch', ts)) AS BIGINT) AS sec,
+             |                   lag(CAST(floor(date_part('epoch', ts)) AS BIGINT), 1)
+             |                     OVER (PARTITION BY user_id
+             |                           ORDER BY CAST(floor(date_part('epoch', ts)) AS BIGINT)) AS prev
+             |            FROM events))
+             |GROUP BY user_id
+             |ORDER BY user_id""".stripMargin)),
+
+    // ---- funnel: view -> click -> purchase, by first occurrence -----------
+    Q(
+      "q48_events_funnel",
+      (s, d) =>
+        Tables.events(s, d)
+          .groupBy(col("user_id"))
+          .agg(
+            min(when(col("event_type") === "view", col("ts"))).as("tv"),
+            min(when(col("event_type") === "click", col("ts"))).as("tc"),
+            min(when(col("event_type") === "purchase", col("ts"))).as("tp"))
+          .agg(
+            count(lit(1)).as("n_users"),
+            count(when(col("tv").isNotNull, lit(1))).as("n_view"),
+            count(when(col("tv") < col("tc"), lit(1))).as("n_click_after_view"),
+            count(when(col("tv") < col("tc") && col("tc") < col("tp"), lit(1)))
+              .as("n_funnel")),
+      Some("""SELECT count(*) AS n_users,
+             |       count(*) FILTER (tv IS NOT NULL) AS n_view,
+             |       count(*) FILTER (tv < tc) AS n_click_after_view,
+             |       count(*) FILTER (tv < tc AND tc < tp) AS n_funnel
+             |FROM (SELECT user_id,
+             |             min(CASE WHEN event_type = 'view' THEN ts END) AS tv,
+             |             min(CASE WHEN event_type = 'click' THEN ts END) AS tc,
+             |             min(CASE WHEN event_type = 'purchase' THEN ts END) AS tp
+             |      FROM events GROUP BY user_id)""".stripMargin)),
+
+    // ---- top-k users by activity ------------------------------------------
+    Q(
+      "q49_events_top_users",
+      (s, d) =>
+        Tables.events(s, d)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n"),
+               count(when(col("event_type") === "purchase", lit(1))).as("n_purchases"))
+          .orderBy(col("n").desc, col("user_id"))
+          .limit(20),
+      Some("""SELECT user_id, count(*) AS n,
+             |       count(*) FILTER (event_type = 'purchase') AS n_purchases
+             |FROM events
+             |GROUP BY user_id
+             |ORDER BY n DESC, user_id
+             |LIMIT 20""".stripMargin))
+  )
+}

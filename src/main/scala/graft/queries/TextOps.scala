@@ -1,0 +1,312 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-pipeline operators over the `documents` fixture (SURVEY.md §2.11
+  * E2/E4): exact dedup, token analytics, quality scoring, language ID,
+  * n-gram Jaccard near-dup, MinHash+LSH, SimHash, winnowing fingerprints.
+  *
+  * Scale notes:
+  *  - the exact-Jaccard shingle self-join (q34) is the *verification*
+  *    path; at 100 TB you run MinHash+LSH (q35) to generate candidates
+  *    (band join touches only colliding buckets) and verify only those;
+  *  - hot shingles (document-frequency skew) would explode the shingle
+  *    join — production would drop shingles with df above a cutoff
+  *    (stop-shingle filtering) before the join; at fixture vocab size the
+  *    skew is bounded so we keep exact semantics here;
+  *  - per-doc signatures (q35/q36) are one groupBy = one shuffle, then
+  *    band joins shuffle only (band, hash) keys — both scale linearly.
+  */
+object TextOps {
+
+  private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
+
+  /** (doc_id, shingle) pairs, shingles distinct within a doc. */
+  private def shingles(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn(
+        "shs",
+        expr("""CASE WHEN size(toks) >= 3
+               |  THEN array_distinct(transform(sequence(0, size(toks) - 3),
+               |         i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))
+               |  ELSE array() END""".stripMargin))
+      .select(col("doc_id"), explode(col("shs")).as("sh"))
+
+  private val shingleSqlCte =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (SELECT DISTINCT doc_id,
+      |         unnest(list_transform(range(1, len(t) - 1),
+      |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+      |       FROM toks WHERE len(t) >= 3),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)""".stripMargin
+
+  private val stopWords = Seq("the", "a", "of", "and", "to", "in")
+  private val stopList = stopWords.map(w => s"'$w'").mkString(", ")
+
+  val defs: Seq[Q] = Seq(
+    // ---- E1: exact text dedup audit --------------------------------------
+    Q(
+      "q30_docs_dedup_stats",
+      (s, d) =>
+        docs(s, d).agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("text")).as("n_unique"),
+          (count(lit(1)) - countDistinct(col("text"))).as("n_dups")),
+      Some("""SELECT count(*) AS n_docs,
+             |       count(DISTINCT text) AS n_unique,
+             |       count(*) - count(DISTINCT text) AS n_dups
+             |FROM documents""".stripMargin)),
+
+    // ---- E4: corpus token frequencies ------------------------------------
+    Q(
+      "q31_doc_tokens",
+      (s, d) =>
+        docs(s, d)
+          .select(explode(split(col("text"), " ")).as("tok"))
+          .where(col("tok") =!= "")
+          .groupBy(col("tok"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("tok"))
+          .limit(25),
+      Some("""SELECT tok, count(*) AS n
+             |FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+             |WHERE tok <> ''
+             |GROUP BY tok
+             |ORDER BY n DESC, tok
+             |LIMIT 25""".stripMargin)),
+
+    // ---- E4: per-language corpus stats ------------------------------------
+    Q(
+      "q32_docs_lang_stats",
+      (s, d) =>
+        docs(s, d)
+          .groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("n"),
+            round(avg(col("n_chars") * lit(1.0)), 4).as("avg_chars"),
+            min(col("n_chars")).as("min_chars"),
+            max(col("n_chars")).as("max_chars"))
+          .orderBy(col("lang")),
+      Some("""SELECT lang, count(*) AS n,
+             |       round(avg(n_chars * 1.0), 4) AS avg_chars,
+             |       min(n_chars) AS min_chars, max(n_chars) AS max_chars
+             |FROM documents
+             |GROUP BY lang
+             |ORDER BY lang""".stripMargin)),
+
+    // ---- E4: per-doc quality scoring (length / diversity / stopwords) ----
+    Q(
+      "q33_docs_quality",
+      (s, d) =>
+        docs(s, d)
+          .withColumn("toks", split(col("text"), " "))
+          .select(
+            col("doc_id"),
+            size(col("toks")).cast("long").as("n_tok"),
+            size(array_distinct(col("toks"))).cast("long").as("n_uniq"),
+            expr(s"size(filter(toks, t -> t IN ($stopList)))")
+              .cast("long").as("n_stop"))
+          .withColumn("ttr", round(col("n_uniq") * lit(1.0) / col("n_tok"), 4))
+          .withColumn("stop_ratio", round(col("n_stop") * lit(1.0) / col("n_tok"), 4))
+          .orderBy(col("doc_id")),
+      Some(s"""SELECT doc_id,
+              |       len(string_split(text, ' ')) AS n_tok,
+              |       len(list_distinct(string_split(text, ' '))) AS n_uniq,
+              |       len(list_filter(string_split(text, ' '), t -> t IN ($stopList))) AS n_stop,
+              |       round(len(list_distinct(string_split(text, ' '))) * 1.0
+              |             / len(string_split(text, ' ')), 4) AS ttr,
+              |       round(len(list_filter(string_split(text, ' '), t -> t IN ($stopList))) * 1.0
+              |             / len(string_split(text, ' ')), 4) AS stop_ratio
+              |FROM documents
+              |ORDER BY doc_id""".stripMargin)),
+
+    // ---- E2: exact n-gram Jaccard near-dup pairs --------------------------
+    Q(
+      "q34_docs_jaccard_pairs",
+      (s, d) => {
+        val sh = shingles(s, d)
+        val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        val pairs = sh.as("a")
+          .join(sh.as("b"),
+                col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .agg(count(lit(1)).as("common"))
+        pairs
+          .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+          .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+          .withColumn("jac",
+            round(col("common") * lit(1.0) /
+              (col("sa.n") + col("sb.n") - col("common")), 4))
+          .where(col("jac") >= 0.8)
+          .select(col("doc_a"), col("doc_b"), col("jac"))
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some(s"""$shingleSqlCte,
+              |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+              |          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              |          GROUP BY doc_a, doc_b)
+              |SELECT doc_a, doc_b,
+              |       round(common * 1.0 / (sa.n + sb.n - common), 4) AS jac
+              |FROM pairs
+              |JOIN sizes sa ON doc_a = sa.doc_id
+              |JOIN sizes sb ON doc_b = sb.doc_id
+              |WHERE round(common * 1.0 / (sa.n + sb.n - common), 4) >= 0.8
+              |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // ---- E2: MinHash + LSH near-dup (the 100 TB path; rows-only check) ----
+    Q(
+      "q35_docs_minhash_lsh",
+      (s, d) => {
+        val numHashes = 32
+        val bandSize = 4
+        val numBands = numHashes / bandSize
+        val sh = shingles(s, d)
+        // 32 permutations approximated by seeding xxhash64 with the index.
+        val sigAggs = (0 until numHashes)
+          .map(i => min(xxhash64(col("sh"), lit(i))).as(s"h$i"))
+        val sig = sh.groupBy(col("doc_id")).agg(sigAggs.head, sigAggs.tail: _*)
+        // Band keys: hash of each 4-wide signature slice; docs colliding in
+        // any band become candidates. Join shuffles only on (band, bh).
+        val bandCols = (0 until numBands).map { b =>
+          val slice = (0 until bandSize).map(j => col(s"h${b * bandSize + j}"))
+          struct(lit(b).as("band"), xxhash64(slice: _*).as("bh"))
+        }
+        val bands = sig
+          .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+          .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+        val cand = bands.as("x")
+          .join(bands.as("y"),
+                col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+                  col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+          .distinct()
+        // Verify candidates with exact Jaccard (join restricted to them).
+        val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        val common = sh.as("a")
+          .join(cand, col("a.doc_id") === col("doc_a"))
+          .join(sh.as("b"),
+                col("a.sh") === col("b.sh") && col("b.doc_id") === col("doc_b"))
+          .groupBy(col("doc_a"), col("doc_b"))
+          .agg(count(lit(1)).as("common"))
+        common
+          .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+          .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+          .withColumn("jac",
+            round(col("common") * lit(1.0) /
+              (col("sa.n") + col("sb.n") - col("common")), 4))
+          .where(col("jac") >= 0.8)
+          .select(col("doc_a"), col("doc_b"), col("jac"))
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      None),
+
+    // ---- E2: SimHash near-dup (rows-only check) ---------------------------
+    Q(
+      "q36_docs_simhash",
+      (s, d) => {
+        val tokens = docs(s, d)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+          .where(col("tok") =!= "")
+          .withColumn("h", xxhash64(col("tok")))
+        val bitAggs = (0 until 64).map { i =>
+          sum(when(col("h").bitwiseAND(lit(1L << i)) =!= 0L, 1).otherwise(-1))
+            .as(s"b$i")
+        }
+        val sums = tokens.groupBy(col("doc_id")).agg(bitAggs.head, bitAggs.tail: _*)
+        val sim = sums.withColumn(
+          "simhash",
+          (0 until 64)
+            .map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+            .reduce((x, y) => x.bitwiseOR(y)))
+          .select(col("doc_id"), col("simhash"))
+        // Block on 16-bit chunks: near-dups (hamming <= 6) must collide in
+        // at least one of the 4 chunks by pigeonhole.
+        val chunks = sim.select(
+          col("doc_id"), col("simhash"),
+          explode(array((0 until 4).map(c =>
+            struct(lit(c).as("c"),
+                   expr(s"(simhash >> ${16 * c}) & 65535").as("ck"))): _*)).as("cc"))
+          .select(col("doc_id"), col("simhash"), col("cc.c").as("c"), col("cc.ck").as("ck"))
+        chunks.as("x")
+          .join(chunks.as("y"),
+                col("x.c") === col("y.c") && col("x.ck") === col("y.ck") &&
+                  col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+                  expr("bit_count(x.simhash ^ y.simhash)").as("hamming"))
+          .distinct()
+          .where(col("hamming") <= 6)
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      None),
+
+    // ---- E4: winnowing document fingerprints (rows-only check) ------------
+    Q(
+      "q37_docs_fingerprint",
+      (s, d) => {
+        val toks = docs(s, d)
+          .select(col("doc_id"),
+                  posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        // rolling 4-gram hash, then winnow: min within each 5-wide window
+        val grams = toks
+          .withColumn("g", xxhash64(col("tok"), lead(col("tok"), 1).over(w),
+                                    lead(col("tok"), 2).over(w), lead(col("tok"), 3).over(w)))
+          .where(col("g").isNotNull)
+        val winnowed = grams
+          .withColumn("fp", min(col("g")).over(w.rowsBetween(0, 4)))
+          .select(col("doc_id"), col("fp")).distinct()
+        winnowed.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_fp"), min(col("fp")).as("fp_min"))
+          .orderBy(col("doc_id"))
+      },
+      None),
+
+    // ---- E4: language-ID heuristic -> confusion matrix --------------------
+    // The fixture corpus is synthetic word soup, so the interesting part is
+    // that both engines agree exactly on the argmax with a fixed precedence.
+    Q(
+      "q38_lang_id_confusion",
+      (s, d) => {
+        val dicts = Seq(
+          "en" -> Seq("the", "a", "of", "and"),
+          "es" -> Seq("el", "la", "de", "y"),
+          "de" -> Seq("der", "und", "die", "das"),
+          "fr" -> Seq("le", "la", "et", "les"))
+        val scored = dicts.foldLeft(
+          docs(s, d).withColumn("toks", split(col("text"), " "))) {
+          case (df, (l, ws)) =>
+            val list = ws.map(w => s"'$w'").mkString(", ")
+            df.withColumn(s"s_$l", expr(s"size(filter(toks, t -> t IN ($list)))"))
+        }
+        scored
+          .withColumn("pred",
+            when(col("s_en") >= greatest(col("s_es"), col("s_de"), col("s_fr")), "en")
+              .when(col("s_es") >= greatest(col("s_de"), col("s_fr")), "es")
+              .when(col("s_de") >= col("s_fr"), "de")
+              .otherwise("fr"))
+          .groupBy(col("lang"), col("pred"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("lang"), col("pred"))
+      },
+      Some("""WITH scored AS (
+             |  SELECT lang,
+             |    len(list_filter(string_split(text,' '), t -> t IN ('the','a','of','and'))) AS s_en,
+             |    len(list_filter(string_split(text,' '), t -> t IN ('el','la','de','y'))) AS s_es,
+             |    len(list_filter(string_split(text,' '), t -> t IN ('der','und','die','das'))) AS s_de,
+             |    len(list_filter(string_split(text,' '), t -> t IN ('le','la','et','les'))) AS s_fr
+             |  FROM documents)
+             |SELECT lang,
+             |       CASE WHEN s_en >= greatest(s_es, s_de, s_fr) THEN 'en'
+             |            WHEN s_es >= greatest(s_de, s_fr) THEN 'es'
+             |            WHEN s_de >= s_fr THEN 'de'
+             |            ELSE 'fr' END AS pred,
+             |       count(*) AS n
+             |FROM scored
+             |GROUP BY lang, pred
+             |ORDER BY lang, pred""".stripMargin))
+  )
+}

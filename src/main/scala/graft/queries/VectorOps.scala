@@ -1,0 +1,112 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` fixture (SURVEY.md §2.11 E3).
+  *
+  * Brute-force top-k (q40) broadcasts the (small) query set against the
+  * full corpus — the right plan when queries << corpus; the dot product
+  * stays inside codegen'd higher-order functions (`zip_with`+`aggregate`),
+  * no UDF. The IVF variant (q42) is the scale path: corpus is bucketed by
+  * nearest coarse centroid (one shuffle), queries probe only their bucket.
+  * Cosines are rounded to 4 dp and ranked on the *rounded* value with a
+  * vec_id tie-break, so rank order is FP-stable across engines.
+  */
+object VectorOps {
+
+  private def withNorm(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
+              col("label"))
+      .withColumn("n2", expr("aggregate(v, 0D, (acc, x) -> acc + x * x)"))
+
+  private def dot(a: String, b: String) =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+
+  val defs: Seq[Q] = Seq(
+    // ---- E3: brute-force cosine top-5 per query ---------------------------
+    Q(
+      "q40_embed_topk",
+      (s, d) => {
+        val e = withNorm(s, d)
+        val q = e.where(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"), col("n2").as("qn2"))
+        val scored = e.crossJoin(broadcast(q))
+          .where(col("vec_id") =!= col("q_id"))
+          .withColumn("cos_r",
+            round(dot("v", "qv") / sqrt(col("n2") * col("qn2")), 4))
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(col("cos_r").desc, col("vec_id"))
+        scored.withColumn("rn", row_number().over(w))
+          .where(col("rn") <= 5)
+          .select(col("q_id"), col("vec_id").as("n_id"), col("cos_r"))
+          .orderBy(col("q_id"), col("cos_r").desc, col("n_id"))
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+             |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+             |pairs AS (SELECT q_id, vec_id AS n_id,
+             |                 round(list_cosine_similarity(qv, v), 4) AS cos_r
+             |          FROM q, e WHERE vec_id <> q_id),
+             |rk AS (SELECT q_id, n_id, cos_r,
+             |              row_number() OVER (PARTITION BY q_id
+             |                                 ORDER BY cos_r DESC, n_id) AS rn
+             |       FROM pairs)
+             |SELECT q_id, n_id, cos_r FROM rk WHERE rn <= 5
+             |ORDER BY q_id, cos_r DESC, n_id""".stripMargin)),
+
+    // ---- E3/E5: per-label vector stats ------------------------------------
+    Q(
+      "q41_embed_label_stats",
+      (s, d) =>
+        withNorm(s, d)
+          .withColumn("norm", sqrt(col("n2")))
+          .groupBy(col("label").cast("long").as("label"))
+          .agg(count(lit(1)).as("n"),
+               round(avg(col("norm")), 4).as("avg_norm"),
+               round(min(col("norm")), 4).as("min_norm"),
+               round(max(col("norm")), 4).as("max_norm"))
+          .orderBy(col("label")),
+      Some("""SELECT CAST(label AS BIGINT) AS label, count(*) AS n,
+             |       round(avg(sqrt(list_dot_product(v, v))), 4) AS avg_norm,
+             |       round(min(sqrt(list_dot_product(v, v))), 4) AS min_norm,
+             |       round(max(sqrt(list_dot_product(v, v))), 4) AS max_norm
+             |FROM (SELECT label, embedding::DOUBLE[] AS v FROM embeddings)
+             |GROUP BY label
+             |ORDER BY label""".stripMargin)),
+
+    // ---- E3 scale path: IVF-bucketed approximate NN (rows-only check) -----
+    Q(
+      "q42_embed_ivf_ann",
+      (s, d) => {
+        val e = withNorm(s, d)
+        // deterministic coarse centroids: the first 8 vectors by id
+        val cent = e.where(col("vec_id") < 8)
+          .select(col("vec_id").as("c_id"), col("v").as("cv"), col("n2").as("cn2"))
+        // assign every vector to its nearest centroid (broadcast centroids;
+        // one pass, no shuffle until the grouped join below)
+        val assigned = e.crossJoin(broadcast(cent))
+          .withColumn("cos_c", dot("v", "cv") / sqrt(col("n2") * col("cn2")))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("vec_id")).orderBy(col("cos_c").desc, col("c_id"))))
+          .where(col("rn") === 1)
+          .select(col("vec_id"), col("v"), col("n2"), col("c_id").as("bucket"))
+        val q = assigned.where(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"),
+                  col("n2").as("qn2"), col("bucket"))
+        // probe only the query's own bucket (the IVF trade-off)
+        assigned.join(broadcast(q), Seq("bucket"))
+          .where(col("vec_id") =!= col("q_id"))
+          .withColumn("cos_r",
+            round(dot("v", "qv") / sqrt(col("n2") * col("qn2")), 4))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("q_id")).orderBy(col("cos_r").desc, col("vec_id"))))
+          .where(col("rn") <= 3)
+          .select(col("q_id"), col("vec_id").as("n_id"), col("cos_r"))
+          .orderBy(col("q_id"), col("cos_r").desc, col("n_id"))
+      },
+      None)
+  )
+}
