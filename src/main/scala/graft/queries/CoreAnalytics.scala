@@ -148,19 +148,23 @@ object CoreAnalytics {
     Q(
       "q08_revenue_by_nation",
       (s, d) => {
-        val li = Tables.lineitem(s, d)
-        val o  = Tables.orders(s, d)
-        val c  = Tables.customer(s, d)
-        val n  = broadcast(Tables.nation(s, d))
-        val r  = broadcast(Tables.region(s, d))
-        // fact-fact join shuffles on the order key; both dims broadcast.
-        li.join(o, col("l_orderkey") === col("o_orderkey"))
+        val o = Tables.orders(s, d)
+        val c = Tables.customer(s, d)
+        val n = broadcast(Tables.nation(s, d))
+        val r = broadcast(Tables.region(s, d))
+        // Pre-aggregate lineitem to one row per order BEFORE the wide
+        // join: shrinks the fact-fact join input ~4x and turns the
+        // distinct-order count into a plain count (no Expand node).
+        val perOrder = Tables.lineitem(s, d)
+          .groupBy(col("l_orderkey"))
+          .agg(sum(revenue).as("order_rev"))
+        perOrder.join(o, col("l_orderkey") === col("o_orderkey"))
           .join(c, col("o_custkey") === col("c_custkey"))
           .join(n, col("c_nationkey") === col("n_nationkey"))
           .join(r, col("n_regionkey") === col("r_regionkey"))
           .groupBy(col("r_name"), col("n_name"))
-          .agg(countDistinct(col("o_orderkey")).as("n_orders"),
-               round(sum(revenue), 4).as("rev"))
+          .agg(count(lit(1)).as("n_orders"),
+               round(sum(col("order_rev")), 4).as("rev"))
           .orderBy(col("r_name"), col("n_name"))
       },
       Some("""SELECT r_name, n_name,

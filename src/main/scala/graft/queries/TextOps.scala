@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -10,31 +10,53 @@ import org.apache.spark.sql.functions._
   * n-gram Jaccard near-dup, MinHash+LSH, SimHash, winnowing fingerprints.
   *
   * Scale notes:
-  *  - the exact-Jaccard shingle self-join (q34) is the *verification*
-  *    path; at 100 TB you run MinHash+LSH (q35) to generate candidates
-  *    (band join touches only colliding buckets) and verify only those;
-  *  - hot shingles (document-frequency skew) would explode the shingle
-  *    join — production would drop shingles with df above a cutoff
-  *    (stop-shingle filtering) before the join; at fixture vocab size the
-  *    skew is bounded so we keep exact semantics here;
-  *  - per-doc signatures (q35/q36) are one groupBy = one shuffle, then
-  *    band joins shuffle only (band, hash) keys — both scale linearly.
+  *  - `documents` arrives as few parquet files -> few partitions; the
+  *    per-row shingling/hashing is the expensive part, so we repartition
+  *    BEFORE it to spread the narrow compute across cores (same reason
+  *    you'd repartition after a skewed scan on a cluster);
+  *  - shingles are hashed to longs (xxhash64 of the token-hash triple)
+  *    as early as possible: all downstream shuffles/joins/dedups move 8
+  *    bytes instead of ~20-char strings, and set intersections are long
+  *    compares (collision probability at 64 bits is negligible);
+  *  - each doc's shingle-set size is computed from the array before the
+  *    explode, so no extra window/groupBy pass is needed;
+  *  - q34 (exact all-pairs) is the verification path; q35 (MinHash+LSH)
+  *    is the 100 TB path: signatures are a narrow map, the band join
+  *    touches only colliding buckets, and exact Jaccard runs only on
+  *    candidates via array_intersect on the two shingle arrays.
   */
 object TextOps {
 
   private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
 
-  /** (doc_id, shingle) pairs, shingles distinct within a doc. */
-  private def shingles(s: SparkSession, d: String): DataFrame =
+  /** documents + `shs`: the doc's distinct word-3-gram shingle set as
+    * hashed longs, spread across the session's default parallelism.
+    */
+  private def withShingleSet(s: SparkSession, d: String): DataFrame =
     docs(s, d)
+      .repartition(col("doc_id"))
       .withColumn("toks", split(col("text"), " "))
+      .withColumn("th", expr("transform(toks, t -> xxhash64(t))"))
       .withColumn(
         "shs",
-        expr("""CASE WHEN size(toks) >= 3
-               |  THEN array_distinct(transform(sequence(0, size(toks) - 3),
-               |         i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))
-               |  ELSE array() END""".stripMargin))
-      .select(col("doc_id"), explode(col("shs")).as("sh"))
+        expr("""CASE WHEN size(th) >= 3
+               |  THEN array_distinct(transform(sequence(0, size(th) - 3),
+               |         i -> xxhash64(th[i], th[i+1], th[i+2])))
+               |  ELSE CAST(array() AS ARRAY<BIGINT>) END""".stripMargin))
+
+  /** (doc_id, sh, n) — one row per distinct shingle, n = |shingle set|.
+    *
+    * explode_outer, NOT explode: for a non-outer generate Catalyst's
+    * InferFiltersFromGenerate synthesizes `size(child)>0` and pushes it
+    * below the repartition with the whole lambda pipeline inlined several
+    * times — evaluated single-threaded at the scan. The outer variant
+    * skips that rule; empty arrays yield a null row we filter afterwards.
+    */
+  private def shingles(s: SparkSession, d: String): DataFrame =
+    withShingleSet(s, d)
+      .select(col("doc_id"), size(col("shs")).as("n"),
+              explode_outer(col("shs")).as("sh"))
+      .where(col("sh").isNotNull)
 
   private val shingleSqlCte =
     """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
@@ -125,22 +147,21 @@ object TextOps {
               |ORDER BY doc_id""".stripMargin)),
 
     // ---- E2: exact n-gram Jaccard near-dup pairs --------------------------
+    // All-pairs via the shingle equi-join; set sizes ride along with each
+    // shingle row, so the whole query is two shuffles (join + pair groupBy).
     Q(
       "q34_docs_jaccard_pairs",
       (s, d) => {
         val sh = shingles(s, d)
-        val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-        val pairs = sh.as("a")
+        sh.as("a")
           .join(sh.as("b"),
                 col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+                   col("a.n").as("na"), col("b.n").as("nb"))
           .agg(count(lit(1)).as("common"))
-        pairs
-          .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
-          .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
           .withColumn("jac",
             round(col("common") * lit(1.0) /
-              (col("sa.n") + col("sb.n") - col("common")), 4))
+              (col("na") + col("nb") - col("common")), 4))
           .where(col("jac") >= 0.8)
           .select(col("doc_a"), col("doc_b"), col("jac"))
           .orderBy(col("doc_a"), col("doc_b"))
@@ -158,46 +179,47 @@ object TextOps {
               |ORDER BY doc_a, doc_b""".stripMargin)),
 
     // ---- E2: MinHash + LSH near-dup (the 100 TB path; rows-only check) ----
+    // Signatures are computed per-doc from the shingle array (narrow map,
+    // no shuffle); only the 8 band keys per doc are exchanged. Candidate
+    // pairs are verified with exact Jaccard via array_intersect.
     Q(
       "q35_docs_minhash_lsh",
       (s, d) => {
         val numHashes = 32
         val bandSize = 4
         val numBands = numHashes / bandSize
-        val sh = shingles(s, d)
-        // 32 permutations approximated by seeding xxhash64 with the index.
-        val sigAggs = (0 until numHashes)
-          .map(i => min(xxhash64(col("sh"), lit(i))).as(s"h$i"))
-        val sig = sh.groupBy(col("doc_id")).agg(sigAggs.head, sigAggs.tail: _*)
-        // Band keys: hash of each 4-wide signature slice; docs colliding in
-        // any band become candidates. Join shuffles only on (band, bh).
+        // No size(shs)>0 filter here: it would be alias-expanded and
+        // pushed to the scan (see `shingles` doc). Docs with an empty
+        // shingle set get null signatures, whose band keys never join.
+        val base = withShingleSet(s, d)
+          .select(col("doc_id"), col("shs"))
+        val sigCols = (0 until numHashes).map(i =>
+          expr(s"array_min(transform(shs, x -> xxhash64(x, $i)))").as(s"h$i"))
+        val sig = base.select((col("doc_id") +: col("shs") +: sigCols): _*)
         val bandCols = (0 until numBands).map { b =>
           val slice = (0 until bandSize).map(j => col(s"h${b * bandSize + j}"))
           struct(lit(b).as("band"), xxhash64(slice: _*).as("bh"))
         }
+        // bands carry only (doc_id, band, bh) — the shingle arrays are
+        // joined back for the (rare) candidates, so the band exchange
+        // stays 24 bytes/row at any scale.
         val bands = sig
-          .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+          .select(col("doc_id"), explode_outer(array(bandCols: _*)).as("bb"))
           .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+          .where(col("bh").isNotNull)
         val cand = bands.as("x")
           .join(bands.as("y"),
                 col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
                   col("x.doc_id") < col("y.doc_id"))
           .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-          .distinct()
-        // Verify candidates with exact Jaccard (join restricted to them).
-        val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-        val common = sh.as("a")
-          .join(cand, col("a.doc_id") === col("doc_a"))
-          .join(sh.as("b"),
-                col("a.sh") === col("b.sh") && col("b.doc_id") === col("doc_b"))
-          .groupBy(col("doc_a"), col("doc_b"))
-          .agg(count(lit(1)).as("common"))
-        common
-          .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
-          .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+          .dropDuplicates("doc_a", "doc_b")
+        cand
+          .join(base.select(col("doc_id").as("doc_a"), col("shs").as("sa")), Seq("doc_a"))
+          .join(base.select(col("doc_id").as("doc_b"), col("shs").as("sb")), Seq("doc_b"))
+          .withColumn("common", size(array_intersect(col("sa"), col("sb"))))
           .withColumn("jac",
             round(col("common") * lit(1.0) /
-              (col("sa.n") + col("sb.n") - col("common")), 4))
+              (size(col("sa")) + size(col("sb")) - col("common")), 4))
           .where(col("jac") >= 0.8)
           .select(col("doc_a"), col("doc_b"), col("jac"))
           .orderBy(col("doc_a"), col("doc_b"))
@@ -205,29 +227,28 @@ object TextOps {
       None),
 
     // ---- E2: SimHash near-dup (rows-only check) ---------------------------
+    // The 64 bit-counters are per-doc array reductions (narrow); only the
+    // 4 16-bit block keys are exchanged for the banding join.
     Q(
       "q36_docs_simhash",
       (s, d) => {
-        val tokens = docs(s, d)
-          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-          .where(col("tok") =!= "")
-          .withColumn("h", xxhash64(col("tok")))
-        val bitAggs = (0 until 64).map { i =>
-          sum(when(col("h").bitwiseAND(lit(1L << i)) =!= 0L, 1).otherwise(-1))
-            .as(s"b$i")
-        }
-        val sums = tokens.groupBy(col("doc_id")).agg(bitAggs.head, bitAggs.tail: _*)
-        val sim = sums.withColumn(
-          "simhash",
-          (0 until 64)
-            .map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
-            .reduce((x, y) => x.bitwiseOR(y)))
+        val sim = docs(s, d)
+          .repartition(col("doc_id"))
+          .withColumn("th",
+            expr("transform(filter(split(text, ' '), t -> t <> ''), t -> xxhash64(t))"))
+          .where(size(col("th")) > 0)
+          .withColumn(
+            "simhash",
+            (0 until 64)
+              .map(i => when(
+                expr(s"size(filter(th, x -> (x & ${1L << i}L) != 0))") * 2
+                  > size(col("th")),
+                lit(1L << i)).otherwise(lit(0L)))
+              .reduce((x, y) => x.bitwiseOR(y)))
           .select(col("doc_id"), col("simhash"))
-        // Block on 16-bit chunks: near-dups (hamming <= 6) must collide in
-        // at least one of the 4 chunks by pigeonhole.
         val chunks = sim.select(
           col("doc_id"), col("simhash"),
-          explode(array((0 until 4).map(c =>
+          explode_outer(array((0 until 4).map(c =>
             struct(lit(c).as("c"),
                    expr(s"(simhash >> ${16 * c}) & 65535").as("ck"))): _*)).as("cc"))
           .select(col("doc_id"), col("simhash"), col("cc.c").as("c"), col("cc.ck").as("ck"))
@@ -248,6 +269,7 @@ object TextOps {
       "q37_docs_fingerprint",
       (s, d) => {
         val toks = docs(s, d)
+          .repartition(col("doc_id"))
           .select(col("doc_id"),
                   posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
         val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
