@@ -1,0 +1,84 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column handling (SURVEY.md §2.11 E5): media payloads ride
+  * as opaque `binary` columns with a typed metadata struct; decode /
+  * feature-extraction runs per-partition so heavyweight codec state is
+  * initialized once per task, never per row.
+  *
+  * The decode step is a DETERMINISTIC STUB (this container has no
+  * image/audio codecs): it derives a fixed-length feature vector from the
+  * bytes. The Spark-side plumbing — schema, binary transport, partition
+  * batching, feature schema — is real and tested; swapping `decodeStub`
+  * for a JNI/codec call is a one-function change.
+  */
+object Multimodal {
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("payload", BinaryType),
+    StructField("meta", StructType(Seq(
+      StructField("mime", StringType),
+      StructField("n_bytes", LongType))))))
+
+  /** STUB decoder: stands in for image decode + resize + embed. Features:
+    * payload length, xxhash-like rolling checksum, mean byte value, and a
+    * 4-bin byte histogram — deterministic in the bytes alone.
+    */
+  private[ops] def decodeStub(payload: Array[Byte]): Array[Double] = {
+    if (payload == null || payload.isEmpty) return Array.fill(7)(0.0)
+    var checksum = 1125899906842597L
+    var sum = 0L
+    val hist = new Array[Long](4)
+    var i = 0
+    while (i < payload.length) {
+      val b = payload(i) & 0xff
+      checksum = checksum * 31 + b
+      sum += b
+      hist(b >> 6) += 1
+      i += 1
+    }
+    Array(
+      payload.length.toDouble,
+      (checksum & 0x7fffffffL).toDouble,
+      sum.toDouble / payload.length,
+      hist(0).toDouble, hist(1).toDouble, hist(2).toDouble, hist(3).toDouble)
+  }
+
+  /** Wrap raw payload rows (id, bytes) into the media schema. */
+  def asMedia(df: DataFrame, idCol: String, payloadCol: String,
+              mime: String): DataFrame =
+    df.select(
+      col(idCol).cast("long").as("media_id"),
+      col(payloadCol).cast("binary").as("payload"))
+      .withColumn("meta", struct(
+        lit(mime).as("mime"),
+        octet_length(col("payload")).cast("long").as("n_bytes")))
+
+  /** Feature-extract every payload via mapPartitions (codec state would be
+    * initialized once per partition here).
+    */
+  def extractFeatures(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("n_bytes", LongType),
+      StructField("features", ArrayType(DoubleType))))
+    val enc = ExpressionEncoder(outSchema)
+    val idIdx = media.schema.fieldIndex("media_id")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    media.mapPartitions { rows =>
+      // per-partition init point (decoder/codec handles would live here)
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](payloadIdx)
+        val feats = decodeStub(payload)
+        Row(r.getLong(idIdx),
+            if (payload == null) 0L else payload.length.toLong,
+            feats.toSeq)
+      }
+    }(enc)
+  }
+}

