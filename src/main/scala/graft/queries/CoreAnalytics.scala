@@ -442,6 +442,108 @@ object CoreAnalytics {
              |                                ORDER BY o_orderdate, o_orderkey) AS rn
              |      FROM orders)
              |WHERE rn = 1
-             |ORDER BY o_custkey""".stripMargin))
+             |ORDER BY o_custkey""".stripMargin)),
+
+    // ---- Q13: keyword contains filter (BI slicer LIKE '%kw%') ------------
+    Q(
+      "q24_keyword_filter",
+      (s, d) =>
+        Tables.part(s, d)
+          .where(col("p_name").contains("red") || col("p_name").contains("blue"))
+          .groupBy(col("p_type"))
+          .agg(count(lit(1)).as("n"),
+               round(avg(col("p_retailprice")), 2).as("avg_price"))
+          .orderBy(col("p_type")),
+      Some("""SELECT p_type, count(*) AS n,
+             |       round(avg(p_retailprice), 2) AS avg_price
+             |FROM part
+             |WHERE p_name LIKE '%red%' OR p_name LIKE '%blue%'
+             |GROUP BY p_type
+             |ORDER BY p_type""".stripMargin)),
+
+    // ---- rollup: subtotal hierarchy (year -> status -> grand total) ------
+    Q(
+      "q25_rollup",
+      (s, d) =>
+        Tables.orders(s, d)
+          .rollup(year(col("o_orderdate")).cast("long").as("yr"), col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("rev"))
+          .orderBy(col("yr").asc_nulls_first, col("o_orderstatus").asc_nulls_first),
+      Some("""SELECT year(o_orderdate) AS yr, o_orderstatus,
+             |       count(*) AS n, round(sum(o_totalprice), 2) AS rev
+             |FROM orders
+             |GROUP BY ROLLUP (yr, o_orderstatus)
+             |ORDER BY yr NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin)),
+
+    // ---- exact percentiles (interpolated) per group ----------------------
+    Q(
+      "q26_percentiles",
+      (s, d) =>
+        Tables.orders(s, d)
+          .groupBy(col("o_orderstatus"))
+          .agg(
+            round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+            round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+            round(expr("percentile(o_totalprice, 0.99)"), 4).as("p99"))
+          .orderBy(col("o_orderstatus")),
+      Some("""SELECT o_orderstatus,
+             |       round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+             |       round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+             |       round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+             |FROM orders
+             |GROUP BY o_orderstatus
+             |ORDER BY o_orderstatus""".stripMargin)),
+
+    // ---- second-moment statistics ----------------------------------------
+    Q(
+      "q27_moment_stats",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .groupBy(col("l_returnflag"))
+          .agg(
+            round(stddev_samp(col("l_extendedprice")), 2).as("sd_price"),
+            round(var_samp(col("l_quantity")), 4).as("var_qty"),
+            round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qp"))
+          .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag,
+             |       round(stddev_samp(l_extendedprice), 2) AS sd_price,
+             |       round(var_samp(l_quantity), 4) AS var_qty,
+             |       round(corr(l_quantity, l_extendedprice), 4) AS corr_qp
+             |FROM lineitem
+             |GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin)),
+
+    // ---- HLL sketch distinct (the 100 TB path for Q2/Q3/Q4 cards; the
+    //      estimate is engine-specific so the check is rows-only) ----------
+    Q(
+      "q28_approx_distinct",
+      (s, d) =>
+        Tables.lineitem(s, d).agg(
+          approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          approx_count_distinct(col("l_suppkey")).as("approx_supps"),
+          countDistinct(col("l_partkey")).as("exact_parts")),
+      None),
+
+    // ---- SQL entry point: the same engine surface through spark.sql ------
+    // (SURVEY.md §2.10 requires both DataFrame and SQL APIs; the SQL text
+    // below is also valid DuckDB, so one string serves both engines.)
+    Q(
+      "q29_sql_interface",
+      (s, d) => {
+        Seq("orders", "customer").foreach(t =>
+          Tables.load(s, d, t).createOrReplaceTempView(t))
+        s.sql("""SELECT c_mktsegment, count(*) AS n,
+                |       round(sum(o_totalprice), 2) AS rev
+                |FROM orders JOIN customer ON o_custkey = c_custkey
+                |WHERE o_orderpriority = '1-URGENT'
+                |GROUP BY c_mktsegment
+                |ORDER BY c_mktsegment""".stripMargin)
+      },
+      Some("""SELECT c_mktsegment, count(*) AS n,
+             |       round(sum(o_totalprice), 2) AS rev
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |WHERE o_orderpriority = '1-URGENT'
+             |GROUP BY c_mktsegment
+             |ORDER BY c_mktsegment""".stripMargin))
   )
 }

@@ -234,37 +234,38 @@ object TextOps {
     Q(
       "q36_docs_simhash",
       (s, d) => {
-        val sim = docs(s, d)
+        // Bit counters via explode + 64 codegen'd SUM aggregates: one
+        // shuffle of (doc_id, tokenHash) rows, hash-aggregated. This beats
+        // per-doc higher-order-function reductions, which run interpreted.
+        val tokens = docs(s, d)
           .repartition(col("doc_id"))
-          .withColumn("th",
-            expr("transform(filter(split(text, ' '), t -> t <> ''), t -> xxhash64(t))"))
+          .select(col("doc_id"),
+                  explode_outer(split(col("text"), " ")).as("tok"))
+          .where(col("tok").isNotNull && col("tok") =!= "")
+          .withColumn("h", xxhash64(col("tok")))
+        val bitAggs = (0 until 64).map { i =>
+          sum(when(col("h").bitwiseAND(lit(1L << i)) =!= 0L, 1).otherwise(-1))
+            .as(s"b$i")
+        }
+        val sim = tokens.groupBy(col("doc_id")).agg(bitAggs.head, bitAggs.tail: _*)
           .withColumn(
             "simhash",
             (0 until 64)
-              .map(i => when(
-                expr(s"size(filter(th, x -> (x & ${1L << i}L) != 0))") * 2
-                  > size(col("th")),
-                lit(1L << i)).otherwise(lit(0L)))
+              .map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
               .reduce((x, y) => x.bitwiseOR(y)))
           .select(col("doc_id"), col("simhash"))
-        // Candidate generation: 8-bit blocks over two bandings (natural +
-        // rotated by 4 bits). Pigeonhole guarantees recall at hamming <= 7
-        // per table; near-dups in this corpus reach hamming 9, which the
-        // rotated second table catches (differing bits would have to
-        // straddle every block boundary in both layouts to hide). At
-        // larger corpora, add permuted tables rather than raising the
-        // block width.
-        val rotated = expr("shiftrightunsigned(simhash, 4) | shiftleft(simhash, 60)")
-        val blockCols =
-          (0 until 8).map(c =>
-            struct(lit(c).as("c"),
-                   expr(s"(simhash >> ${8 * c}) & 255").as("ck"))) ++
-          (0 until 8).map(c =>
-            struct(lit(c + 8).as("c"),
-                   (shiftright(rotated, 8 * c).bitwiseAND(lit(255L))).as("ck")))
+        // Candidate generation: 4 blocks of 16 bits; by pigeonhole every
+        // pair at hamming <= 3 collides in at least one block, so the
+        // banding is COMPLETE for the threshold. (On this synthetic
+        // corpus the background hamming distribution is smooth from ~4
+        // up — unweighted simhash separates only very close pairs, which
+        // is the inherent simhash recall/precision trade; tf-idf weighted
+        // fingerprints would widen the margin on real text.)
         val chunks = sim.select(
           col("doc_id"), col("simhash"),
-          explode_outer(array(blockCols: _*)).as("cc"))
+          explode_outer(array((0 until 4).map(c =>
+            struct(lit(c).as("c"),
+                   expr(s"(simhash >> ${16 * c}) & 65535").as("ck"))): _*)).as("cc"))
           .select(col("doc_id"), col("simhash"), col("cc.c").as("c"), col("cc.ck").as("ck"))
         chunks.as("x")
           .join(chunks.as("y"),
@@ -273,7 +274,7 @@ object TextOps {
           .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
                   expr("bit_count(x.simhash ^ y.simhash)").as("hamming"))
           .distinct()
-          .where(col("hamming") <= 10)
+          .where(col("hamming") <= 3)
           .orderBy(col("doc_a"), col("doc_b"))
       },
       None),
