@@ -302,6 +302,50 @@ object TextOps {
       },
       None),
 
+    // ---- E4: TF-IDF top terms per document --------------------------------
+    // tf is an exact integer and idf a per-row scalar function, so tfidf
+    // is one FP multiply — deterministic across engines. The document
+    // frequency table is tiny (vocab-sized) and broadcasts.
+    Q(
+      "q39_docs_tfidf",
+      (s, d) => {
+        val toks = docs(s, d)
+          .repartition(col("doc_id"))
+          .select(col("doc_id"), explode_outer(split(col("text"), " ")).as("tok"))
+          .where(col("tok").isNotNull && col("tok") =!= "")
+        val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+        val df = toks.groupBy(col("tok"))
+          .agg(countDistinct(col("doc_id")).as("df"))
+        val nDocs = docs(s, d).select(count(lit(1)).as("nd"))
+        val scored = tf
+          .join(broadcast(df), Seq("tok"))
+          .crossJoin(broadcast(nDocs))
+          .withColumn("tfidf",
+            round(col("tf") * log(col("nd") * lit(1.0) / col("df")), 4))
+        val w = Window.partitionBy(col("doc_id"))
+          .orderBy(col("tfidf").desc, col("tok"))
+        scored.withColumn("rn", row_number().over(w))
+          .where(col("doc_id") < 20 && col("rn") <= 3)
+          .select(col("doc_id"), col("tok"), col("tfidf"))
+          .orderBy(col("doc_id"), col("tfidf").desc, col("tok"))
+      },
+      Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+             |             FROM documents),
+             |tok2 AS (SELECT doc_id, tok FROM tok WHERE tok <> ''),
+             |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok2 GROUP BY doc_id, tok),
+             |df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tok2 GROUP BY tok),
+             |n AS (SELECT count(*) AS nd FROM documents),
+             |scored AS (SELECT doc_id, tf.tok AS tok,
+             |                  round(tf * ln(nd * 1.0 / df), 4) AS tfidf
+             |           FROM tf JOIN df ON tf.tok = df.tok, n),
+             |rk AS (SELECT doc_id, tok, tfidf,
+             |              row_number() OVER (PARTITION BY doc_id
+             |                                 ORDER BY tfidf DESC, tok) AS rn
+             |       FROM scored)
+             |SELECT doc_id, tok, tfidf FROM rk
+             |WHERE doc_id < 20 AND rn <= 3
+             |ORDER BY doc_id, tfidf DESC, tok""".stripMargin)),
+
     // ---- E4: language-ID heuristic -> confusion matrix --------------------
     // The fixture corpus is synthetic word soup, so the interesting part is
     // that both engines agree exactly on the argmax with a fixed precedence.

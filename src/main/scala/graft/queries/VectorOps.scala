@@ -1,7 +1,8 @@
 package graft.queries
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.functions.VectorFunctions.{dotProduct, squaredNorm}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -21,10 +22,9 @@ object VectorOps {
     Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
               col("label"))
-      .withColumn("n2", expr("aggregate(v, 0D, (acc, x) -> acc + x * x)"))
+      .withColumn("n2", squaredNorm(col("v")))
 
-  private def dot(a: String, b: String) =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+  private def dot(a: String, b: String): Column = dotProduct(col(a), col(b))
 
   val defs: Seq[Q] = Seq(
     // ---- E3: brute-force cosine top-5 per query ---------------------------

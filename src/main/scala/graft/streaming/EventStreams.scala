@@ -101,6 +101,15 @@ object EventStreams {
       .toDF()
   }
 
+  /** Streaming exact dedup on event_id with bounded state: duplicates
+    * arriving within the watermark horizon are dropped; state for ids
+    * older than the watermark is evicted (the streaming twin of E1).
+    */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Run a streaming frame to completion against in-memory sink (test /
     * local replay harness). Returns the materialized result table.
     */

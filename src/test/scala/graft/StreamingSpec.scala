@@ -44,6 +44,29 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming dedup drops duplicate event ids within the watermark") {
+    // duplicate the stream by unioning the same source twice
+    val s1 = EventStreams.readEventStream(spark, s"$sfDir/events.parquet")
+    val s2 = EventStreams.readEventStream(spark, s"$sfDir/events.parquet")
+    val deduped = EventStreams.dedupStream(s1.unionByName(s2))
+    val out = EventStreams.runToMemory(spark, deduped, "t_dedup",
+      OutputMode.Append())
+    val nEvents = Tables.events(spark, sfDir).count()
+    assert(out.count() == nEvents)
+    assert(out.select("event_id").distinct().count() == nEvents)
+  }
+
+  test("custom SQL functions registered for the SQL entry point") {
+    graft.functions.VectorFunctions.registerAll(spark)
+    val r = spark.sql(
+      "SELECT title_case('ai/ml engineer') AS t, " +
+      "dot_product(array(1D, 2D, 3D), array(4D, 5D, 6D)) AS d, " +
+      "squared_norm(array(3D, 4D)) AS n").collect()(0)
+    assert(r.getString(0) == "Ai/Ml Engineer")
+    assert(r.getDouble(1) == 32.0)
+    assert(r.getDouble(2) == 25.0)
+  }
+
   test("sliding windows produce overlapping coverage") {
     val stream = EventStreams.readEventStream(spark, s"$sfDir/events.parquet")
     val out = EventStreams.runToMemory(
