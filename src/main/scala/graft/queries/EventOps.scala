@@ -99,6 +99,38 @@ object EventOps {
              |             min(CASE WHEN event_type = 'purchase' THEN ts END) AS tp
              |      FROM events GROUP BY user_id)""".stripMargin)),
 
+    // ---- as-of attribution: each purchase joined to the latest preceding
+    //      view of the same user. The classic as-of join expressed as a
+    //      running max over an ordered window — no range join, no custom
+    //      physical operator, shuffles once on user_id. ------------------
+    Q(
+      "q44_asof_attribution",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("sec"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.events(s, d)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+                  col("ts").cast("long").as("sec"))
+          .withColumn("last_view",
+            max(when(col("event_type") === "view", col("sec"))).over(w))
+          .where(col("event_type") === "purchase" && col("last_view").isNotNull)
+          .select(col("event_id"), col("user_id"),
+                  (col("sec") - col("last_view")).as("secs_since_view"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id, user_id, sec - last_view AS secs_since_view
+             |FROM (SELECT event_id, user_id, event_type, sec,
+             |             max(CASE WHEN event_type = 'view' THEN sec END)
+             |               OVER (PARTITION BY user_id ORDER BY sec, event_id
+             |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |               AS last_view
+             |      FROM (SELECT event_id, user_id, event_type,
+             |                   CAST(floor(date_part('epoch', ts)) AS BIGINT) AS sec
+             |            FROM events))
+             |WHERE event_type = 'purchase' AND last_view IS NOT NULL
+             |ORDER BY event_id""".stripMargin)),
+
     // ---- top-k users by activity ------------------------------------------
     Q(
       "q49_events_top_users",

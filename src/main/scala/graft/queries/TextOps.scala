@@ -153,8 +153,12 @@ object TextOps {
       "q34_docs_jaccard_pairs",
       (s, d) => {
         val sh = shingles(s, d)
+        // shuffle-hash, not broadcast: AQE would broadcast the ~12MB
+        // shingle side, serializing the build on one thread; the shuffle
+        // join partitions both sides on sh and scales out (and is the
+        // only correct choice at 100 TB anyway).
         sh.as("a")
-          .join(sh.as("b"),
+          .join(sh.as("b").hint("shuffle_hash"),
                 col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
           .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
                    col("a.n").as("na"), col("b.n").as("nb"))
