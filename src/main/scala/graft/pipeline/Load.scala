@@ -22,6 +22,30 @@ object Load {
     Clean.trimStrings(df).write.mode(SaveMode.Append).jdbc(url, table, props)
   }
 
+  /** Partitioned parquet sink: the lake-side terminal store. Hive-style
+    * partition directories mean downstream readers with a filter on the
+    * partition columns scan only matching directories (partition
+    * pruning) — the physical design that keeps daily/targeted queries
+    * O(partition), not O(table), at 100 TB.
+    */
+  def toPartitionedParquet(df: DataFrame, path: String,
+                           partitionCols: Seq[String],
+                           mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).partitionBy(partitionCols: _*).parquet(path)
+
+  /** Bucketed table sink: pre-shuffles data into a fixed number of
+    * buckets on the join/agg key so later joins and aggregations on that
+    * key run exchange-free (requires the session catalog; bucket counts
+    * should match between co-joined tables).
+    */
+  def toBucketedTable(df: DataFrame, table: String, bucketCol: String,
+                      nBuckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(nBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** Idempotent file-set load: process only files not yet in the tracker,
     * append results, then mark them. Exactly the reference's
     * `is_file_loaded`/`mark_file_loaded` semantics, as one anti-join.
