@@ -75,6 +75,20 @@ class OpsSpec extends SparkSpec {
     assert(f1(1).getAs[Seq[Double]](2).forall(_ == 0.0))
   }
 
+  test("salted aggregation equals direct aggregation on a skewed key") {
+    // 90% of lineitem rows forced onto one hot key
+    val skewed = Tables.lineitem(spark, sfDir)
+      .withColumn("k", when(col("l_orderkey") % 10 < 9, lit("HOT"))
+        .otherwise(col("l_orderkey").cast("string")))
+    val direct = skewed.groupBy(col("k"))
+      .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("total"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val salted = graft.ops.Skew.saltedCountSum(skewed, "k", "l_quantity")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    // quantities are integer-valued so the two-phase sum is exact
+    assert(salted == direct)
+  }
+
   test("every registered query runs at sf0.001") {
     Registry.all.foreach { q =>
       val n = q.run(spark, sfDir).count()
