@@ -524,6 +524,50 @@ object CoreAnalytics {
           countDistinct(col("l_partkey")).as("exact_parts")),
       None),
 
+    // ---- cube with grouping ids (full BI subtotal lattice) ---------------
+    Q(
+      "q58_cube_grouping",
+      (s, d) =>
+        Tables.orders(s, d)
+          .withColumn("yr", year(col("o_orderdate")).cast("long"))
+          .cube(col("yr"), col("o_orderstatus"))
+          .agg(grouping(col("yr")).cast("long").as("g_yr"),
+               grouping(col("o_orderstatus")).cast("long").as("g_st"),
+               count(lit(1)).as("n"))
+          .orderBy(col("yr").asc_nulls_first,
+                   col("o_orderstatus").asc_nulls_first),
+      Some("""SELECT year(o_orderdate) AS yr, o_orderstatus,
+             |       CAST(GROUPING(year(o_orderdate)) AS BIGINT) AS g_yr,
+             |       CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_st,
+             |       count(*) AS n
+             |FROM orders
+             |GROUP BY CUBE (yr, o_orderstatus)
+             |ORDER BY yr NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin)),
+
+    // ---- full outer join with null-side aggregation ----------------------
+    Q(
+      "q59_outer_join",
+      (s, d) => {
+        val perCust = Tables.orders(s, d)
+          .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+        Tables.customer(s, d)
+          .join(perCust, col("c_custkey") === col("o_custkey"), "full_outer")
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_rows"),
+               count(when(col("n_orders").isNull, lit(1))).as("n_no_orders"),
+               coalesce(sum(col("n_orders")), lit(0L)).as("total_orders"))
+          .orderBy(col("c_mktsegment").asc_nulls_first)
+      },
+      Some("""SELECT c_mktsegment, count(*) AS n_rows,
+             |       count(*) FILTER (n_orders IS NULL) AS n_no_orders,
+             |       CAST(coalesce(sum(n_orders), 0) AS BIGINT) AS total_orders
+             |FROM customer
+             |FULL OUTER JOIN (SELECT o_custkey, count(*) AS n_orders
+             |                 FROM orders GROUP BY o_custkey) o
+             |  ON c_custkey = o_custkey
+             |GROUP BY c_mktsegment
+             |ORDER BY c_mktsegment NULLS FIRST""".stripMargin)),
+
     // ---- SQL entry point: the same engine surface through spark.sql ------
     // (SURVEY.md §2.10 requires both DataFrame and SQL APIs; the SQL text
     // below is also valid DuckDB, so one string serves both engines.)

@@ -47,6 +47,26 @@ object EventOps {
              |GROUP BY bucket
              |ORDER BY bucket""".stripMargin)),
 
+    // ---- E5: typed JSON parsing of the props column ----------------------
+    Q(
+      "q43_json_props_typed",
+      (s, d) =>
+        Tables.events(s, d)
+          .withColumn("p", from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT")))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+               min(col("p.k")).cast("long").as("min_k"),
+               max(col("p.k")).cast("long").as("max_k"),
+               countDistinct(col("p.k")).as("n_k"))
+          .orderBy(col("event_type")),
+      Some("""SELECT event_type, count(*) AS n,
+             |       CAST(min(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS min_k,
+             |       CAST(max(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS max_k,
+             |       count(DISTINCT CAST(json_extract_string(props, '$.k') AS INT)) AS n_k
+             |FROM events
+             |GROUP BY event_type
+             |ORDER BY event_type""".stripMargin)),
+
     // ---- E6: gap-based sessionization (30-min inactivity) -----------------
     Q(
       "q47_events_sessions",
