@@ -229,23 +229,29 @@ object CoreAnalytics {
              |WHERE year(o_orderdate) = 1997""".stripMargin)),
 
     // ---- Q17: argmax per group (max salary + first title by company) ----
+    // As an AGGREGATION (max_by), not a window: aggregations get partial
+    // map-side combine, so 5 low-cardinality groups never funnel the
+    // whole table through 5 reducers the way a per-group window sort
+    // would at scale. Determinism: prices are exact 2-dp, so an exact
+    // combined BIGINT key (cents * 2^32 + orderkey) totally orders rows
+    // identically in both engines (ties -> larger orderkey).
     Q(
       "q12_argmax_per_group",
-      (s, d) => {
-        val w = Window.partitionBy(col("o_orderpriority"))
-          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      (s, d) =>
         Tables.orders(s, d)
-          .withColumn("rn", row_number().over(w))
-          .where(col("rn") === 1)
-          .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
-          .orderBy(col("o_orderpriority"))
-      },
-      Some("""SELECT o_orderpriority, o_orderkey, o_totalprice
-             |FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
-             |             row_number() OVER (PARTITION BY o_orderpriority
-             |                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
-             |      FROM orders)
-             |WHERE rn = 1
+          .withColumn("ord_key",
+            expr("CAST(round(o_totalprice * 100) AS BIGINT) * 4294967296 + o_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(max_by(col("o_orderkey"), col("ord_key")).as("o_orderkey"),
+               max(col("o_totalprice")).as("o_totalprice"))
+          .orderBy(col("o_orderpriority")),
+      Some("""SELECT o_orderpriority,
+             |       arg_max(o_orderkey,
+             |               CAST(round(o_totalprice * 100) AS BIGINT) * 4294967296 + o_orderkey)
+             |         AS o_orderkey,
+             |       max(o_totalprice) AS o_totalprice
+             |FROM orders
+             |GROUP BY o_orderpriority
              |ORDER BY o_orderpriority""".stripMargin)),
 
     // ---- D2: semi join (customers having orders) ------------------------
