@@ -69,6 +69,31 @@ object TextOps {
   private val stopWords = Seq("the", "a", "of", "and", "to", "in")
   private val stopList = stopWords.map(w => s"'$w'").mkString(", ")
 
+  /** Exact near-dup pairs at the given Jaccard threshold. All-pairs via
+    * the shingle equi-join; set sizes ride along with each shingle row,
+    * so the whole computation is two shuffles (join + pair groupBy).
+    *
+    * shuffle-hash, not broadcast: AQE would broadcast the ~12MB shingle
+    * side, serializing the build on one thread; the shuffle join
+    * partitions both sides on sh and scales out (and is the only
+    * correct choice at 100 TB anyway).
+    */
+  private def jaccardPairs(s: SparkSession, d: String,
+                           threshold: Double): DataFrame = {
+    val sh = shingles(s, d)
+    sh.as("a")
+      .join(sh.as("b").hint("shuffle_hash"),
+            col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+               col("a.n").as("na"), col("b.n").as("nb"))
+      .agg(count(lit(1)).as("common"))
+      .withColumn("jac",
+        round(col("common") * lit(1.0) /
+          (col("na") + col("nb") - col("common")), 4))
+      .where(col("jac") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jac"))
+  }
+
   val defs: Seq[Q] = Seq(
     // ---- E1: exact text dedup audit --------------------------------------
     Q(
@@ -147,29 +172,10 @@ object TextOps {
               |ORDER BY doc_id""".stripMargin)),
 
     // ---- E2: exact n-gram Jaccard near-dup pairs --------------------------
-    // All-pairs via the shingle equi-join; set sizes ride along with each
-    // shingle row, so the whole query is two shuffles (join + pair groupBy).
     Q(
       "q34_docs_jaccard_pairs",
-      (s, d) => {
-        val sh = shingles(s, d)
-        // shuffle-hash, not broadcast: AQE would broadcast the ~12MB
-        // shingle side, serializing the build on one thread; the shuffle
-        // join partitions both sides on sh and scales out (and is the
-        // only correct choice at 100 TB anyway).
-        sh.as("a")
-          .join(sh.as("b").hint("shuffle_hash"),
-                col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-                   col("a.n").as("na"), col("b.n").as("nb"))
-          .agg(count(lit(1)).as("common"))
-          .withColumn("jac",
-            round(col("common") * lit(1.0) /
-              (col("na") + col("nb") - col("common")), 4))
-          .where(col("jac") >= 0.8)
-          .select(col("doc_a"), col("doc_b"), col("jac"))
-          .orderBy(col("doc_a"), col("doc_b"))
-      },
+      (s, d) =>
+        jaccardPairs(s, d, 0.8).orderBy(col("doc_a"), col("doc_b")),
       Some(s"""$shingleSqlCte,
               |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
               |          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
@@ -311,6 +317,67 @@ object TextOps {
           .orderBy(col("doc_id"))
       },
       None),
+
+    // ---- E2: near-dup clusters via iterative label propagation ------------
+    // Connected components over the near-dup pair graph: each doc's label
+    // converges to the minimum doc_id reachable from it (= the cluster's
+    // canonical representative — the "keep" row of dedup). Distributed
+    // min-label propagation, one join+groupBy per round, converges in
+    // O(component diameter) rounds; the same algorithm scales to
+    // billion-edge graphs (it is GraphX's connectedComponents shape).
+    // The DuckDB oracle computes the identical fixpoint with a recursive
+    // CTE.
+    Q(
+      "q60_dedup_clusters",
+      (s, d) => {
+        import org.apache.spark.storage.StorageLevel
+        val pairs = jaccardPairs(s, d, 0.8)
+        val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+          .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        var labels = edges.select(col("src").as("node")).distinct()
+          .withColumn("cluster_rep", col("node"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        var converged = false
+        var iter = 0
+        while (!converged && iter < 25) {
+          val prop = edges
+            .join(labels.select(col("node").as("dst"), col("cluster_rep")), Seq("dst"))
+            .select(col("src").as("node"), col("cluster_rep"))
+          val next = labels.unionByName(prop)
+            .groupBy(col("node")).agg(min(col("cluster_rep")).as("cluster_rep"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          val changed = next.as("n")
+            .join(labels.as("o"), Seq("node"))
+            .where(col("n.cluster_rep") =!= col("o.cluster_rep"))
+            .count()
+          labels.unpersist()
+          labels = next
+          converged = changed == 0
+          iter += 1
+        }
+        labels.groupBy(col("cluster_rep"))
+          .agg(count(lit(1)).as("n_members"))
+          .orderBy(col("cluster_rep"))
+      },
+      Some(s"""${shingleSqlCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+              |common AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS cmn
+              |           FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              |           GROUP BY da, db),
+              |pairs AS (SELECT da, db FROM common
+              |          JOIN sizes sa ON da = sa.doc_id
+              |          JOIN sizes sb ON db = sb.doc_id
+              |          WHERE round(cmn * 1.0 / (sa.n + sb.n - cmn), 4) >= 0.8),
+              |edges AS (SELECT da AS a, db AS b FROM pairs
+              |          UNION ALL SELECT db, da FROM pairs),
+              |reach(a, b) AS (SELECT a, a FROM (SELECT DISTINCT a FROM edges) t
+              |                UNION
+              |                SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+              |labeled AS (SELECT a AS node, min(b) AS cluster_rep FROM reach GROUP BY a)
+              |SELECT cluster_rep, count(*) AS n_members
+              |FROM labeled
+              |GROUP BY cluster_rep
+              |ORDER BY cluster_rep""".stripMargin)),
 
     // ---- E4: TF-IDF top terms per document --------------------------------
     // tf is an exact integer and idf a per-row scalar function, so tfidf
