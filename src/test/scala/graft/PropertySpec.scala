@@ -1,0 +1,98 @@
+package graft
+
+import graft.pipeline.{Clean, Schema, Transform}
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based invariants from the SURVEY.md §5.2 test plan:
+  * cleaning idempotence, dedup-key uniqueness, salary-range invariant,
+  * skill-flattening output form, union schema stability.
+  */
+class PropertySpec extends SparkSpec {
+
+  /** Raw-ScalaCheck driver: sample `n` deterministic values from `gen`. */
+  private def forAllSeeded[A](gen: Gen[A], n: Int = 30)(body: A => Unit): Unit =
+    (1 to n).foreach { i =>
+      gen.apply(Gen.Parameters.default, Seed(i.toLong))
+        .foreach(a => body(a))
+    }
+  import spark.implicits._
+
+  private val messyString: Gen[String] = for {
+    words <- Gen.listOfN(4, Gen.oneOf(
+      "senior", "engineer", "(remote)", "data", "ANALYST", "iii", "#42",
+      "a/b", "", "  spaced  ", "temp", "Müller", "[nyc]", "-", "sql|etl"))
+  } yield words.mkString(" ")
+
+  private def cleanOne(in: String): String =
+    Seq(in).toDF("v").select(Clean.cleanJobTitle(col("v")).as("o"))
+      .collect()(0).getString(0)
+
+  test("title cleaning is idempotent: clean(clean(x)) == clean(x)") {
+    forAllSeeded(messyString) { s =>
+      val once = cleanOne(s)
+      assert(cleanOne(once) == once, s"input: '$s' once: '$once'")
+    }
+  }
+
+  test("flattened skill lists are lowercase, trimmed, with no empty tokens") {
+    val gen = Gen.listOf(Gen.oneOf(" Python ", "SQL", "", "  ", "aws,", "ML "))
+      .map(_.mkString(","))
+    forAllSeeded(gen) { s =>
+      val out = Seq(s).toDF("v").select(Clean.flattenSkills(col("v")).as("o"))
+        .collect()(0).getString(0)
+      val toks = out.split(", ").filter(_.nonEmpty)
+      assert(toks.forall(t => t == t.toLowerCase && t == t.trim && t.nonEmpty),
+        s"in='$s' out='$out'")
+    }
+  }
+
+  test("post-dedup rows are unique on the dedup key") {
+    val rows = (1 to 200).map(i =>
+      (s"co${i % 7}", s"title${i % 5}", s"loc${i % 3}", s"site${i % 2}", i.toLong))
+    val df = rows.toDF("company_name", "job_title", "job_location",
+                       "job_posted_site", "ord")
+    val out = Clean.dedupKeepFirst(df, Transform.dedupKeys, "ord")
+    assert(out.count() ==
+      out.select(Transform.dedupKeys.map(col): _*).distinct().count())
+    // keep-first: every surviving ord is the min of its key group
+    val mins = df.groupBy(Transform.dedupKeys.map(col): _*)
+      .agg(min(col("ord")).as("ord"))
+    assert(out.join(mins, Transform.dedupKeys :+ "ord").count() == out.count())
+  }
+
+  test("salary normalization output is whole-dollar and annualized > hourly bound") {
+    val gen = Gen.oneOf(
+      Gen.choose(1.0, 999.0).map(v => f"$$$v%.2f"),
+      Gen.choose(1001.0, 400000.0).map(v => f"$v%.2f"),
+      Gen.const("garbage"), Gen.const(""))
+    forAllSeeded(gen) { s =>
+      val r = Seq(s).toDF("v").select(Clean.normalizeSalary(col("v")).as("o"))
+        .collect()(0)
+      if (!r.isNullAt(0)) {
+        val v = r.getDouble(0)
+        assert(v == math.floor(v), s"not whole: $v from '$s'")
+        assert(v >= 1001 * 1 || v >= 2000, s"under-annualized: $v from '$s'")
+      }
+    }
+  }
+
+  test("transform output conforms to the typed JobPosting dataset") {
+    val raw = Seq(
+      ("acme", "Senior Engineer (NYC)", "full-time", "Seattle, WA",
+       "United States", "120000", "2025-10-20 09:00:00", "indeed",
+       "python, sql", "teamwork", "Kaggle"))
+      .toDF(Schema.canonical.fields.map(_.name): _*)
+    val typed = Transform.transform(raw)
+      .select("company_name", "job_title", "cleaned_job_title", "job_type",
+              "job_location", "country", "salary", "job_posted_date",
+              "job_posted_site", "technical_skills", "soft_skills", "source",
+              "job_posted_year", "city")
+      .as[Schema.JobPosting]
+    val row = typed.collect()(0)
+    assert(row.cleaned_job_title == "Engineer")
+    assert(row.salary.contains(120000.0))
+    assert(row.city == "seattle")
+  }
+}
