@@ -151,6 +151,48 @@ object EventOps {
              |WHERE event_type = 'purchase' AND last_view IS NOT NULL
              |ORDER BY event_id""".stripMargin)),
 
+    // ---- range join via time binning: neighbors within ±5 minutes --------
+    // A naive theta join (|t1-t2| <= 300) is quadratic per user; binning
+    // to 5-minute buckets and exploding one side into its 3 adjacent
+    // buckets turns it into an equi-join on (user, bin) + residual
+    // filter — each qualifying pair matches exactly once because the
+    // probe side keeps its single home bin. This is the scalable range
+    // join shape; the oracle checks it against DuckDB's direct theta join.
+    Q(
+      "q61_range_join_binned",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+                  col("ts").cast("long").as("sec"))
+        val left = ev.withColumn("bin", expr("sec div 300"))
+        val right = ev
+          .withColumn("bin", explode_outer(expr(
+            "array(sec div 300 - 1, sec div 300, sec div 300 + 1)")))
+        left.as("l")
+          .join(right.as("r"),
+                col("l.user_id") === col("r.user_id") &&
+                  col("l.bin") === col("r.bin") &&
+                  col("l.event_id") =!= col("r.event_id") &&
+                  abs(col("l.sec") - col("r.sec")) <= 300)
+          .groupBy(col("l.event_type").as("event_type"))
+          .agg(count(lit(1)).as("n_pairs"),
+               countDistinct(col("l.event_id")).as("n_events_with_neighbors"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT e1.event_type, count(*) AS n_pairs,
+             |       count(DISTINCT e1.event_id) AS n_events_with_neighbors
+             |FROM (SELECT event_id, user_id, event_type,
+             |             CAST(floor(date_part('epoch', ts)) AS BIGINT) AS sec
+             |      FROM events) e1
+             |JOIN (SELECT event_id, user_id,
+             |             CAST(floor(date_part('epoch', ts)) AS BIGINT) AS sec
+             |      FROM events) e2
+             |  ON e1.user_id = e2.user_id
+             | AND e1.event_id <> e2.event_id
+             | AND abs(e1.sec - e2.sec) <= 300
+             |GROUP BY e1.event_type
+             |ORDER BY e1.event_type""".stripMargin)),
+
     // ---- top-k users by activity ------------------------------------------
     Q(
       "q49_events_top_users",
