@@ -52,7 +52,7 @@ final class LlmSkillExtractor(
     maxChars: Int = 4000) extends SkillExtractor {
 
   @transient private lazy val cache =
-    new java.util.concurrent.ConcurrentHashMap[Long, (String, String)]()
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
 
   private def parse(resp: String): (String, String) = {
     def section(tag: String): String =
@@ -64,13 +64,12 @@ final class LlmSkillExtractor(
   override def extract(description: String): (String, String) = {
     if (description == null || description.trim.length < 30) return ("", "")
     val text = description.take(maxChars)
-    val key = text.hashCode.toLong
-    val cached = cache.get(key)
+    val cached = cache.get(text)
     if (cached != null) return cached
     val out =
       try parse(call(text))
       catch { case _: Exception => ("", "") }
-    cache.put(key, out)
+    cache.put(text, out)
     out
   }
 }
