@@ -193,6 +193,50 @@ object EventOps {
              |GROUP BY e1.event_type
              |ORDER BY e1.event_type""".stripMargin)),
 
+    // ---- time series: day-over-day growth of event volume ----------------
+    Q(
+      "q62_daily_growth",
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n"))
+        val w = Window.orderBy(col("day"))
+        daily
+          .withColumn("prev_n", lag(col("n"), 1).over(w))
+          .withColumn("growth_pct",
+            round((col("n") - col("prev_n")) * lit(100.0) / col("prev_n"), 4))
+          .orderBy(col("day"))
+      },
+      Some("""SELECT day, n, prev_n,
+             |       round((n - prev_n) * 100.0 / prev_n, 4) AS growth_pct
+             |FROM (SELECT day, n, lag(n, 1) OVER (ORDER BY day) AS prev_n
+             |      FROM (SELECT CAST(ts AS DATE) AS day, count(*) AS n
+             |            FROM events GROUP BY day))
+             |ORDER BY day""".stripMargin)),
+
+    // ---- cohort retention: users by first-seen day x days-since-cohort ---
+    Q(
+      "q63_cohort_retention",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), to_date(col("ts")).as("day"))
+        val cohort = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+        ev.join(cohort, Seq("user_id"))
+          .groupBy(col("cohort_day"),
+                   datediff(col("day"), col("cohort_day")).cast("long").as("age_days"))
+          .agg(countDistinct(col("user_id")).as("active_users"))
+          .where(col("age_days") <= 3)
+          .orderBy(col("cohort_day"), col("age_days"))
+      },
+      Some("""SELECT cohort_day, CAST(day - cohort_day AS BIGINT) AS age_days,
+             |       count(DISTINCT user_id) AS active_users
+             |FROM (SELECT user_id, CAST(ts AS DATE) AS day FROM events) e
+             |JOIN (SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+             |      FROM events GROUP BY user_id) c USING (user_id)
+             |WHERE day - cohort_day <= 3
+             |GROUP BY cohort_day, age_days
+             |ORDER BY cohort_day, age_days""".stripMargin)),
+
     // ---- top-k users by activity ------------------------------------------
     Q(
       "q49_events_top_users",
