@@ -574,6 +574,20 @@ object CoreAnalytics {
              |GROUP BY c_mktsegment
              |ORDER BY c_mktsegment NULLS FIRST""".stripMargin)),
 
+    // ---- keyset-stable pagination (BI table pages) -----------------------
+    Q(
+      "q64_pagination",
+      (s, d) =>
+        Tables.orders(s, d)
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .select(col("o_orderkey"), col("o_totalprice"))
+          .offset(10)
+          .limit(10),
+      Some("""SELECT o_orderkey, o_totalprice
+             |FROM orders
+             |ORDER BY o_totalprice DESC, o_orderkey
+             |LIMIT 10 OFFSET 10""".stripMargin)),
+
     // ---- SQL entry point: the same engine surface through spark.sql ------
     // (SURVEY.md §2.10 requires both DataFrame and SQL APIs; the SQL text
     // below is also valid DuckDB, so one string serves both engines.)

@@ -338,6 +338,12 @@ object TextOps {
         var labels = edges.select(col("src").as("node")).distinct()
           .withColumn("cluster_rep", col("node"))
           .persist(StorageLevel.MEMORY_AND_DISK)
+        // Labels only ever decrease (min-propagation), so the fixpoint is
+        // reached exactly when sum(cluster_rep) stops falling — one cheap
+        // aggregate per round instead of a join-based change count.
+        def labelSum(df: org.apache.spark.sql.DataFrame): Long =
+          df.agg(coalesce(sum(col("cluster_rep")), lit(0L))).collect()(0).getLong(0)
+        var prevSum = labelSum(labels)
         var converged = false
         var iter = 0
         while (!converged && iter < 25) {
@@ -347,13 +353,11 @@ object TextOps {
           val next = labels.unionByName(prop)
             .groupBy(col("node")).agg(min(col("cluster_rep")).as("cluster_rep"))
             .persist(StorageLevel.MEMORY_AND_DISK)
-          val changed = next.as("n")
-            .join(labels.as("o"), Seq("node"))
-            .where(col("n.cluster_rep") =!= col("o.cluster_rep"))
-            .count()
+          val nextSum = labelSum(next)
           labels.unpersist()
           labels = next
-          converged = changed == 0
+          converged = nextSum == prevSum
+          prevSum = nextSum
           iter += 1
         }
         labels.groupBy(col("cluster_rep"))

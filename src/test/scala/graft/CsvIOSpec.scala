@@ -43,4 +43,23 @@ class CsvIOSpec extends SparkSpec {
     val globbed = CsvTables.read(spark, Schema.canonical, s"$tmp/fetch_jobs_*.csv")
     assert(globbed.count() == 3)
   }
+
+  test("PERMISSIVE read degrades malformed cells to nulls, not task failures") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_badcsv").toString
+    // salary column gets junk; one row is missing trailing columns
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$tmp/bad.csv"),
+      Schema.canonical.fields.map(_.name).mkString(",") + "\n" +
+      "acme,eng,Full-Time,nyc,US,not_a_number,2025-10-20 09:00:00,indeed,sql,teamwork,Kaggle\n" +
+      "beta,analyst,Contract,la,US,90000,2025-10-20 10:00:00,indeed,excel,grit,Kaggle\n" +
+      "gamma,short,row\n")
+    val df = CsvTables.read(spark, Schema.canonical, s"$tmp/bad.csv")
+    val rows = df.collect()
+    assert(rows.length == 3) // nothing dropped, nothing thrown
+    val acme = df.where(col("company_name") === "acme").collect()(0)
+    assert(acme.isNullAt(acme.fieldIndex("salary"))) // junk -> null
+    val beta = df.where(col("company_name") === "beta").collect()(0)
+    assert(beta.getAs[Double]("salary") == 90000.0)
+    val gamma = df.where(col("company_name") === "gamma").collect()(0)
+    assert(gamma.isNullAt(gamma.fieldIndex("source"))) // short row padded
+  }
 }
