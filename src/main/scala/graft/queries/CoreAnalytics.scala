@@ -574,6 +574,39 @@ object CoreAnalytics {
              |GROUP BY c_mktsegment
              |ORDER BY c_mktsegment NULLS FIRST""".stripMargin)),
 
+    // ---- top-3 per group via the custom bounded-heap aggregate -----------
+    // Same result set as q20, but as a TypedImperativeAggregate: each map
+    // task ships at most k rows per group (partial aggregate), instead of
+    // the window plan's full per-group shuffle + sort. Ordering is the
+    // exact combined key of q12 with orderkey inverted so ties rank
+    // ascending, matching the row_number oracle.
+    Q(
+      "q65_topk_heap",
+      (s, d) => {
+        import graft.functions.TopKBy.topKBy
+        val j = Tables.orders(s, d)
+          .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+          .withColumn("ord_key",
+            expr("CAST(round(o_totalprice * 100) AS BIGINT) * 4294967296 + (4294967295 - o_orderkey)"))
+        // The combined key is self-describing: both the orderkey and the
+        // exact 2-dp price decode from it, so no join-back is needed.
+        j.groupBy(col("c_mktsegment"))
+          .agg(topKBy(col("ord_key"), col("ord_key"), 3).as("keys"))
+          .select(col("c_mktsegment"), explode(col("keys")).as("key"))
+          .select(
+            col("c_mktsegment"),
+            (lit(4294967295L) - pmod(col("key"), lit(4294967296L))).as("o_orderkey"),
+            (expr("key div 4294967296") / 100.0).as("o_totalprice"))
+          .orderBy(col("c_mktsegment"), col("o_totalprice").desc, col("o_orderkey"))
+      },
+      Some("""SELECT c_mktsegment, o_orderkey, o_totalprice
+             |FROM (SELECT c_mktsegment, o_orderkey, o_totalprice,
+             |             row_number() OVER (PARTITION BY c_mktsegment
+             |                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+             |      FROM orders JOIN customer ON o_custkey = c_custkey)
+             |WHERE rn <= 3
+             |ORDER BY c_mktsegment, o_totalprice DESC, o_orderkey""".stripMargin)),
+
     // ---- keyset-stable pagination (BI table pages) -----------------------
     Q(
       "q64_pagination",

@@ -89,6 +89,14 @@ class OpsSpec extends SparkSpec {
     assert(salted == direct)
   }
 
+  test("bounded-heap top-k aggregate equals the window row_number plan") {
+    val window = Registry.byName("q20_topn_per_group").run(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    val heap = Registry.byName("q65_topk_heap").run(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(heap == window)
+  }
+
   test("every registered query runs at sf0.001") {
     Registry.all.foreach { q =>
       val n = q.run(spark, sfDir).count()
