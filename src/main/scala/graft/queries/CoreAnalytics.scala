@@ -621,6 +621,29 @@ object CoreAnalytics {
              |ORDER BY o_totalprice DESC, o_orderkey
              |LIMIT 10 OFFSET 10""".stripMargin)),
 
+    // ---- Bloom-filter join pruning (runtime row-level semi-join) ---------
+    // Build a Bloom filter over the fact side's join key and probe the
+    // other side before the real join — at 100 TB this prunes most of a
+    // scan for selective joins without shuffling either side. The bit
+    // array is insert-order-independent, so the result is deterministic,
+    // but the false-positive set is engine-specific -> rows-only check
+    // (OpsSpec proves it brackets the exact semi-join).
+    Q(
+      "q66_bloom_prune",
+      (s, d) => {
+        val bloom = Tables.orders(s, d)
+          .where(col("o_orderpriority") === "1-URGENT")
+          .stat.bloomFilter("o_custkey", 2000, 0.01)
+        // the sketch ships to executors inside the probe closure
+        // (equivalently: broadcast it explicitly on a real cluster)
+        val mightContain = udf((k: Long) => bloom.mightContain(k))
+        Tables.customer(s, d)
+          .where(mightContain(col("c_custkey")))
+          .agg(count(lit(1)).as("n_candidates"),
+               countDistinct(col("c_nationkey")).as("n_nations"))
+      },
+      None),
+
     // ---- SQL entry point: the same engine surface through spark.sql ------
     // (SURVEY.md §2.10 requires both DataFrame and SQL APIs; the SQL text
     // below is also valid DuckDB, so one string serves both engines.)

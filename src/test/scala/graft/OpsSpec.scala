@@ -97,6 +97,19 @@ class OpsSpec extends SparkSpec {
     assert(heap == window)
   }
 
+  test("bloom pruning brackets the exact semi-join") {
+    val urgentCusts = Tables.orders(spark, sfDir)
+      .where(col("o_orderpriority") === "1-URGENT")
+      .select("o_custkey").distinct().count()
+    val total = Tables.customer(spark, sfDir).count()
+    val pruned = Registry.byName("q66_bloom_prune").run(spark, sfDir)
+      .collect()(0).getLong(0)
+    assert(pruned >= urgentCusts)  // no false negatives
+    assert(pruned <= total)
+    // 1% fpp: candidates should be close to the true count
+    assert(pruned <= urgentCusts + math.max(10, total / 50))
+  }
+
   test("every registered query runs at sf0.001") {
     Registry.all.foreach { q =>
       val n = q.run(spark, sfDir).count()
