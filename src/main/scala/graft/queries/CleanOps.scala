@@ -141,6 +141,32 @@ object CleanOps {
       Some("""SELECT o_orderkey, o_totalprice
              |FROM orders
              |WHERE ((o_orderkey * 2654435761) % 4294967296) % 100 = 0
-             |ORDER BY o_orderkey""".stripMargin))
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // ---- M1 variant: deterministic STRATIFIED sampling --------------------
+    // Per-stratum rates via the same multiplicative hash (sampleBy would
+    // draw per-row randoms whose assignment depends on partition layout;
+    // this is replayable on any cluster shape and oracle-checkable).
+    Q(
+      "q55b_stratified_sample",
+      (s, d) =>
+        Tables.orders(s, d)
+          .withColumn("h", (col("o_orderkey") * 2654435761L % 4294967296L) % 1000)
+          .where(
+            (col("o_orderstatus") === "F" && col("h") < 20) ||   // 2%
+            (col("o_orderstatus") === "O" && col("h") < 10) ||   // 1%
+            (col("o_orderstatus") === "P" && col("h") < 5))      // 0.5%
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), min(col("o_orderkey")).as("min_key"))
+          .orderBy(col("o_orderstatus")),
+      Some("""SELECT o_orderstatus, count(*) AS n, min(o_orderkey) AS min_key
+             |FROM (SELECT o_orderstatus, o_orderkey,
+             |             ((o_orderkey * 2654435761) % 4294967296) % 1000 AS h
+             |      FROM orders)
+             |WHERE (o_orderstatus = 'F' AND h < 20)
+             |   OR (o_orderstatus = 'O' AND h < 10)
+             |   OR (o_orderstatus = 'P' AND h < 5)
+             |GROUP BY o_orderstatus
+             |ORDER BY o_orderstatus""".stripMargin))
   )
 }
