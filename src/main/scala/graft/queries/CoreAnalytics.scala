@@ -621,6 +621,31 @@ object CoreAnalytics {
              |ORDER BY o_totalprice DESC, o_orderkey
              |LIMIT 10 OFFSET 10""".stripMargin)),
 
+    // ---- RANGE-frame window: true 7-calendar-day rolling sum -------------
+    // Unlike q22's ROWS frame (last 7 observations), a RANGE frame over
+    // the day number covers the actual trailing week even when days are
+    // missing from the series.
+    Q(
+      "q67_range_frame",
+      (s, d) => {
+        val daily = Tables.orders(s, d)
+          .groupBy(to_date(col("o_orderdate")).as("day"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("day_num", datediff(col("day"), lit("1995-01-01")).cast("long"))
+        val w = Window.orderBy(col("day_num")).rangeBetween(-6, 0)
+        daily
+          .withColumn("week_n", sum(col("n")).over(w))
+          .select(col("day"), col("n"), col("week_n"))
+          .orderBy(col("day"))
+      },
+      Some("""SELECT day, n,
+             |       CAST(sum(n) OVER (ORDER BY day_num
+             |                         RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS week_n
+             |FROM (SELECT day, n, day - DATE '1995-01-01' AS day_num
+             |      FROM (SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n
+             |            FROM orders GROUP BY day))
+             |ORDER BY day""".stripMargin)),
+
     // ---- Bloom-filter join pruning (runtime row-level semi-join) ---------
     // Build a Bloom filter over the fact side's join key and probe the
     // other side before the real join — at 100 TB this prunes most of a

@@ -101,6 +101,31 @@ object EventStreams {
       .toDF()
   }
 
+  /** Watermarked stream-stream inner join: each purchase joined to the
+    * same user's view events in the preceding hour. Both sides carry
+    * watermarks and the join condition bounds event time on both ends,
+    * so state for expired intervals is evicted — the streaming twin of
+    * the batch as-of/attribution queries (q44/q61).
+    */
+  def viewToPurchaseJoin(views: DataFrame, purchases: DataFrame): DataFrame = {
+    val v = views
+      .where(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+              col("event_id").as("view_id"))
+      .withWatermark("v_ts", "2 hours")
+    val p = purchases
+      .where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+              col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("p_ts", "2 hours")
+    p.join(v,
+      col("p_user") === col("v_user") &&
+        col("v_ts") <= col("p_ts") &&
+        col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("purchase_id"), col("view_id"), col("p_user").as("user_id"),
+              col("p_ts"), col("v_ts"), col("value"))
+  }
+
   /** Streaming exact dedup on event_id with bounded state: duplicates
     * arriving within the watermark horizon are dropped; state for ids
     * older than the watermark is evicted (the streaming twin of E1).

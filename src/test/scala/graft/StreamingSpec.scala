@@ -102,6 +102,28 @@ class StreamingSpec extends SparkSpec {
     assert(all.select("event_id").distinct().count() == expected) // no dup ingest
   }
 
+  test("stream-stream interval join matches the batch join") {
+    val s1 = EventStreams.readEventStream(spark, s"$sfDir/events.parquet")
+    val s2 = EventStreams.readEventStream(spark, s"$sfDir/events.parquet")
+    val streamed = EventStreams.runToMemory(
+      spark, EventStreams.viewToPurchaseJoin(s1, s2), "t_ssjoin",
+      OutputMode.Append())
+      .select("purchase_id", "view_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val ev = Tables.events(spark, sfDir)
+    val batch = ev.where(col("event_type") === "purchase").as("p")
+      .join(ev.where(col("event_type") === "view").as("v"),
+            col("p.user_id") === col("v.user_id") &&
+              col("v.ts") <= col("p.ts") &&
+              col("v.ts") >= col("p.ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("p.event_id"), col("v.event_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    assert(streamed == batch, s"stream=${streamed.size} batch=${batch.size}")
+    assert(batch.nonEmpty)
+  }
+
   test("sliding windows produce overlapping coverage") {
     val stream = EventStreams.readEventStream(spark, s"$sfDir/events.parquet")
     val out = EventStreams.runToMemory(
