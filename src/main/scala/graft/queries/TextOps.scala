@@ -427,6 +427,29 @@ object TextOps {
              |WHERE doc_id < 20 AND rn <= 3
              |ORDER BY doc_id, tfidf DESC, tok""".stripMargin)),
 
+    // ---- E4: BPE-ish regex tokenization vs whitespace tokens --------------
+    // Subword-style lexer classes (letter runs / digit runs / single
+    // non-space symbols) via regexp_extract_all — the regex-tokenizer
+    // companion to the whitespace counts in q33.
+    Q(
+      "q68_regex_tokens",
+      (s, d) =>
+        docs(s, d)
+          .withColumn("rtoks",
+            expr("""regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]', 0)"""))
+          .select(
+            col("doc_id"),
+            size(col("rtoks")).cast("long").as("n_regex_tok"),
+            size(split(col("text"), " ")).cast("long").as("n_ws_tok"),
+            size(array_distinct(col("rtoks"))).cast("long").as("n_uniq_regex"))
+          .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+             |       len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS n_regex_tok,
+             |       len(string_split(text, ' ')) AS n_ws_tok,
+             |       len(list_distinct(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))) AS n_uniq_regex
+             |FROM documents
+             |ORDER BY doc_id""".stripMargin)),
+
     // ---- E4: language-ID heuristic -> confusion matrix --------------------
     // The fixture corpus is synthetic word soup, so the interesting part is
     // that both engines agree exactly on the argmax with a fixed precedence.

@@ -77,6 +77,32 @@ object VectorOps {
              |GROUP BY label
              |ORDER BY label""".stripMargin)),
 
+    // ---- E2/E3: embedding-cosine near-duplicate pairs ---------------------
+    // All-pairs cosine >= 0.99 — embedding-space exact dedup. The scored
+    // cross join runs entirely in the codegen'd DotProduct kernel; at
+    // corpus scale the IVF/LSH bucketing (q42) generates candidates and
+    // this exact scoring runs on candidates only.
+    Q(
+      "q43b_embed_cosine_dups",
+      (s, d) => {
+        val e = withNorm(s, d)
+        e.as("a")
+          .join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+          .withColumn("cos_r",
+            round(dotProduct(col("a.v"), col("b.v"))
+              / sqrt(col("a.n2") * col("b.n2")), 4))
+          .where(col("cos_r") >= 0.99)
+          .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+                  col("cos_r"))
+          .orderBy(col("vec_a"), col("vec_b"))
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+             |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             |       round(list_cosine_similarity(a.v, b.v), 4) AS cos_r
+             |FROM e a JOIN e b ON a.vec_id < b.vec_id
+             |WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.99
+             |ORDER BY vec_a, vec_b""".stripMargin)),
+
     // ---- E3 scale path: IVF-bucketed approximate NN (rows-only check) -----
     Q(
       "q42_embed_ivf_ann",
