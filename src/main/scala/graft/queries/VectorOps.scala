@@ -26,6 +26,39 @@ object VectorOps {
 
   private def dot(a: String, b: String): Column = dotProduct(col(a), col(b))
 
+  /** Lloyd-iteration k-means over the embedding corpus: deterministic
+    * seeding (first k vectors), assignment via the codegen'd cosine
+    * kernel, centroid update as an element-wise mean computed with
+    * posexplode + groupBy (each iteration is one broadcast join + two
+    * aggregations — the distributed k-means shape that scales to any
+    * corpus the assignments fit).
+    */
+  private def kmeansCentroids(e: DataFrame, k: Int, iters: Int): DataFrame = {
+    var cent = e.where(col("vec_id") < k)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"))
+    for (_ <- 0 until iters) {
+      val withN2 = cent.withColumn("cn2", squaredNorm(col("cv")))
+      val assigned = e.crossJoin(broadcast(withN2))
+        .withColumn("cos_c",
+          dotProduct(col("v"), col("cv")) / sqrt(col("n2") * col("cn2")))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("vec_id")).orderBy(col("cos_c").desc, col("c_id"))))
+        .where(col("rn") === 1)
+        .select(col("c_id"), col("v"))
+      // localCheckpoint truncates the lineage each Lloyd round (k tiny
+      // rows) — without it the nested crossJoin plans grow exponentially
+      // and choke the optimizer, the standard iterative-algorithm trap.
+      cent = assigned
+        .select(col("c_id"), posexplode(col("v")).as(Seq("i", "x")))
+        .groupBy(col("c_id"), col("i")).agg(avg(col("x")).as("m"))
+        .groupBy(col("c_id"))
+        .agg(expr("transform(array_sort(collect_list(struct(i, m))), s -> s.m)")
+          .as("cv"))
+        .localCheckpoint()
+    }
+    cent
+  }
+
   val defs: Seq[Q] = Seq(
     // ---- E3: brute-force cosine top-5 per query ---------------------------
     Q(
@@ -108,9 +141,11 @@ object VectorOps {
       "q42_embed_ivf_ann",
       (s, d) => {
         val e = withNorm(s, d)
-        // deterministic coarse centroids: the first 8 vectors by id
-        val cent = e.where(col("vec_id") < 8)
-          .select(col("vec_id").as("c_id"), col("v").as("cv"), col("n2").as("cn2"))
+        // coarse centroids trained with two Lloyd iterations from a
+        // deterministic seed (the quantizer-training step of a real IVF)
+        val cent = kmeansCentroids(e, 8, 2)
+          .select(col("c_id"), col("cv"))
+          .withColumn("cn2", squaredNorm(col("cv")))
         // assign every vector to its nearest centroid (broadcast centroids;
         // one pass, no shuffle until the grouped join below)
         val assigned = e.crossJoin(broadcast(cent))
