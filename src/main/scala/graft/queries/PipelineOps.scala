@@ -56,7 +56,45 @@ object PipelineOps {
                round(sum(col("salary")), 2).as("sum_salary"))
           .orderBy(col("job_type"), col("job_posted_site"))
       },
-      None),
+      // The oracle replicates the portable parts of the chain: the output
+      // columns don't depend on the hash-synthesized timestamps or the
+      // title-case step (titles are unique, so keep-first dedup is a
+      // no-op), and format_number->parse round-trips to DuckDB's
+      // round_even (both HALF_EVEN on the same double).
+      Some("""WITH src AS (
+             |  SELECT lower(trim(c_name)) AS company_name,
+             |         lower('Senior' || ' ' || lower(o_orderpriority) || ' ' ||
+             |               'Data Engineer iii (Remote) #' || ' ' || o_orderkey) AS title,
+             |         CASE WHEN o_orderkey % 3 = 0 THEN 'contract'
+             |              ELSE 'full-time' END AS raw_type,
+             |         CASE WHEN o_orderkey % 5 = 0 THEN 'zip recruiter'
+             |              ELSE 'indeed' END AS job_posted_site,
+             |         round_even(o_totalprice / 10, 2) AS sal
+             |  FROM orders JOIN customer ON o_custkey = c_custkey),
+             |typed AS (
+             |  SELECT company_name, job_posted_site,
+             |         CASE WHEN sal > 1000 THEN floor(sal)
+             |              ELSE floor(sal * 2000) END AS ann,
+             |         (SELECT CASE WHEN len(l) = 0 THEN 'Not specified'
+             |                      ELSE array_to_string(list_sort(l), ', ') END
+             |          FROM (SELECT list_filter([
+             |            CASE WHEN regexp_matches(hay, '\b(full[- ]?time)\b') THEN 'Full-Time' END,
+             |            CASE WHEN regexp_matches(hay, '\b(part[- ]?time)\b') THEN 'Part-Time' END,
+             |            CASE WHEN regexp_matches(hay, '\b(contract)\b') THEN 'Contract' END,
+             |            CASE WHEN regexp_matches(hay, '\b(intern(ship)?)\b') THEN 'Internship' END,
+             |            CASE WHEN regexp_matches(hay, '\b(temp(orary)?)\b') THEN 'Temporary' END,
+             |            CASE WHEN regexp_matches(hay, '\b(freelance|consult)\b') THEN 'Freelance' END],
+             |            x -> x IS NOT NULL) AS l) t) AS job_type
+             |  FROM (SELECT company_name, job_posted_site, sal,
+             |               raw_type || ' ' || title AS hay
+             |        FROM src))
+             |SELECT job_type, job_posted_site, count(*) AS n,
+             |       count(DISTINCT company_name) AS n_companies,
+             |       round(sum(ann), 2) AS sum_salary
+             |FROM typed
+             |WHERE ann BETWEEN 20000 AND 400000
+             |GROUP BY job_type, job_posted_site
+             |ORDER BY job_type, job_posted_site""".stripMargin)),
 
     // ---- E5: multimodal binary columns + stubbed decode -------------------
     Q(
