@@ -28,13 +28,21 @@ object Extract {
     df.select(cols: _*)
   }
 
-  /** F1+F2: US-rows filter — IN-list on country OR regex on location
-    * (reference `src/data_extract.py:85-95`). Null-safe: null never
-    * matches.
+  /** F1+F2: US-rows filter with the reference's precedence (reference
+    * `src/data_extract.py:85-95`: `if country_col … elif loc_col`): when
+    * the source schema resolved a country column, ONLY the IN-list
+    * applies — a non-US country drops the row even if the location looks
+    * US; otherwise, when a location column resolved, the regex applies;
+    * a source with neither passes through unfiltered. Null-safe: null
+    * never matches the active predicate.
     */
-  def usaFilter(country: Column, location: Column): Column =
-    lower(trim(coalesce(country, lit("")))).isin("usa", "us", "united states") ||
+  def usaFilter(country: Column, location: Column,
+                hasCountry: Boolean = true, hasLocation: Boolean = true): Column =
+    if (hasCountry)
+      lower(trim(coalesce(country, lit("")))).isin("usa", "us", "united states")
+    else if (hasLocation)
       coalesce(location, lit("")).rlike("(?i)\\b(US|United States|USA)\\b")
+    else lit(true)
 
   /** M1: deterministic ~rate sample via multiplicative hash of a key —
     * replayable on any cluster shape, unlike seeded rand + global sort.
@@ -58,8 +66,14 @@ object Extract {
         case Some(c) if df.columns.contains(c) => SkillExtract.withSkills(df, c, extractor)
         case _ => df
       }
+      // Filter mode is decided per source from the RAW schema, mirroring
+      // the reference's column-presence checks before normalization.
+      val present = df.columns.toSet
+      def resolved(dst: String): Boolean =
+        map.exists { case (d, cands) => d == dst && cands.exists(present.contains) }
       normalize(enriched, map, tag)
-        .where(usaFilter(col("country"), col("job_location")))
+        .where(usaFilter(col("country"), col("job_location"),
+          hasCountry = resolved("country"), hasLocation = resolved("job_location")))
     }
 
     val unioned = prep(kaggle, Schema.kaggleMap, "Kaggle")

@@ -60,7 +60,10 @@ object PipelineOps {
       // columns don't depend on the hash-synthesized timestamps or the
       // title-case step (titles are unique, so keep-first dedup is a
       // no-op), and format_number->parse round-trips to DuckDB's
-      // round_even (both HALF_EVEN on the same double).
+      // round_even (both HALF_EVEN on the same double). The WHERE mirrors
+      // the US filter's country precedence: the source has a country
+      // column, so ONLY country='USA' rows (even orderkeys) survive —
+      // the ", US" locations on France rows must NOT rescue them.
       Some("""WITH src AS (
              |  SELECT lower(trim(c_name)) AS company_name,
              |         lower('Senior' || ' ' || lower(o_orderpriority) || ' ' ||
@@ -70,7 +73,8 @@ object PipelineOps {
              |         CASE WHEN o_orderkey % 5 = 0 THEN 'zip recruiter'
              |              ELSE 'indeed' END AS job_posted_site,
              |         round_even(o_totalprice / 10, 2) AS sal
-             |  FROM orders JOIN customer ON o_custkey = c_custkey),
+             |  FROM orders JOIN customer ON o_custkey = c_custkey
+             |  WHERE o_orderkey % 2 = 0),
              |typed AS (
              |  SELECT company_name, job_posted_site,
              |         CASE WHEN sal > 1000 THEN floor(sal)

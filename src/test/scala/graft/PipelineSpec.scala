@@ -41,6 +41,28 @@ class PipelineSpec extends SparkSpec {
     assert(out.count() == 3) // Beta LLC (France, Paris) dropped
   }
 
+  test("F1/F2 precedence: country column wins over US-looking location") {
+    // Reference data_extract.py:85-95 is `if country_col … elif loc_col`:
+    // with a country column present, ONLY the IN-list applies.
+    val rows = Seq(
+      ("A", "France", "Paris, US office"), // non-US country, US-ish location => DROP
+      ("B", "USA", "Lyon"),                // US country, non-US location   => KEEP
+      ("C", null.asInstanceOf[String], "Boston, US") // null country        => DROP
+    ).toDF("company", "country", "location")
+    val kept = rows.where(Extract.usaFilter(col("country"), col("location"),
+      hasCountry = true, hasLocation = true))
+    assert(kept.select("company").as[String].collect().toSeq == Seq("B"))
+
+    // Without a country column the location regex is the active predicate.
+    val byLoc = rows.where(Extract.usaFilter(col("country"), col("location"),
+      hasCountry = false, hasLocation = true))
+    assert(byLoc.select("company").as[String].collect().sorted.toSeq == Seq("A", "C"))
+
+    // Neither column resolved: pass-through (reference returns df unchanged).
+    assert(rows.where(Extract.usaFilter(col("country"), col("location"),
+      hasCountry = false, hasLocation = false)).count() == 3)
+  }
+
   test("X1 rule extractor finds dictionary skills; short text guarded") {
     assert(RuleSkillExtractor.extract(
       "We need strong python and sql skills plus communication abilities.") ==
