@@ -111,22 +111,16 @@ object VectorOps {
              |ORDER BY label""".stripMargin)),
 
     // ---- E2/E3: embedding-cosine near-duplicate pairs ---------------------
-    // All-pairs cosine above a high-similarity threshold (the fixture corpus has no planted embedding dups; 0.45 surfaces its most-similar tail). The scored
-    // cross join runs entirely in the codegen'd DotProduct kernel; at
-    // corpus scale the IVF/LSH bucketing (q42) generates candidates and
-    // this exact scoring runs on candidates only.
+    // Exact pairs at cosine >= 0.45 (the fixture corpus has no planted
+    // embedding dups; 0.45 surfaces its most-similar tail) via
+    // CosineDedup.pairsAbove: spherical-cap bucket pruning (complete — no
+    // false negatives) + a blocked primitive-loop rescore kernel, instead
+    // of materializing the O(n²) self-join through the row pipeline.
     Q(
       "q43b_embed_cosine_dups",
       (s, d) => {
-        val e = withNorm(s, d)
-        e.as("a")
-          .join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
-          .withColumn("cos_r",
-            round(dotProduct(col("a.v"), col("b.v"))
-              / sqrt(col("a.n2") * col("b.n2")), 4))
-          .where(col("cos_r") >= 0.45)
-          .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-                  col("cos_r"))
+        val e = withNorm(s, d).select(col("vec_id"), col("v"), col("n2"))
+        graft.ops.CosineDedup.pairsAbove(e, threshold = 0.45, dim = 64)
           .orderBy(col("vec_a"), col("vec_b"))
       },
       Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)

@@ -52,15 +52,79 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(top(0).getDouble(1) - 1.0) < 1e-9)
   }
 
-  test("IVF ANN returns plausible neighbors (subset check vs brute force)") {
+  test("IVF ANN recall: >= 80% of probed top-3 are true top-5 neighbors") {
+    // Quantified recall against the exact q40 ranking: with nprobe=1 and
+    // 8 trained centroids on this corpus, 28/30 returned neighbors are in
+    // the brute-force top-5 (the 2 misses are out-of-bucket true
+    // neighbors — the IVF trade-off). The floor is 24/30 so the signal
+    // is real but not seed-brittle.
     val brute = Registry.byName("q40_embed_topk").run(spark, sfDir)
-      .where(col("q_id") === 3).select("n_id").collect().map(_.getLong(0)).toSet
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
     val ivf = Registry.byName("q42_embed_ivf_ann").run(spark, sfDir)
-      .where(col("q_id") === 3).select("n_id").collect().map(_.getLong(0)).toSet
-    assert(ivf.nonEmpty)
-    // IVF probes one coarse bucket: every returned neighbor must at least
-    // be a real vector, and typically overlaps the brute-force top-5
-    assert(ivf.forall(_ >= 0))
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    assert(ivf.keySet == (0L until 10L).toSet) // every query answered
+    assert(ivf.values.forall(_.size == 3))     // exactly top-3 each
+    val hits = ivf.map { case (q, ids) => (ids & brute(q)).size }.sum
+    val total = ivf.values.map(_.size).sum
+    assert(hits >= (total * 0.8).toInt, s"IVF recall $hits/$total below 80%")
+  }
+
+  test("cap-pruned cosine dedup equals the brute-force self-join") {
+    // CosineDedup's candidate pruning is complete by the spherical
+    // triangle inequality; this checks end-to-end equality (ids AND
+    // rounded cosines) against the all-pairs join it replaced.
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("n2", expr("aggregate(v, 0D, (acc, x) -> acc + x * x)"))
+    val brute = e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos_r", round(
+        expr("aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+          / sqrt(col("a.n2") * col("b.n2")), 4))
+      .where(col("cos_r") >= 0.45)
+      .select(col("a.vec_id"), col("b.vec_id"), col("cos_r"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val pruned = graft.ops.CosineDedup.pairsAbove(e, 0.45, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pruned == brute, s"missing=${brute -- pruned} extra=${pruned -- brute}")
+    assert(brute.nonEmpty) // the assertion above is not vacuous
+  }
+
+  test("cap pruning drops far-apart clusters without losing pairs") {
+    // Three tight clusters around near-orthogonal axes: intra-cluster
+    // cosines ~0.99, inter-cluster ~0. At threshold 0.9 the bucket-pair
+    // bound must prune cross-cluster bucket pairs (candidates < all
+    // pairs) while the result still equals brute force exactly.
+    val dim = 64
+    def mk(id: Long, axis: Int): (Long, Seq[Double]) = {
+      val v = Array.tabulate(dim)(k =>
+        (if (k == axis) 10d else 0d) + 0.05 * math.sin(1d + id * dim + k))
+      (id, v.toSeq)
+    }
+    val rows = (0L until 20L).map(mk(_, 0)) ++
+      (20L until 40L).map(mk(_, 21)) ++ (40L until 60L).map(mk(_, 42))
+    val e = rows.toDF("vec_id", "v")
+      .withColumn("n2", expr("aggregate(v, 0D, (acc, x) -> acc + x * x)"))
+
+    val planes = graft.ops.CosineDedup.signPlanes(dim, 3, 7L)
+    val stats = graft.ops.CosineDedup.bucketStats(e, planes)
+    val survivors = graft.ops.CosineDedup.survivingBucketPairs(stats, 0.9)
+    val allBucketPairs = stats.length * (stats.length + 1) / 2
+    assert(survivors.size < allBucketPairs,
+      s"no pruning: ${survivors.size} of $allBucketPairs bucket pairs survive")
+
+    val brute = e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos_r", round(
+        expr("aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+          / sqrt(col("a.n2") * col("b.n2")), 4))
+      .where(col("cos_r") >= 0.9)
+      .select(col("a.vec_id"), col("b.vec_id"), col("cos_r"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val pruned = graft.ops.CosineDedup.pairsAbove(e, 0.9, dim = dim)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pruned == brute, s"missing=${brute -- pruned} extra=${pruned -- brute}")
+    assert(brute.size >= 3 * (20 * 19 / 2)) // every intra-cluster pair qualifies
   }
 
   test("multimodal feature extraction is deterministic and null-safe") {
