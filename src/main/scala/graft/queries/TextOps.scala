@@ -81,6 +81,10 @@ object TextOps {
   private def jaccardPairs(s: SparkSession, d: String,
                            threshold: Double): DataFrame = {
     val sh = shingles(s, d)
+    // (Size-ratio pruning — jac <= min(n)/max(n) — was tried as an extra
+    // join predicate and REGRESSED 3x: the non-equi condition pushes the
+    // computed shingle arrays into the join's other-condition evaluation.
+    // The threshold filter after the count aggregate is the fast shape.)
     sh.as("a")
       .join(sh.as("b").hint("shuffle_hash"),
             col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
@@ -318,49 +322,21 @@ object TextOps {
       },
       None),
 
-    // ---- E2: near-dup clusters via iterative label propagation ------------
+    // ---- E2: near-dup clusters via large-star/small-star CC ---------------
     // Connected components over the near-dup pair graph: each doc's label
     // converges to the minimum doc_id reachable from it (= the cluster's
-    // canonical representative — the "keep" row of dedup). Distributed
-    // min-label propagation, one join+groupBy per round, converges in
-    // O(component diameter) rounds; the same algorithm scales to
-    // billion-edge graphs (it is GraphX's connectedComponents shape).
-    // The DuckDB oracle computes the identical fixpoint with a recursive
-    // CTE.
+    // canonical representative — the "keep" row of dedup). The
+    // large-star/small-star rounds (graft.ops.ConnectedComponents)
+    // converge in O(log diameter) rounds vs label propagation's
+    // O(diameter), with per-round lineage truncation. The DuckDB oracle
+    // computes the identical fixpoint with a recursive CTE.
     Q(
       "q60_dedup_clusters",
       (s, d) => {
-        import org.apache.spark.storage.StorageLevel
         val pairs = jaccardPairs(s, d, 0.8)
         val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-          .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        var labels = edges.select(col("src").as("node")).distinct()
-          .withColumn("cluster_rep", col("node"))
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        // Labels only ever decrease (min-propagation), so the fixpoint is
-        // reached exactly when sum(cluster_rep) stops falling — one cheap
-        // aggregate per round instead of a join-based change count.
-        def labelSum(df: org.apache.spark.sql.DataFrame): Long =
-          df.agg(coalesce(sum(col("cluster_rep")), lit(0L))).collect()(0).getLong(0)
-        var prevSum = labelSum(labels)
-        var converged = false
-        var iter = 0
-        while (!converged && iter < 25) {
-          val prop = edges
-            .join(labels.select(col("node").as("dst"), col("cluster_rep")), Seq("dst"))
-            .select(col("src").as("node"), col("cluster_rep"))
-          val next = labels.unionByName(prop)
-            .groupBy(col("node")).agg(min(col("cluster_rep")).as("cluster_rep"))
-            .persist(StorageLevel.MEMORY_AND_DISK)
-          val nextSum = labelSum(next)
-          labels.unpersist()
-          labels = next
-          converged = nextSum == prevSum
-          prevSum = nextSum
-          iter += 1
-        }
-        labels.groupBy(col("cluster_rep"))
+        graft.ops.ConnectedComponents.clusters(edges)
+          .groupBy(col("cluster_rep"))
           .agg(count(lit(1)).as("n_members"))
           .orderBy(col("cluster_rep"))
       },

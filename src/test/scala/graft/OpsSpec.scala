@@ -127,6 +127,23 @@ class OpsSpec extends SparkSpec {
     assert(brute.size >= 3 * (20 * 19 / 2)) // every intra-cluster pair qualifies
   }
 
+  test("large-star/small-star CC: correct clusters in logarithmic rounds") {
+    // A 32-node path (diameter 31) plus a triangle and an isolated edge:
+    // label propagation needs ~31 rounds; star rounds collapse it in
+    // O(log n). Every node must label to its component minimum.
+    val path = (0L until 31L).map(i => (i, i + 1))
+    val extra = Seq((100L, 101L), (101L, 102L), (100L, 102L), (200L, 201L))
+    val edges = (path ++ extra).toDF("src", "dst")
+    val (labels, rounds) =
+      graft.ops.ConnectedComponents.clustersWithRounds(edges)
+    val got = labels.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert((0L to 32L - 1L).forall(n => got(n) == 0L), got.toSeq.sorted.take(5))
+    assert((100L to 102L).forall(n => got(n) == 100L))
+    assert(got(200L) == 200L && got(201L) == 200L)
+    assert(got.size == 32 + 3 + 2)
+    assert(rounds <= 7, s"expected O(log n) rounds, took $rounds")
+  }
+
   test("multimodal feature extraction is deterministic and null-safe") {
     val df = Seq((1L, "hello world"), (2L, "")).toDF("id", "txt")
     val media = Multimodal.asMedia(df, "id", "txt", "text/plain")
