@@ -39,8 +39,28 @@ object Clean {
   def alphaOnly(c: Column): Column =
     trim(regexp_replace(regexp_replace(c, """[^a-zA-Z\s]""", " "), """\s+""", " "))
 
+  // ---- C4+C5+C6 fused: one run-pass over the title --------------------
+  // Any run of {non-alpha chars, whole roman-numeral words, whole
+  // seniority words} collapses to a single space. Equivalent to the
+  // three sequential passes because (a) noise words are only removed as
+  // whole words — the \b anchors see the ORIGINAL string, exactly like
+  // pass-by-pass removal, and (b) removing a whole word leaves
+  // whitespace, never creating new word adjacency, so later passes can't
+  // match anything the fused run didn't. CleanSpec proves equality on an
+  // adversarial battery + fixture titles.
+  private val titleNoiseRe =
+    s"(?:[^a-zA-Z]|\\b(?:[ivx]+|(?i:$seniorityWords))\\b)+"
+  def stripTitleNoise(c: Column): Column =
+    trim(regexp_replace(c, titleNoiseRe, " "))
+
   // ---- C7/C8: composed title cleaning chain (transform.py:67-96) ---------
   def cleanJobTitle(c: Column): Column =
+    titleCase(stripTitleNoise(firstSegment(stripBrackets(c))))
+
+  /** The unfused reference composition (C4 → C5 → C6), kept as the
+    * equivalence oracle for `stripTitleNoise`.
+    */
+  private[graft] def cleanJobTitleUnfused(c: Column): Column =
     titleCase(alphaOnly(stripSeniority(stripRomanNumerals(firstSegment(stripBrackets(c))))))
 
   // ---- C9: timestamp coercion, invalid -> null (transform.py:102-103) ----

@@ -14,12 +14,24 @@ import org.apache.spark.sql.functions._
 object Load {
 
   /** JDBC append, the reference's terminal store (S7). Batch size is the
-    * built-in `batchsize` option instead of hand-rolled executemany.
+    * built-in `batchsize` option instead of hand-rolled executemany;
+    * float NaN becomes SQL NULL (the reference's
+    * `df.where(pd.notnull(df), None)`, `load_sqlserver.py:75`) and
+    * string edges are trimmed (C17) before the insert.
     */
   def toJdbc(df: DataFrame, url: String, table: String,
              props: java.util.Properties, batchSize: Int = 1000): Unit = {
     props.setProperty("batchsize", batchSize.toString)
-    Clean.trimStrings(df).write.mode(SaveMode.Append).jdbc(url, table, props)
+    val noNan = df.schema.fields.foldLeft(df) { (acc, f) =>
+      f.dataType match {
+        case org.apache.spark.sql.types.DoubleType |
+             org.apache.spark.sql.types.FloatType =>
+          acc.withColumn(f.name,
+            when(isnan(col(f.name)), lit(null)).otherwise(col(f.name)))
+        case _ => acc
+      }
+    }
+    Clean.trimStrings(noNan).write.mode(SaveMode.Append).jdbc(url, table, props)
   }
 
   /** Partitioned parquet sink: the lake-side terminal store. Hive-style

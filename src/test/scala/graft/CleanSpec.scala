@@ -28,6 +28,31 @@ class CleanSpec extends SparkSpec {
     }
   }
 
+  test("fused title-noise pass equals the sequential C4->C5->C6 chain") {
+    // Adversarial battery: boundary-straddling digits ("3senior" keeps
+    // senior in BOTH forms — C6 runs after C5), roman words glued to
+    // letters, multi-word seniority phrases, noise runs, unicode, empties
+    // — plus the precedence case from VERDICT (country handled in
+    // Extract; here the title side).
+    val inputs = Seq(
+      "senior data engineer iii (remote) - contract",
+      "sr. software engineer ii #4521",
+      "3senior dev", "iv league analyst", "ivy league analyst",
+      "vice president of data", "vp engineering", "senior-level architect",
+      "sr5 analyst", "intern - internship", "via recruiter: ml lead",
+      "x v i analyst", "xvi analyst", "données engineer", "  ", "",
+      "a#b-c|d/e", "immediate joiner needed!!", "head", "temp temp temp",
+      "PRINCIPAL Engineer IV", "remote remote (hybrid) [onsite]"
+    ) ++ (0 until 200).map(i => s"title $i senior iv #$i (x$i) analyst-$i")
+    val df = inputs.toDF("v")
+      .select(col("v"),
+        graft.pipeline.Clean.cleanJobTitle(col("v")).as("fused"),
+        graft.pipeline.Clean.cleanJobTitleUnfused(col("v")).as("seq"))
+    val diffs = df.where(not(col("fused") <=> col("seq"))).collect()
+    assert(diffs.isEmpty,
+      diffs.take(5).map(r => s"'${r.getString(0)}': fused='${r.getString(1)}' seq='${r.getString(2)}'").mkString("; "))
+  }
+
   test("TitleCase matches Python str.title, not initcap") {
     assert(one(titleCase(col("v")), "ai/ml engineer") == "Ai/Ml Engineer")
     assert(one(titleCase(col("v")), "o'neil the 3rd") == "O'Neil The 3Rd")
