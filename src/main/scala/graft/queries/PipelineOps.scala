@@ -4,6 +4,7 @@ import graft.Tables
 import graft.ops.Multimodal
 import graft.pipeline.{Extract, Transform}
 import graft.streaming.EventStreams
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 
@@ -15,34 +16,42 @@ import org.apache.spark.sql.streaming.OutputMode
   */
 object PipelineOps {
 
+  /** Kaggle-shaped postings source synthesized from the TPC-H-ish
+    * fixtures (messy titles, $-formatted salaries, mixed countries) —
+    * the stand-in for the reference's S3 CSV drop, shared by q55 and the
+    * DailyJob entry point.
+    */
+  def rawPostings(s: SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .select(
+        col("c_name").as("company"),
+        concat_ws(" ", lit("Senior"), lower(col("o_orderpriority")),
+                  lit("Data Engineer iii (Remote) #"),
+                  col("o_orderkey").cast("string")).as("title"),
+        when(col("o_orderkey") % 3 === 0, lit("contract"))
+          .otherwise(lit("full-time")).as("job_type"),
+        concat(col("n_name"), lit(", US")).as("location"),
+        when(col("o_orderkey") % 2 === 0, lit("USA"))
+          .otherwise(lit("France")).as("country"),
+        concat(lit("$"), format_number(col("o_totalprice") / 10, 2)).as("mean_salary"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("date_posted"),
+        when(col("o_orderkey") % 5 === 0, lit("zip recruiter"))
+          .otherwise(lit("indeed")).as("site"),
+        concat(lit("We need python, sql and spark plus communication "),
+               lit("and teamwork for priority "), col("o_orderpriority"))
+          .as("description"))
+
   val defs: Seq[Q] = Seq(
     // ---- §3.1+§3.2: full extract -> transform over synthesized postings --
     // Orders x customer x nation rows are shaped into a Kaggle-like source
-    // frame (messy titles, $-formatted salaries, mixed countries), then
-    // run through the real Extract.run + Transform.transform chain.
+    // frame, then run through the real Extract.run + Transform.transform
+    // chain.
     Q(
       "q55_jobs_pipeline",
       (s, d) => {
-        val raw = Tables.orders(s, d)
-          .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
-          .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
-          .select(
-            col("c_name").as("company"),
-            concat_ws(" ", lit("Senior"), lower(col("o_orderpriority")),
-                      lit("Data Engineer iii (Remote) #"),
-                      col("o_orderkey").cast("string")).as("title"),
-            when(col("o_orderkey") % 3 === 0, lit("contract"))
-              .otherwise(lit("full-time")).as("job_type"),
-            concat(col("n_name"), lit(", US")).as("location"),
-            when(col("o_orderkey") % 2 === 0, lit("USA"))
-              .otherwise(lit("France")).as("country"),
-            concat(lit("$"), format_number(col("o_totalprice") / 10, 2)).as("mean_salary"),
-            date_format(col("o_orderdate"), "yyyy-MM-dd").as("date_posted"),
-            when(col("o_orderkey") % 5 === 0, lit("zip recruiter"))
-              .otherwise(lit("indeed")).as("site"),
-            concat(lit("We need python, sql and spark plus communication "),
-                   lit("and teamwork for priority "), col("o_orderpriority"))
-              .as("description"))
+        val raw = rawPostings(s, d)
         val extracted = Extract.run(
           kaggle = raw,
           huggingFace = raw.where(lit(false)),

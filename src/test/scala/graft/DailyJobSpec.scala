@@ -1,0 +1,38 @@
+package graft
+
+import graft.pipeline.DailyJob
+import org.apache.spark.sql.functions._
+
+/** The scheduled entry point (reference `dags/job.py`): N-day replay is
+  * idempotent end-to-end, and the AvailableNow streaming twin drains the
+  * same landing files exactly once via its checkpoint.
+  */
+class DailyJobSpec extends SparkSpec {
+
+  test("daily replay is idempotent; streaming twin matches the batch store") {
+    val work = java.nio.file.Files.createTempDirectory("graft_daily").toString
+
+    // two dates, then one replayed (the DAG's retry) — no duplicate work
+    val d1 = DailyJob.runOnce(spark, sfDir, work, "2025-10-21")
+    val d2 = DailyJob.runOnce(spark, sfDir, work, "2025-10-22")
+    assert(d1 == Seq("fetch_jobs_2025-10-21.csv"))
+    assert(d2 == Seq("fetch_jobs_2025-10-22.csv"))
+    assert(DailyJob.runOnce(spark, sfDir, work, "2025-10-21").isEmpty)
+
+    val store = spark.read.parquet(s"$work/store")
+    val n = store.count()
+    assert(n > 0)
+    // per-date timestamp synthesis: both run dates present exactly once
+    val days = store.select(to_date(col("job_posted_date")).cast("string"))
+      .distinct().collect().map(_.getString(0)).sorted.toSeq
+    assert(days == Seq("2025-10-21", "2025-10-22"))
+
+    // streaming twin over the same landing dir: first drain loads both
+    // files, a second drain (same checkpoint) loads nothing new
+    DailyJob.runStreaming(spark, work)
+    val stream1 = spark.read.parquet(s"$work/stream_store").count()
+    assert(stream1 == n, s"stream store $stream1 != batch store $n")
+    DailyJob.runStreaming(spark, work)
+    assert(spark.read.parquet(s"$work/stream_store").count() == n)
+  }
+}
