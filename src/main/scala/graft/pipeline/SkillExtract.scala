@@ -21,6 +21,13 @@ trait SkillExtractor extends Serializable {
     * fail the task (`:131-135`).
     */
   def extract(description: String): (String, String)
+
+  /** Batch hook used by the mapPartitions plumbing: implementations with
+    * remote calls fan a chunk out under their own concurrency bound; the
+    * default is sequential.
+    */
+  def extractBatch(descriptions: Seq[String]): Seq[(String, String)] =
+    descriptions.map(extract)
 }
 
 /** Deterministic dictionary/regex extractor — the hermetic default. */
@@ -43,16 +50,38 @@ object RuleSkillExtractor extends SkillExtractor {
 }
 
 /** LLM-backed extractor with the call injected as a function (endpoint /
-  * auth / model wiring stays outside the engine). Calls are batched per
-  * partition with per-text memoization; any failure degrades to ("","")
-  * exactly like the reference's error guard.
+  * auth / model wiring stays outside the engine — reference
+  * `data_extract.py:108-135`). Production hardening, all hermetically
+  * testable through the injected `call`/`sleeper`:
+  *
+  *  - bounded concurrency: `extractBatch` fans a chunk out on a pool of
+  *    `concurrency` threads, so one executor never holds more than that
+  *    many calls in flight (rate-limit friendliness);
+  *  - retry with linear backoff: transient failures retry up to
+  *    `maxRetries` times before degrading to ("","") — the reference's
+  *    error guard, but only after the call had its chances;
+  *  - memoization: repeated descriptions (boilerplate postings) hit the
+  *    per-extractor cache, not the endpoint;
+  *  - cost cap: at most `maxCalls` call attempts per extractor instance
+  *    (per task); beyond the budget everything degrades to ("","")
+  *    instead of running up the bill.
   */
 final class LlmSkillExtractor(
     call: String => String,
-    maxChars: Int = 4000) extends SkillExtractor {
+    maxChars: Int = 4000,
+    concurrency: Int = 4,
+    maxRetries: Int = 2,
+    retryDelayMs: Long = 100L,
+    maxCalls: Long = Long.MaxValue,
+    sleeper: Long => Unit = Thread.sleep) extends SkillExtractor {
 
   @transient private lazy val cache =
     new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  @transient private lazy val attempts =
+    new java.util.concurrent.atomic.AtomicLong()
+
+  /** Call attempts made so far (includes retries) — cost observability. */
+  def callsAttempted: Long = attempts.get()
 
   private def parse(resp: String): (String, String) = {
     def section(tag: String): String =
@@ -61,38 +90,69 @@ final class LlmSkillExtractor(
     (section("TECH:"), section("SOFT:"))
   }
 
+  private def callWithRetry(text: String): (String, String) = {
+    var attempt = 0
+    while (attempt <= maxRetries) {
+      if (attempts.incrementAndGet() > maxCalls) return ("", "") // budget gone
+      try return parse(call(text))
+      catch {
+        case _: Exception =>
+          attempt += 1
+          if (attempt <= maxRetries) sleeper(retryDelayMs * attempt)
+      }
+    }
+    ("", "") // retries exhausted: degrade, never fail the task
+  }
+
   override def extract(description: String): (String, String) = {
     if (description == null || description.trim.length < 30) return ("", "")
     val text = description.take(maxChars)
     val cached = cache.get(text)
     if (cached != null) return cached
-    val out =
-      try parse(call(text))
-      catch { case _: Exception => ("", "") }
+    val out = callWithRetry(text)
     cache.put(text, out)
     out
+  }
+
+  override def extractBatch(descriptions: Seq[String]): Seq[(String, String)] = {
+    val n = math.max(1, math.min(concurrency, descriptions.size))
+    if (n == 1) return descriptions.map(extract)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(n)
+    try {
+      descriptions
+        .map(t => pool.submit(new java.util.concurrent.Callable[(String, String)] {
+          override def call(): (String, String) = extract(t)
+        }))
+        .map(_.get())
+    } finally pool.shutdown()
   }
 }
 
 object SkillExtract {
   /** Adds `technical_skills` / `soft_skills` extracted from
     * `descriptionCol`. Runs via mapPartitions so extractor state
-    * (dictionaries, HTTP clients, caches) is per-partition, not per-row.
+    * (dictionaries, HTTP clients, caches) is per-partition, not per-row;
+    * rows stream through in `batchSize` chunks so a remote extractor can
+    * fan each chunk out under its concurrency bound while memory stays
+    * bounded.
     */
   def withSkills(
       df: DataFrame,
       descriptionCol: String,
-      extractor: SkillExtractor = RuleSkillExtractor): DataFrame = {
+      extractor: SkillExtractor = RuleSkillExtractor,
+      batchSize: Int = 256): DataFrame = {
     val outSchema = StructType(df.schema.fields ++ Seq(
       StructField("technical_skills", StringType),
       StructField("soft_skills", StringType)))
     val enc = ExpressionEncoder(outSchema)
     val idx = df.schema.fieldIndex(descriptionCol)
     df.mapPartitions { rows =>
-      rows.map { r =>
-        val (tech, soft) = extractor.extract(
-          if (r.isNullAt(idx)) null else r.getString(idx))
-        Row.fromSeq(r.toSeq ++ Seq(tech, soft))
+      rows.grouped(batchSize).flatMap { chunk =>
+        val outs = extractor.extractBatch(
+          chunk.map(r => if (r.isNullAt(idx)) null else r.getString(idx)))
+        chunk.lazyZip(outs).map { case (r, (tech, soft)) =>
+          Row.fromSeq(r.toSeq ++ Seq(tech, soft))
+        }
       }
     }(enc)
   }

@@ -56,6 +56,56 @@ class StreamingSpec extends SparkSpec {
     assert(out.select("event_id").distinct().count() == nEvents)
   }
 
+  test("a row later than the watermark is dropped from its closed window") {
+    // Batch 0 (f1) advances event time to 14:00 => watermark 12:00;
+    // batch 1 (f2) runs under that watermark, which finalizes and emits
+    // window [10,11); batch 2 (f3) replays a LATE 10:45 row against the
+    // now-evicted window — it must vanish: no spurious append row, count
+    // stays 2. (Emission and late arrival must be separate batches:
+    // state eviction happens at end-of-batch, and a late row landing in
+    // the SAME batch as the eviction still merges — Spark's drop
+    // guarantee starts once the state is gone.)
+    import spark.implicits._
+    def mk(rows: Seq[(Long, String)]) = rows
+      .map { case (id, t) =>
+        (id, java.sql.Timestamp.valueOf(t), 1L, "view", 1.0,
+         null.asInstanceOf[String]) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("graft_late").toString
+    mk(Seq((1L, "2025-10-21 10:00:00"), (2L, "2025-10-21 10:30:00"),
+           (3L, "2025-10-21 14:00:00")))
+      .coalesce(1).write.parquet(s"$dir/f1")
+    mk(Seq((5L, "2025-10-21 14:10:00"))) // advances the stream, closes [10,11)
+      .coalesce(1).write.parquet(s"$dir/f2")
+    mk(Seq((4L, "2025-10-21 10:45:00"))) // late beyond watermark
+      .coalesce(1).write.parquet(s"$dir/f3")
+    // file source orders by modification time: force f1 < f2 < f3
+    new java.io.File(s"$dir/f1").listFiles().foreach(_.setLastModified(1000000L))
+    new java.io.File(s"$dir/f2").listFiles().foreach(_.setLastModified(2000000L))
+
+    val stream = spark.readStream
+      .schema(EventStreams.eventSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/f*")
+    val closed = EventStreams.runToMemory(
+      spark, EventStreams.hourlyCounts(stream), "t_late", OutputMode.Append())
+      .select(date_format(col("h"), "HH:mm").as("h"), col("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+
+    // Append mode emits only watermark-closed windows: [10,11) WITHOUT
+    // the late row, exactly once; [14,15) never closes so never emits.
+    assert(closed == Map("10:00" -> 2L), s"got $closed")
+
+    // non-vacuous: the batch twin over the same five rows counts 3
+    val batch = mk(Seq((1L, "2025-10-21 10:00:00"), (2L, "2025-10-21 10:30:00"),
+                       (3L, "2025-10-21 14:00:00"), (5L, "2025-10-21 14:10:00"),
+                       (4L, "2025-10-21 10:45:00")))
+      .groupBy(window(col("ts"), "1 hour")).count()
+      .where(date_format(col("window.start"), "HH:mm") === "10:00")
+      .collect()(0).getLong(1)
+    assert(batch == 3L)
+  }
+
   test("custom SQL functions registered for the SQL entry point") {
     graft.functions.VectorFunctions.registerAll(spark)
     val r = spark.sql(
