@@ -86,5 +86,7 @@ object VectorFunctions {
       exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
     reg.createOrReplaceTempFunction("squared_norm",
       exprs => SquaredNorm(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("poly_hash",
+      exprs => PolyHash(exprs.head), "scala_udf")
   }
 }

@@ -151,6 +151,38 @@ object EventOps {
              |WHERE event_type = 'purchase' AND last_view IS NOT NULL
              |ORDER BY event_id""".stripMargin)),
 
+    // ---- as-of join as a CUSTOM CATALYST OPERATOR (graft.plans.AsOf) -----
+    // Same attribution semantics as q44, but through the first-class
+    // AsOfJoinPlan/AsOfJoinExec: co-partitioned (key, time)-sorted
+    // two-pointer merge instead of the union + full-stream window.
+    // The oracle is DuckDB's native ASOF JOIN — two independent
+    // implementations of the operator semantics.
+    Q(
+      "q69_asof_custom",
+      (s, d) => {
+        val e = Tables.events(s, d)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+                  unix_micros(col("ts")).as("us"))
+        val p = e.where(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("us"))
+        val v = e.where(col("event_type") === "view")
+          .select(col("user_id").as("v_user"), col("us").as("v_us"))
+        graft.plans.AsOf.joinBackward(p, v,
+            keys = Seq("user_id" -> "v_user"), time = "us" -> "v_us")
+          .where(col("v_us").isNotNull) // inner as-of, like the oracle
+          .select(col("event_id"), col("user_id"),
+                  (col("us") - col("v_us")).as("micros_since_view"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH e AS (SELECT event_id, user_id, event_type,
+             |                 epoch_ns(ts) // 1000 AS us
+             |          FROM events),
+             |p AS (SELECT event_id, user_id, us FROM e WHERE event_type = 'purchase'),
+             |v AS (SELECT user_id AS v_user, us AS v_us FROM e WHERE event_type = 'view')
+             |SELECT p.event_id, p.user_id, p.us - v.v_us AS micros_since_view
+             |FROM p ASOF JOIN v ON p.user_id = v.v_user AND v.v_us <= p.us
+             |ORDER BY p.event_id""".stripMargin)),
+
     // ---- range join via time binning: neighbors within ±5 minutes --------
     // A naive theta join (|t1-t2| <= 300) is quadratic per user; binning
     // to 5-minute buckets and exploding one side into its 3 adjacent

@@ -303,15 +303,23 @@ object TextOps {
     Q(
       "q37_docs_fingerprint",
       (s, d) => {
+        import graft.functions.PolyHash.polyHash
+        val p = graft.functions.TextHash.Mod
         val toks = docs(s, d)
           .repartition(col("doc_id"))
           .select(col("doc_id"),
                   posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+          .withColumn("th", polyHash(col("tok")))
         val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-        // rolling 4-gram hash, then winnow: min within each 5-wide window
+        // rolling 4-gram hash (portable polynomial over the token
+        // hashes), then winnow: min within each 5-wide window. All
+        // arithmetic is mod 1e9+7 so DuckDB reproduces it bit-for-bit.
+        val t1 = lead(col("th"), 1).over(w)
+        val t2 = lead(col("th"), 2).over(w)
+        val t3 = lead(col("th"), 3).over(w)
         val grams = toks
-          .withColumn("g", xxhash64(col("tok"), lead(col("tok"), 1).over(w),
-                                    lead(col("tok"), 2).over(w), lead(col("tok"), 3).over(w)))
+          .withColumn("g",
+            (((((col("th") * 31 + t1) % p) * 31 + t2) % p) * 31 + t3) % p)
           .where(col("g").isNotNull)
         val winnowed = grams
           .withColumn("fp", min(col("g")).over(w.rowsBetween(0, 4)))
@@ -320,7 +328,26 @@ object TextOps {
           .agg(count(lit(1)).as("n_fp"), min(col("fp")).as("fp_min"))
           .orderBy(col("doc_id"))
       },
-      None),
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             |ths AS (SELECT doc_id,
+             |          list_transform(t, s -> list_reduce(
+             |            list_prepend(CAST(0 AS BIGINT),
+             |              list_transform(range(1, len(s) + 1), j -> CAST(unicode(s[j]) AS BIGINT))),
+             |            (acc, x) -> (acc * 31 + x) % 1000000007)) AS th
+             |        FROM toks),
+             |pos AS (SELECT doc_id, th, unnest(range(1, len(th) - 2)) AS i FROM ths),
+             |grams AS (SELECT doc_id, i,
+             |            (((((th[i] * 31 + th[i+1]) % 1000000007) * 31 + th[i+2])
+             |              % 1000000007) * 31 + th[i+3]) % 1000000007 AS g
+             |          FROM pos),
+             |winnowed AS (SELECT DISTINCT doc_id,
+             |               min(g) OVER (PARTITION BY doc_id ORDER BY i
+             |                            ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS fp
+             |             FROM grams)
+             |SELECT doc_id, count(*) AS n_fp, min(fp) AS fp_min
+             |FROM winnowed
+             |GROUP BY doc_id
+             |ORDER BY doc_id""".stripMargin)),
 
     // ---- E2: near-dup clusters via large-star/small-star CC ---------------
     // Connected components over the near-dup pair graph: each doc's label

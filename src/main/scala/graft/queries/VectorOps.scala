@@ -130,6 +130,44 @@ object VectorOps {
              |WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.45
              |ORDER BY vec_a, vec_b""".stripMargin)),
 
+    // ---- E2/E3: END-TO-END embedding dedup ---------------------------------
+    // The full near-dup removal a training-data pipeline runs: exact
+    // cap-pruned pair generation (q43b's operator), connected components
+    // over the pair graph (q60's operator), then keep-first (minimum
+    // vec_id) per duplicate cluster. Per-label survivor counts are
+    // checked against a DuckDB recursive-CTE replica of the whole chain.
+    Q(
+      "q43c_embed_dedup",
+      (s, d) => {
+        val e = withNorm(s, d)
+        val pairs = graft.ops.CosineDedup.pairsAbove(
+          e.select(col("vec_id"), col("v"), col("n2")), threshold = 0.45, dim = 64)
+        val labels = graft.ops.ConnectedComponents.clusters(
+          pairs.select(col("vec_a").as("src"), col("vec_b").as("dst")))
+        e.join(labels, col("vec_id") === col("node"), "left")
+          .groupBy(col("label").cast("long").as("label"))
+          .agg(count(lit(1)).as("n"),
+               sum(when(col("node").isNull ||
+                        col("cluster_rep") === col("vec_id"), 1L)
+                 .otherwise(0L)).as("n_kept"))
+          .orderBy(col("label"))
+      },
+      Some("""WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+             |pairs AS (SELECT a.vec_id AS da, b.vec_id AS db
+             |          FROM e a JOIN e b ON a.vec_id < b.vec_id
+             |          WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.45),
+             |edges AS (SELECT da AS a, db AS b FROM pairs
+             |          UNION ALL SELECT db, da FROM pairs),
+             |reach(a, b) AS (SELECT a, a FROM (SELECT DISTINCT a FROM edges) t
+             |                UNION
+             |                SELECT r.a, e2.b FROM reach r JOIN edges e2 ON r.b = e2.a),
+             |labeled AS (SELECT a AS node, min(b) AS cluster_rep FROM reach GROUP BY a)
+             |SELECT CAST(e.label AS BIGINT) AS label, count(*) AS n,
+             |       count(*) FILTER (WHERE l.node IS NULL OR l.cluster_rep = e.vec_id) AS n_kept
+             |FROM e LEFT JOIN labeled l ON e.vec_id = l.node
+             |GROUP BY 1
+             |ORDER BY 1""".stripMargin)),
+
     // ---- E3 scale path: IVF-bucketed approximate NN (rows-only check) -----
     Q(
       "q42_embed_ivf_ann",

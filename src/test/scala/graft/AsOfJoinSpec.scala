@@ -1,0 +1,77 @@
+package graft
+
+import graft.plans.AsOf
+import org.apache.spark.sql.classic
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The custom as-of join operator: semantics on crafted frames, physical
+  * plan shape (exchanges + the custom exec), and full-fixture
+  * equivalence against the window-function encoding it replaces.
+  */
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def quotes = Seq(
+    ("ACME", 100L, 10.0), ("ACME", 200L, 11.0), ("ACME", 200L, 11.5),
+    ("BETA", 150L, 20.0)
+  ).toDF("q_sym", "q_t", "px")
+
+  test("backward as-of: latest quote at-or-before each trade; outer nulls") {
+    val trades = Seq(
+      ("ACME", 90L, 1L),   // before any quote -> null
+      ("ACME", 100L, 2L),  // exact match at 100
+      ("ACME", 250L, 3L),  // latest tied quote at 200 wins (11.5)
+      ("BETA", 150L, 4L),  // equal time matches
+      ("GAMA", 500L, 5L)   // no quotes for key -> null
+    ).toDF("sym", "t", "trade_id")
+    val out = AsOf.joinBackward(trades, quotes,
+        keys = Seq("sym" -> "q_sym"), time = "t" -> "q_t")
+      .select(col("trade_id"), col("px"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(out == Map(1L -> None, 2L -> Some(10.0), 3L -> Some(11.5),
+                      4L -> Some(20.0), 5L -> None))
+  }
+
+  test("physical plan: AsOfJoinExec with co-partitioning exchanges") {
+    val trades = Seq(("ACME", 100L, 1L)).toDF("sym", "t", "trade_id")
+    val df = AsOf.joinBackward(trades, quotes,
+      keys = Seq("sym" -> "q_sym"), time = "t" -> "q_t")
+    // AQE wraps the plan, so assert on the rendered tree
+    val s = df.asInstanceOf[classic.Dataset[_]].queryExecution.executedPlan.toString
+    assert(s.contains("AsOfJoin"), s)
+    assert("Exchange hashpartitioning".r.findAllIn(s).size >= 2, s) // both sides clustered
+    assert(s.contains("Sort ["), s)                                 // (key, time) sorts inserted
+  }
+
+  test("matches the window-function as-of encoding on the events fixture") {
+    val e = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+              unix_micros(col("ts")).as("us"))
+    // window encoding (q44 shape, micros precision)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val windowed = e
+      .withColumn("last_view",
+        max(when(col("event_type") === "view", col("us"))).over(w))
+      .where(col("event_type") === "purchase" && col("last_view").isNotNull)
+      .select(col("event_id"), (col("us") - col("last_view")).as("lag_us"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    val p = e.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("us"))
+    val v = e.where(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("us").as("v_us"))
+    val asof = AsOf.joinBackward(p, v,
+        keys = Seq("user_id" -> "v_user"), time = "us" -> "v_us")
+      .where(col("v_us").isNotNull)
+      .select(col("event_id"), (col("us") - col("v_us")).as("lag_us"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    assert(asof.size == windowed.size)
+    assert(asof == windowed)
+    assert(asof.nonEmpty)
+  }
+}
