@@ -21,25 +21,26 @@ import org.apache.spark.unsafe.types.UTF8String
 object TextHash {
   final val Mod = 1000000007L
 
-  def polyHash(s: UTF8String): Long = {
+  def polyHash(s: UTF8String, base: Int): Long = {
     var h = 0L
     val it = s.toString.codePoints().iterator()
-    while (it.hasNext) h = (h * 31 + it.nextInt()) % Mod
+    while (it.hasNext) h = (h * base + it.nextInt()) % Mod
     h
   }
 }
 
-case class PolyHash(child: Expression) extends UnaryExpression {
+case class PolyHash(child: Expression, base: Int = 31) extends UnaryExpression {
   override def dataType: DataType = LongType
   override protected def nullSafeEval(v: Any): Any =
-    TextHash.polyHash(v.asInstanceOf[UTF8String])
+    TextHash.polyHash(v.asInstanceOf[UTF8String], base)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.polyHash($c)")
-  override protected def withNewChildInternal(c: Expression): PolyHash = copy(c)
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.polyHash($c, $base)")
+  override protected def withNewChildInternal(c: Expression): PolyHash =
+    copy(child = c)
   override def prettyName: String = "poly_hash"
 }
 
 object PolyHash {
-  def polyHash(c: Column): Column =
-    ColumnBridge.column(PolyHash(ColumnBridge.expression(c)))
+  def polyHash(c: Column, base: Int = 31): Column =
+    ColumnBridge.column(PolyHash(ColumnBridge.expression(c), base))
 }

@@ -69,6 +69,53 @@ object TextOps {
   private val stopWords = Seq("the", "a", "of", "and", "to", "in")
   private val stopList = stopWords.map(w => s"'$w'").mkString(", ")
 
+  /** 32 affine minhash transforms (a, b) drawn once from a fixed seed —
+    * shared verbatim by the Spark plan and the DuckDB oracle of q70.
+    */
+  private val minhashParams: Seq[(Int, Long, Long)] = {
+    val rng = new java.util.Random(2024L)
+    (0 until 32).map(i =>
+      (i, 1L + rng.nextInt(1000000006).toLong, rng.nextInt(1000000007).toLong))
+  }
+
+  private def minhashOracleSql: String = {
+    val paramValues =
+      minhashParams.map { case (i, a, b) => s"($i, $a, $b)" }.mkString(", ")
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |shs AS (SELECT DISTINCT doc_id,
+       |          unnest(list_transform(range(1, len(t) - 1),
+       |                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+       |        FROM toks WHERE len(t) >= 3),
+       |shp AS (SELECT doc_id,
+       |          list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |            list_transform(range(1, len(sh) + 1), j -> CAST(unicode(sh[j]) AS BIGINT))),
+       |            (acc, x) -> (acc * 31 + x) % 1000000007) AS p1,
+       |          list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |            list_transform(range(1, len(sh) + 1), j -> CAST(unicode(sh[j]) AS BIGINT))),
+       |            (acc, x) -> (acc * 131 + x) % 1000000007) AS p2
+       |        FROM shs),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM shp GROUP BY doc_id),
+       |params(i, a, b) AS (VALUES $paramValues),
+       |sig AS (SELECT doc_id, i,
+       |          min((a * ((p1 * 1000003 + p2) % 1000000007) + b) % 1000000007) AS m
+       |        FROM shp, params GROUP BY doc_id, i),
+       |bands AS (SELECT doc_id, i // 4 AS band, list(m ORDER BY i) AS key
+       |          FROM sig GROUP BY doc_id, i // 4),
+       |cand AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+       |         FROM bands x JOIN bands y
+       |           ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
+       |common AS (SELECT da, db, count(*) AS cmn
+       |           FROM cand
+       |           JOIN shp sa ON da = sa.doc_id
+       |           JOIN shp sb ON db = sb.doc_id AND sa.p1 = sb.p1 AND sa.p2 = sb.p2
+       |           GROUP BY da, db)
+       |SELECT da AS doc_a, db AS doc_b,
+       |       round(cmn * 1.0 / (sa.n + sb.n - cmn), 4) AS jac
+       |FROM common JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
+       |WHERE round(cmn * 1.0 / (sa.n + sb.n - cmn), 4) >= 0.8
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   /** Exact near-dup pairs at the given Jaccard threshold. All-pairs via
     * the shingle equi-join; set sizes ride along with each shingle row,
     * so the whole computation is two shuffles (join + pair groupBy).
@@ -348,6 +395,73 @@ object TextOps {
              |FROM winnowed
              |GROUP BY doc_id
              |ORDER BY doc_id""".stripMargin)),
+
+    // ---- E2: MinHash+LSH with a FULL DuckDB oracle ------------------------
+    // Same banded-minhash pipeline as q35, but every hash is engine-
+    // portable: shingle identity is a dual polynomial hash (bases
+    // 31/131 mod 1e9+7 — pairwise collisions ~1e-18, so set sizes and
+    // intersections are exact), minhash rows are affine transforms with
+    // constants embedded in BOTH the Spark plan and the generated SQL.
+    // DuckDB replays signatures, banding, candidates, and the exact
+    // rescore bit-for-bit — an oracle over the whole LSH algorithm, not
+    // just its output shape.
+    Q(
+      "q70_docs_minhash_portable",
+      (s, d) => {
+        import graft.functions.PolyHash.polyHash
+        val P = graft.functions.TextHash.Mod
+        val toks = docs(s, d)
+          .repartition(col("doc_id"))
+          .select(col("doc_id"),
+                  posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        val withSh = toks
+          .withColumn("l1", lead(col("tok"), 1).over(w))
+          .withColumn("l2", lead(col("tok"), 2).over(w))
+          .where(col("l2").isNotNull)
+          .withColumn("shs", concat_ws(" ", col("tok"), col("l1"), col("l2")))
+          .select(col("doc_id"), polyHash(col("shs")).as("p1"),
+                  polyHash(col("shs"), 131).as("p2"))
+          .distinct()
+        val sizes = withSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        // 32 mins as separate aggregate columns: the whole signature is
+        // map-side partial-aggregated (one codegen'd hash-agg), so the
+        // exchange carries one 33-column row per doc — not the
+        // 32x-exploded shingle rows a (shingle x param) join would.
+        val minCols = minhashParams.map { case (i, a, b) =>
+          min((lit(a) * col("h") + lit(b)) % P).as(s"m$i") }
+        val sig = withSh
+          .withColumn("h", (col("p1") * 1000003L + col("p2")) % P)
+          .groupBy(col("doc_id"))
+          .agg(minCols.head, minCols.tail: _*)
+        val bandArr = array((0 until 8).map(b =>
+          struct(lit(b).as("band"),
+                 array((0 until 4).map(j => col(s"m${b * 4 + j}")): _*).as("key"))): _*)
+        // explode_outer, not explode: see `shingles` Scaladoc
+        val bands = sig
+          .select(col("doc_id"), explode_outer(bandArr).as("bk"))
+          .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+        val cand = bands.as("x").join(bands.as("y"),
+            col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+          .distinct()
+        val common = cand
+          .join(withSh.as("sa"), col("da") === col("sa.doc_id"))
+          .join(withSh.as("sb"), col("db") === col("sb.doc_id") &&
+            col("sa.p1") === col("sb.p1") && col("sa.p2") === col("sb.p2"))
+          .groupBy(col("da"), col("db"))
+          .agg(count(lit(1)).as("cmn"))
+        common
+          .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
+          .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+          .withColumn("jac",
+            round(col("cmn") * lit(1.0) / (col("na") + col("nb") - col("cmn")), 4))
+          .where(col("jac") >= 0.8)
+          .select(col("da").as("doc_a"), col("db").as("doc_b"), col("jac"))
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some(minhashOracleSql)),
 
     // ---- E2: near-dup clusters via large-star/small-star CC ---------------
     // Connected components over the near-dup pair graph: each doc's label

@@ -19,6 +19,15 @@ class OpsSpec extends SparkSpec {
     assert(lsh == exact, s"missed pairs: ${exact -- lsh}")
   }
 
+  test("portable MinHash (q70) finds the same pairs as exact Jaccard") {
+    val exact = Registry.byName("q34_docs_jaccard_pairs").run(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val port = Registry.byName("q70_docs_minhash_portable").run(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(port.subsetOf(exact)) // exact rescore: no false positives
+    assert(port == exact, s"missed: ${exact -- port}")
+  }
+
   test("SimHash flags the closest near-duplicates within its threshold") {
     val exact = Registry.byName("q34_docs_jaccard_pairs").run(spark, sfDir)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
