@@ -58,6 +58,33 @@ object Load {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Compact a parquet store's accumulated small files (the by-product
+    * of every incremental append pattern — daily loads, streaming
+    * foreachBatch): rewrite to ceil(bytes / targetFileBytes) files via a
+    * temp directory + atomic-ish swap. At warehouse scale this is the
+    * maintenance job that keeps scan task counts proportional to data
+    * size instead of append count.
+    *
+    * @return (files before, files after)
+    */
+  def compact(spark: SparkSession, path: String,
+              targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    val hadoopPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFiles(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] =
+      fs.listStatus(p).toSeq.filter(f =>
+        f.isFile && !f.getPath.getName.startsWith("_"))
+    val before = dataFiles(hadoopPath)
+    val totalBytes = before.map(_.getLen).sum
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    val tmp = new org.apache.hadoop.fs.Path(path + "__compact_tmp")
+    spark.read.parquet(path).repartition(nOut)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    fs.delete(hadoopPath, true)
+    fs.rename(tmp, hadoopPath)
+    (before.size, dataFiles(hadoopPath).size)
+  }
+
   /** Idempotent file-set load: process only files not yet in the tracker,
     * append results, then mark them. Exactly the reference's
     * `is_file_loaded`/`mark_file_loaded` semantics, as one anti-join.

@@ -124,7 +124,19 @@ object PipelineOps {
                round(avg(element_at(col("features"), 3)), 4).as("avg_mean_byte"))
           .orderBy(col("lang"))
       },
-      None),
+      // The stub decoder's surfaced features are pure byte statistics, so
+      // DuckDB can recompute them from the text: payload = UTF-8 bytes,
+      // mean byte = mean codepoint on this ASCII corpus (the oracle
+      // fails loudly if a non-ASCII fixture ever lands).
+      Some("""SELECT lang, count(*) AS n,
+             |       CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+             |       round(avg(CASE WHEN len(text) = 0 THEN 0
+             |                 ELSE list_sum(list_transform(range(1, len(text) + 1),
+             |                        i -> CAST(unicode(text[i]) AS BIGINT))) * 1.0
+             |                      / len(text) END), 4) AS avg_mean_byte
+             |FROM documents
+             |GROUP BY lang
+             |ORDER BY lang""".stripMargin)),
 
     // ---- E6: Structured Streaming hourly windows, DuckDB-checked ----------
     // Runs the real readStream file source to completion against a memory

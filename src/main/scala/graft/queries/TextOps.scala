@@ -78,6 +78,42 @@ object TextOps {
       (i, 1L + rng.nextInt(1000000006).toLong, rng.nextInt(1000000007).toLong))
   }
 
+  /** q71's oracle: the identical 60-bit simhash + 4x15-bit pigeonhole
+    * banding, generated with one bit-sum column per signature bit.
+    */
+  private def simhashOracleSql: String = {
+    val bitSums = (0 until 60).map { j =>
+      val (src, sh) = if (j < 30) ("p1", j) else ("p2", j - 30)
+      s"sum(CASE WHEN ($src >> $sh) & 1 = 1 THEN 1 ELSE -1 END) AS b$j"
+    }.mkString(",\n       |            ")
+    val sigExpr = (0 until 60).map(j =>
+      s"(CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+    s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+       |              FROM documents),
+       |shp AS (SELECT doc_id,
+       |          list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |            list_transform(range(1, len(tok) + 1), j -> CAST(unicode(tok[j]) AS BIGINT))),
+       |            (acc, x) -> (acc * 31 + x) % 1000000007) AS p1,
+       |          list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |            list_transform(range(1, len(tok) + 1), j -> CAST(unicode(tok[j]) AS BIGINT))),
+       |            (acc, x) -> (acc * 131 + x) % 1000000007) AS p2
+       |        FROM toks WHERE tok <> ''),
+       |bitsums AS (SELECT doc_id,
+       |            $bitSums
+       |            FROM shp GROUP BY doc_id),
+       |sig AS (SELECT doc_id, $sigExpr AS sig FROM bitsums),
+       |blocked AS (SELECT doc_id, sig, k, (sig >> (15 * k)) & 32767 AS block
+       |            FROM (SELECT doc_id, sig, unnest(range(4)) AS k FROM sig)),
+       |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |                x.sig AS sa, y.sig AS sb
+       |         FROM blocked x JOIN blocked y
+       |           ON x.k = y.k AND x.block = y.block AND x.doc_id < y.doc_id)
+       |SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+       |FROM cand
+       |WHERE bit_count(xor(sa, sb)) <= 3
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   private def minhashOracleSql: String = {
     val paramValues =
       minhashParams.map { case (i, a, b) => s"($i, $a, $b)" }.mkString(", ")
@@ -462,6 +498,59 @@ object TextOps {
           .orderBy(col("doc_a"), col("doc_b"))
       },
       Some(minhashOracleSql)),
+
+    // ---- E2: SimHash with a FULL DuckDB oracle ----------------------------
+    // 60-bit simhash from the dual portable token hashes (bits 0-29 from
+    // the base-31 poly, 30-59 from base-131), pigeonhole banding into 4
+    // 15-bit blocks (hamming <= 3 ⇒ at least one block equal), exact
+    // hamming verification on candidates. Every step is plain integer
+    // arithmetic, so the oracle replays the WHOLE algorithm.
+    Q(
+      "q71_docs_simhash_portable",
+      (s, d) => {
+        import graft.functions.PolyHash.polyHash
+        // token MULTISET (no distinct): frequency weighting is what
+        // separates docs drawn from a shared vocabulary — a set-based
+        // simhash collapses them all to near-identical signatures
+        val toks = docs(s, d)
+          .repartition(col("doc_id"))
+          .select(col("doc_id"), explode_outer(split(col("text"), " ")).as("tok"))
+          .where(col("tok").isNotNull && col("tok") =!= "")
+          .select(col("doc_id"), polyHash(col("tok")).as("p1"),
+                  polyHash(col("tok"), 131).as("p2"))
+        val bitCols = (0 until 60).map { j =>
+          val src = if (j < 30) col("p1") else col("p2")
+          val sh = if (j < 30) j else j - 30
+          sum(when(shiftright(src, sh).bitwiseAND(lit(1L)) === 1L, 1L)
+            .otherwise(-1L)).as(s"b$j")
+        }
+        val sig = toks.groupBy(col("doc_id"))
+          .agg(bitCols.head, bitCols.tail: _*)
+          .select(col("doc_id"),
+            (0 until 60).map(j =>
+              when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+              .reduce(_ + _).as("sig"))
+        // explode_outer, not explode: see `shingles` Scaladoc
+        val blocked = sig.select(col("doc_id"), col("sig"),
+            explode_outer(array((0 until 4).map(k =>
+              struct(lit(k).as("k"),
+                shiftright(col("sig"), 15 * k).bitwiseAND(lit(0x7fffL)).as("block"))): _*))
+              .as("kb"))
+          .select(col("doc_id"), col("sig"), col("kb.k").as("k"), col("kb.block").as("block"))
+        val cand = blocked.as("x").join(blocked.as("y"),
+            col("x.k") === col("y.k") && col("x.block") === col("y.block") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+                  col("x.sig").as("sa"), col("y.sig").as("sb"))
+          .distinct()
+        cand
+          .withColumn("hamming",
+            bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long"))
+          .where(col("hamming") <= 3)
+          .select(col("doc_a"), col("doc_b"), col("hamming"))
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some(simhashOracleSql)),
 
     // ---- E2: near-dup clusters via large-star/small-star CC ---------------
     // Connected components over the near-dup pair graph: each doc's label

@@ -34,5 +34,14 @@ class DailyJobSpec extends SparkSpec {
     assert(stream1 == n, s"stream store $stream1 != batch store $n")
     DailyJob.runStreaming(spark, work)
     assert(spark.read.parquet(s"$work/stream_store").count() == n)
+
+    // maintenance: incremental appends leave one file set per day;
+    // compaction rewrites them into size-targeted files, rows intact
+    val (before, after) = graft.pipeline.Load.compact(spark, s"$work/store")
+    assert(before > 1, s"expected multiple appended files, saw $before")
+    assert(after == 1, s"tiny store should compact to one file, got $after")
+    val compacted = spark.read.parquet(s"$work/store")
+    assert(compacted.count() == n)
+    assert(compacted.columns.toSeq == store.columns.toSeq)
   }
 }

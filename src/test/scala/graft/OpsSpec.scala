@@ -41,6 +41,14 @@ class OpsSpec extends SparkSpec {
     assert(simPairs.intersect(exact).nonEmpty)
   }
 
+  test("portable SimHash (q71) keeps threshold semantics and finds planted dups") {
+    val out = Registry.byName("q71_docs_simhash_portable").run(spark, sfDir).collect()
+    assert(out.forall(_.getLong(2) <= 3))
+    val pairs = out.map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the corpus's tightest planted near-dup pair (see the q36 test)
+    assert(pairs.contains((12L, 360L)), s"got ${pairs.size} pairs")
+  }
+
   test("cosine top-k: identical vectors rank first with cos 1.0") {
     val e = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
