@@ -168,6 +168,52 @@ object VectorOps {
              |GROUP BY 1
              |ORDER BY 1""".stripMargin)),
 
+    // ---- E3: per-label centroid + medoid (cluster summarization) ----------
+    // The curation primitive behind "pick one representative per
+    // cluster": element-wise mean centroid per label (tiny, broadcast),
+    // then the medoid = member with max cosine to its centroid (rounded,
+    // vec_id tie-break). Fully oracle-checked.
+    Q(
+      "q72_embed_label_medoid",
+      (s, d) => {
+        val e = withNorm(s, d)
+        val cent = e
+          .select(col("label").cast("long").as("label"), posexplode(col("v")).as(Seq("i", "x")))
+          .groupBy(col("label"), col("i")).agg(avg(col("x")).as("m"))
+          .groupBy(col("label"))
+          .agg(expr("transform(array_sort(collect_list(struct(i, m))), s -> s.m)")
+            .as("cv"))
+          .withColumn("cn2", squaredNorm(col("cv")))
+        val scored = e.withColumn("label", col("label").cast("long"))
+          .join(broadcast(cent), "label")
+          .withColumn("cos_r",
+            round(dot("v", "cv") / sqrt(col("n2") * col("cn2")), 4))
+        val w = Window.partitionBy(col("label"))
+          .orderBy(col("cos_r").desc, col("vec_id"))
+        scored.withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1)
+          .select(col("label"), col("vec_id").as("medoid_id"),
+                  col("cos_r").as("medoid_cos"))
+          .orderBy(col("label"))
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+             |                  CAST(label AS BIGINT) AS label FROM embeddings),
+             |cent AS (SELECT label, list(m ORDER BY i) AS cv
+             |         FROM (SELECT label, i, avg(v[i]) AS m
+             |               FROM e, unnest(range(1, 65)) AS r(i)
+             |               GROUP BY label, i)
+             |         GROUP BY label),
+             |scored AS (SELECT e.label, e.vec_id,
+             |                  round(list_cosine_similarity(e.v, cent.cv), 4) AS cos_r
+             |           FROM e JOIN cent USING (label)),
+             |rk AS (SELECT label, vec_id, cos_r,
+             |              row_number() OVER (PARTITION BY label
+             |                                 ORDER BY cos_r DESC, vec_id) AS rn
+             |       FROM scored)
+             |SELECT label, vec_id AS medoid_id, cos_r AS medoid_cos
+             |FROM rk WHERE rn = 1
+             |ORDER BY label""".stripMargin)),
+
     // ---- E3 scale path: IVF-bucketed approximate NN (rows-only check) -----
     Q(
       "q42_embed_ivf_ann",
