@@ -1,0 +1,32 @@
+package graft.plans
+
+import graft.functions.{DotProduct, PolyHash, SquaredNorm, TitleCase}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** The library's `spark.sql.extensions` entry point:
+  *
+  * {{{
+  * SparkSession.builder()
+  *   .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+  * }}}
+  *
+  * registers the custom planner strategy (as-of join) and the custom
+  * expression functions at session build time — no imperative
+  * `registerAll`/`ensureStrategy` calls needed, and SQL-only users get
+  * `title_case` / `dot_product` / `squared_norm` / `poly_hash` for free.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def fn(name: String, builder: Seq[Expression] => Expression) =
+    (FunctionIdentifier(name), new ExpressionInfo("graft", name), builder)
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    ext.injectFunction(fn("title_case", exprs => TitleCase(exprs.head)))
+    ext.injectFunction(fn("dot_product", exprs => DotProduct(exprs(0), exprs(1))))
+    ext.injectFunction(fn("squared_norm", exprs => SquaredNorm(exprs.head)))
+    ext.injectFunction(fn("poly_hash", exprs => PolyHash(exprs.head)))
+  }
+}

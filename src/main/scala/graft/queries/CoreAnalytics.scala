@@ -607,7 +607,7 @@ object CoreAnalytics {
              |WHERE rn <= 3
              |ORDER BY c_mktsegment, o_totalprice DESC, o_orderkey""".stripMargin)),
 
-    // ---- keyset-stable pagination (BI table pages) -----------------------
+    // ---- offset pagination (BI table pages; shallow pages only) ----------
     Q(
       "q64_pagination",
       (s, d) =>
@@ -620,6 +620,41 @@ object CoreAnalytics {
              |FROM orders
              |ORDER BY o_totalprice DESC, o_orderkey
              |LIMIT 10 OFFSET 10""".stripMargin)),
+
+    // ---- keyset pagination: the deep-page shape ---------------------------
+    // offset-N pagination materializes and discards N rows per page (a
+    // driver-side CollectLimit — fine at page 2, pathological at page
+    // 10,000). The keyset form seeks from the last row of the previous
+    // page via a sargable predicate on the (totalprice, orderkey)
+    // cursor, so every page is filter + top-k no matter how deep. Here:
+    // the page AFTER the cursor row (q64's last row computed inline, so
+    // the oracle stays self-contained).
+    Q(
+      "q64b_keyset_page",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_totalprice"))
+        // cursor = last row of page 2 in (price DESC, key ASC) order
+        val cur = o.orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .offset(19).limit(1)
+          .select(col("o_totalprice").as("c_price"), col("o_orderkey").as("c_key"))
+        o.join(broadcast(cur),
+            col("o_totalprice") < col("c_price") ||
+              (col("o_totalprice") === col("c_price") && col("o_orderkey") > col("c_key")))
+          .select(col("o_orderkey"), col("o_totalprice"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .limit(10)
+      },
+      Some("""WITH cur AS (SELECT o_totalprice AS c_price, o_orderkey AS c_key
+             |             FROM orders
+             |             ORDER BY o_totalprice DESC, o_orderkey
+             |             LIMIT 1 OFFSET 19)
+             |SELECT o_orderkey, o_totalprice
+             |FROM orders, cur
+             |WHERE o_totalprice < c_price
+             |   OR (o_totalprice = c_price AND o_orderkey > c_key)
+             |ORDER BY o_totalprice DESC, o_orderkey
+             |LIMIT 10""".stripMargin)),
 
     // ---- RANGE-frame window: true 7-calendar-day rolling sum -------------
     // Unlike q22's ROWS frame (last 7 observations), a RANGE frame over

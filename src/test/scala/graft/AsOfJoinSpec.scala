@@ -45,6 +45,33 @@ class AsOfJoinSpec extends SparkSpec {
     assert(s.contains("Sort ["), s)                                 // (key, time) sorts inserted
   }
 
+  test("spark.sql.extensions wires the strategy and SQL functions declaratively") {
+    // The shared session is built with
+    // spark.sql.extensions=graft.plans.GraftExtensions (SparkSpec) and
+    // this suite never calls registerAll — the functions and the
+    // planner strategy must come from the extensions class alone.
+    // (Setting the static conf on a builder that reuses an existing
+    // SparkContext is silently ignored, so the conf must be on the
+    // FIRST session of the JVM — which is exactly the production shape.)
+    assert(spark.sql("SELECT title_case('ai engineer') AS t")
+      .collect()(0).getString(0) == "Ai Engineer")
+    assert(spark.sql("SELECT poly_hash('abc') AS h").collect()(0).getLong(0) ==
+      graft.functions.TextHash.polyHash(
+        org.apache.spark.unsafe.types.UTF8String.fromString("abc"), 31))
+    // strategy registered: a hand-built AsOfJoinPlan plans and runs
+    // without AsOf's ensureStrategy fallback
+    val t = Seq(("A", 100L, 1L)).toDF("sym", "t", "id")
+    val q = Seq(("A", 90L, 9.5)).toDF("q_sym", "q_t", "px")
+    import org.apache.spark.sql.graftbridge.DatasetBridge
+    val lp = DatasetBridge.analyzed(t)
+    val rp = DatasetBridge.analyzed(q)
+    val df = DatasetBridge.ofRows(spark, graft.plans.AsOfJoinPlan(
+      lp, rp,
+      Seq(lp.output.find(_.name == "sym").get), Seq(rp.output.find(_.name == "q_sym").get),
+      lp.output.find(_.name == "t").get, rp.output.find(_.name == "q_t").get))
+    assert(df.collect()(0).getDouble(5) == 9.5)
+  }
+
   test("matches the window-function as-of encoding on the events fixture") {
     val e = Tables.events(spark, sfDir)
       .select(col("event_id"), col("user_id"), col("event_type"),

@@ -8,6 +8,9 @@ object SharedSpark {
     val s = SparkSession.builder()
       .master("local[8]")
       .appName("graft-test")
+      // the declarative wiring under test in AsOfJoinSpec: strategies +
+      // SQL functions from the extensions class, no registerAll calls
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
