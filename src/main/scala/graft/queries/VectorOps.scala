@@ -214,6 +214,75 @@ object VectorOps {
              |FROM rk WHERE rn = 1
              |ORDER BY label""".stripMargin)),
 
+    // ---- E3 scale path 2: PRODUCT-QUANTIZED ANN (ADC scoring) -------------
+    // The memory-side scale technique IVF doesn't cover: vectors are
+    // stored as M=4 one-byte codes (nearest sub-centroid per 16-dim
+    // subspace, Lloyd-trained codebooks), queries score the whole corpus
+    // through a per-query lookup table of subspace dot products
+    // (asymmetric distance), and only the top approximate candidates are
+    // exact-rescored. At 100 TB the code table is ~2 orders of magnitude
+    // smaller than the raw vectors and the LUT join replaces every
+    // full-width dot product. Recall vs the exact top-k is pinned in
+    // OpsSpec (like IVF's).
+    Q(
+      "q73_embed_pq_ann",
+      (s, d) => {
+        val M = 4
+        val subDim = 16
+        val e = withNorm(s, d)
+        val cb = (0 until M).map { m =>
+          val em = e.select(col("vec_id"),
+              expr(s"slice(v, ${m * subDim + 1}, $subDim)").as("v"))
+            .withColumn("n2", squaredNorm(col("v")))
+          kmeansCentroids(em, 16, 1).select(lit(m).as("m"), col("c_id"), col("cv"))
+        }.reduce(_ unionByName _)
+          .withColumn("cn2", squaredNorm(col("cv")))
+          .localCheckpoint()
+        val subs = e.select(col("vec_id"), col("n2"), explode_outer(
+            array((0 until M).map(m => struct(lit(m).as("m"),
+              expr(s"slice(v, ${m * subDim + 1}, $subDim)").as("sv"))): _*)).as("ms"))
+          .select(col("vec_id"), col("n2"), col("ms.m").as("m"), col("ms.sv").as("sv"))
+        // encode: nearest sub-centroid by Euclidean (cn2 - 2·dot; |sv|² is
+        // constant within the argmin)
+        val codes = subs.join(broadcast(cb), "m")
+          .withColumn("score", col("cn2") - lit(2) * dotProduct(col("sv"), col("cv")))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("vec_id"), col("m"))
+              .orderBy(col("score"), col("c_id"))))
+          .where(col("rn") === 1)
+          .select(col("vec_id"), col("n2"), col("m"), col("c_id").as("code"))
+        // per-query LUT: dot(q_m, centroid) for all (m, centroid)
+        val lut = subs.where(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("m"), col("sv").as("qv"))
+          .join(broadcast(cb), "m")
+          .select(col("q_id"), col("m"), col("c_id").as("code"),
+                  dotProduct(col("qv"), col("cv")).as("pd"))
+        val qn = e.where(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("n2").as("qn2"))
+        val approx = codes.join(broadcast(lut), Seq("m", "code"))
+          .where(col("vec_id") =!= col("q_id"))
+          .groupBy(col("q_id"), col("vec_id"), col("n2"))
+          .agg(sum(col("pd")).as("adot"))
+          .join(broadcast(qn), "q_id")
+          .withColumn("ascore", col("adot") / sqrt(col("n2") * col("qn2")))
+        val cand = approx.withColumn("rn", row_number().over(
+            Window.partitionBy(col("q_id")).orderBy(col("ascore").desc, col("vec_id"))))
+          .where(col("rn") <= 25)
+          .select(col("q_id"), col("vec_id"))
+        // exact rescore of the approximate top-25, emit top-3
+        val qfull = e.where(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"), col("n2").as("qn2"))
+        cand.join(e.select(col("vec_id"), col("v"), col("n2")), "vec_id")
+          .join(broadcast(qfull), "q_id")
+          .withColumn("cos_r", round(dot("v", "qv") / sqrt(col("n2") * col("qn2")), 4))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("q_id")).orderBy(col("cos_r").desc, col("vec_id"))))
+          .where(col("rn") <= 3)
+          .select(col("q_id"), col("vec_id").as("n_id"), col("cos_r"))
+          .orderBy(col("q_id"), col("cos_r").desc, col("n_id"))
+      },
+      None),
+
     // ---- E3 scale path: IVF-bucketed approximate NN (rows-only check) -----
     Q(
       "q42_embed_ivf_ann",

@@ -88,6 +88,23 @@ class OpsSpec extends SparkSpec {
     assert(hits >= (total * 0.8).toInt, s"IVF recall $hits/$total below 80%")
   }
 
+  test("PQ ANN recall: >= 60% of ADC top-3 are true top-5 neighbors") {
+    // 4x16 Lloyd-trained codebooks + asymmetric-distance scoring +
+    // exact rescore of the top-25 candidates: measured 24/30 at
+    // sf0.001 (random top-3 would hit ~3%); floor pinned with headroom
+    // against codebook seed sensitivity.
+    val brute = Registry.byName("q40_embed_topk").run(spark, sfDir)
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val pq = Registry.byName("q73_embed_pq_ann").run(spark, sfDir)
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    assert(pq.keySet == (0L until 10L).toSet)
+    assert(pq.values.forall(_.size == 3))
+    val hits = pq.map { case (q, ids) => (ids & brute(q)).size }.sum
+    assert(hits >= 18, s"PQ recall $hits/30 below 60%")
+  }
+
   test("cap-pruned cosine dedup equals the brute-force self-join") {
     // CosineDedup's candidate pruning is complete by the spherical
     // triangle inequality; this checks end-to-end equality (ids AND
