@@ -25,7 +25,13 @@ object Bench {
     // engine, not first-call classloading
     SparkEntry.queries.get("q01_orders_kpis")
       .foreach(fn => fn(spark, sfDir).collect())
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=q70,...: time a subset (iteration loops; the
+    // driver's per-round run leaves it unset and times everything)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val picked = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val results = picked.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).collect() }
       catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }

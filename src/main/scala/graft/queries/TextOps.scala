@@ -70,13 +70,11 @@ object TextOps {
   private val stopList = stopWords.map(w => s"'$w'").mkString(", ")
 
   /** 32 affine minhash transforms (a, b) drawn once from a fixed seed —
-    * shared verbatim by the Spark plan and the DuckDB oracle of q70.
+    * shared verbatim by the Spark kernel (graft.functions.MinHashParams)
+    * and the DuckDB oracle of q70.
     */
-  private val minhashParams: Seq[(Int, Long, Long)] = {
-    val rng = new java.util.Random(2024L)
-    (0 until 32).map(i =>
-      (i, 1L + rng.nextInt(1000000006).toLong, rng.nextInt(1000000007).toLong))
-  }
+  private val minhashParams: Seq[(Int, Long, Long)] =
+    graft.functions.MinHashParams.params
 
   /** q71's oracle: the identical 60-bit simhash + 4x15-bit pigeonhole
     * banding, generated with one bit-sum column per signature bit.
@@ -444,53 +442,45 @@ object TextOps {
     Q(
       "q70_docs_minhash_portable",
       (s, d) => {
-        import graft.functions.PolyHash.polyHash
-        val P = graft.functions.TextHash.Mod
-        val toks = docs(s, d)
-          .repartition(col("doc_id"))
-          .select(col("doc_id"),
-                  posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
-        val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-        val withSh = toks
-          .withColumn("l1", lead(col("tok"), 1).over(w))
-          .withColumn("l2", lead(col("tok"), 2).over(w))
-          .where(col("l2").isNotNull)
-          .withColumn("shs", concat_ws(" ", col("tok"), col("l1"), col("l2")))
-          .select(col("doc_id"), polyHash(col("shs")).as("p1"),
-                  polyHash(col("shs"), 131).as("p2"))
-          .distinct()
-        val sizes = withSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-        // 32 mins as separate aggregate columns: the whole signature is
-        // map-side partial-aggregated (one codegen'd hash-agg), so the
-        // exchange carries one 33-column row per doc — not the
-        // 32x-exploded shingle rows a (shingle x param) join would.
-        val minCols = minhashParams.map { case (i, a, b) =>
-          min((lit(a) * col("h") + lit(b)) % P).as(s"m$i") }
-        val sig = withSh
-          .withColumn("h", (col("p1") * 1000003L + col("p2")) % P)
-          .groupBy(col("doc_id"))
-          .agg(minCols.head, minCols.tail: _*)
+        import graft.functions.ShingleKernel.{minhashSig, shinglePacks}
+        // Per-row kernels (graft.functions.ShingleKernel): each doc's
+        // distinct shingle set and its whole 32-min signature are computed
+        // in one codegen'd pass over the text — no repartition, window
+        // sort, distinct or groupBy exchange before the band join. The
+        // size guard is on the cheap token count (any doc with >= 3
+        // tokens has >= 1 shingle), so the kernel is never evaluated
+        // inside a filter.
+        val base = docs(s, d)
+          .where(size(split(col("text"), " ")) >= 3)
+          .select(col("doc_id"), shinglePacks(col("text")).as("packs"))
+        val sig = base.select(col("doc_id"),
+                              size(col("packs")).cast("long").as("n"),
+                              minhashSig(col("packs")).as("sig"))
         val bandArr = array((0 until 8).map(b =>
-          struct(lit(b).as("band"),
-                 array((0 until 4).map(j => col(s"m${b * 4 + j}")): _*).as("key"))): _*)
+          struct(lit(b).as("band"), slice(col("sig"), b * 4 + 1, 4).as("key"))): _*)
         // explode_outer, not explode: see `shingles` Scaladoc
         val bands = sig
-          .select(col("doc_id"), explode_outer(bandArr).as("bk"))
-          .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+          .select(col("doc_id"), col("n"), explode_outer(bandArr).as("bk"))
+          .select(col("doc_id"), col("n"),
+                  col("bk.band").as("band"), col("bk.key").as("key"))
+        // shingle-set sizes ride along the band rows, so the rescore needs
+        // no extra joins against a sizes frame
         val cand = bands.as("x").join(bands.as("y"),
             col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
               col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+          .select(col("x.doc_id").as("da"), col("x.n").as("na"),
+                  col("y.doc_id").as("db"), col("y.n").as("nb"))
           .distinct()
+        val sh = base
+          .select(col("doc_id"), explode_outer(col("packs")).as("pack"))
+          .where(col("pack").isNotNull)
         val common = cand
-          .join(withSh.as("sa"), col("da") === col("sa.doc_id"))
-          .join(withSh.as("sb"), col("db") === col("sb.doc_id") &&
-            col("sa.p1") === col("sb.p1") && col("sa.p2") === col("sb.p2"))
-          .groupBy(col("da"), col("db"))
+          .join(sh.as("sa"), col("da") === col("sa.doc_id"))
+          .join(sh.as("sb"), col("db") === col("sb.doc_id") &&
+            col("sa.pack") === col("sb.pack"))
+          .groupBy(col("da"), col("db"), col("na"), col("nb"))
           .agg(count(lit(1)).as("cmn"))
         common
-          .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
-          .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
           .withColumn("jac",
             round(col("cmn") * lit(1.0) / (col("na") + col("nb") - col("cmn")), 4))
           .where(col("jac") >= 0.8)
