@@ -45,4 +45,49 @@ class SketchSpec extends SparkSpec {
     assert(math.abs(est - exact) / exact < 0.4,
       s"est=$est exact=$exact")
   }
+
+  test("Misra-Gries summary contains every item above n/(k+1)") {
+    // Zipf-ish stream: item i appears ~ 4000/i times; k=8 => threshold
+    // n/(k+1), which only the very frequent heads clear.
+    val stream = (1 to 60).flatMap(i => Seq.fill(4000 / i)(s"item_$i"))
+    val shuffled = new scala.util.Random(7).shuffle(stream)
+    val n = shuffled.size
+    val k = 8
+    val exactHH = shuffled.groupBy(identity).collect {
+      case (x, xs) if xs.size.toLong * (k + 1) > n => x
+    }.toSet
+    assert(exactHH.nonEmpty)
+    val cands = graft.ops.MisraGries.candidates(k, shuffled.iterator).toSet
+    assert(exactHH.subsetOf(cands), s"missing: ${exactHH -- cands}")
+    assert(cands.size <= k)
+  }
+
+  test("q75 two-pass result equals the direct full aggregation") {
+    val viaQuery = queries.Registry.byName("q75_heavy_hitters")
+      .run(spark, sfDir).collect().map(r => (r.getString(0), r.getLong(1)))
+    val toks = Tables.documents(spark, sfDir)
+      .select(explode_outer(split(col("text"), " ")).as("tok"))
+      .where(col("tok").isNotNull && col("tok") =!= "")
+    val n = toks.count()
+    val direct = toks.groupBy(col("tok")).agg(count(lit(1)).as("n_tok"))
+      .where(col("n_tok") * 31 > n)
+      .orderBy(desc("n_tok"), col("tok"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(viaQuery.toSeq === direct.toSeq)
+    assert(viaQuery.nonEmpty)
+  }
+
+  test("q76 priority sample is partition-invariant and weight-biased") {
+    val q = queries.Registry.byName("q76_weighted_sample")
+    val a = q.run(spark, sfDir).collect().map(_.toSeq)
+    val b = q.run(spark, sfDir).collect().map(_.toSeq) // replay = identical
+    assert(a.toSeq === b.toSeq)
+    assert(a.length === 20)
+    // weighted sampling must pull the sample's mean weight above the
+    // population mean (priorities scale with weight)
+    val sampleMean = a.map(_(1).asInstanceOf[Double]).sum / a.length
+    val popMean = Tables.orders(spark, sfDir)
+      .agg(avg(col("o_totalprice"))).head().getDouble(0)
+    assert(sampleMean > popMean)
+  }
 }
