@@ -140,6 +140,142 @@ object SketchOps {
              |             / ${P + 1}.0), 4) AS prio
              |  FROM orders)
              |ORDER BY prio DESC, o_orderkey
-             |LIMIT 20""".stripMargin))
+             |LIMIT 20""".stripMargin)),
+
+    // ---- Gopher/Dolma-style document quality filters ---------------------
+    // Per-doc quality metrics a pretraining pipeline gates on (Gopher
+    // rules, Rae et al. 2021 §A1.1): word count, mean word length,
+    // most-frequent-token dominance (repetition), stopword presence.
+    // One explode + two codegen'd hash aggregates — no windows, no HOFs;
+    // flag comparisons use the ROUNDED metric so both engines gate on
+    // the identical value. Thresholds chosen to split the fixture so
+    // every flag has both outcomes (nothing is vacuously true).
+    Q(
+      "q77_doc_quality_filters",
+      (s, d) => {
+        val stops = Seq("the", "a", "of", "and", "to", "in")
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"),
+                  explode_outer(split(col("text"), " ")).as("tok"))
+          .where(col("tok").isNotNull && col("tok") =!= "")
+        val perTok = toks.groupBy(col("doc_id"), col("lang"), col("tok"))
+          .agg(count(lit(1)).as("n"))
+        val perDoc = perTok.groupBy(col("doc_id"), col("lang"))
+          .agg(sum(col("n")).as("n_words"),
+               round(sum(col("n") * length(col("tok"))) / sum(col("n")), 4)
+                 .as("mean_word_len"),
+               max(col("n")).as("top_n"),
+               sum(when(col("tok").isin(stops: _*), col("n")).otherwise(0L))
+                 .as("n_stop"),
+               countDistinct(when(col("tok").isin(stops: _*), col("tok")))
+                 .as("n_stop_distinct"))
+        perDoc
+          .withColumn("frac_top", round(col("top_n") / col("n_words"), 4))
+          .withColumn("stop_ratio", round(col("n_stop") / col("n_words"), 4))
+          .withColumn("wc_ok", (col("n_words") >= 30).cast("long"))
+          .withColumn("mwl_ok",
+            (col("mean_word_len") >= 3 && col("mean_word_len") <= 5).cast("long"))
+          .withColumn("rep_ok", (col("frac_top") <= 0.15).cast("long"))
+          .withColumn("stop_ok", (col("n_stop_distinct") >= 2).cast("long"))
+          .withColumn("quality_pass",
+            (col("wc_ok") + col("mwl_ok") + col("rep_ok") + col("stop_ok") === 4L)
+              .cast("long"))
+          .select(col("doc_id"), col("lang"), col("n_words"),
+                  col("mean_word_len"), col("frac_top"), col("stop_ratio"),
+                  col("n_stop_distinct"), col("wc_ok"), col("mwl_ok"),
+                  col("rep_ok"), col("stop_ok"), col("quality_pass"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+             |              FROM documents),
+             |pt AS (SELECT doc_id, lang, tok, count(*) AS n
+             |       FROM toks WHERE tok <> '' GROUP BY doc_id, lang, tok),
+             |pd AS (SELECT doc_id, lang,
+             |         CAST(sum(n) AS BIGINT) AS n_words,
+             |         round(sum(n * len(tok)) / sum(n), 4) AS mean_word_len,
+             |         CAST(max(n) AS BIGINT) AS top_n,
+             |         CAST(sum(CASE WHEN tok IN ('the','a','of','and','to','in')
+             |                       THEN n ELSE 0 END) AS BIGINT) AS n_stop,
+             |         CAST(count(DISTINCT CASE WHEN tok IN ('the','a','of','and','to','in')
+             |                             THEN tok END) AS BIGINT) AS n_stop_distinct
+             |       FROM pt GROUP BY doc_id, lang),
+             |m AS (SELECT *,
+             |        round(top_n * 1.0 / n_words, 4) AS frac_top,
+             |        round(n_stop * 1.0 / n_words, 4) AS stop_ratio,
+             |        CASE WHEN n_words >= 30 THEN 1 ELSE 0 END AS wc_ok,
+             |        CASE WHEN mean_word_len BETWEEN 3 AND 5 THEN 1 ELSE 0 END AS mwl_ok,
+             |        CASE WHEN round(top_n * 1.0 / n_words, 4) <= 0.15 THEN 1 ELSE 0 END AS rep_ok,
+             |        CASE WHEN n_stop_distinct >= 2 THEN 1 ELSE 0 END AS stop_ok
+             |      FROM pd)
+             |SELECT doc_id, lang, n_words, mean_word_len, frac_top, stop_ratio,
+             |       n_stop_distinct,
+             |       CAST(wc_ok AS BIGINT) AS wc_ok, CAST(mwl_ok AS BIGINT) AS mwl_ok,
+             |       CAST(rep_ok AS BIGINT) AS rep_ok, CAST(stop_ok AS BIGINT) AS stop_ok,
+             |       CAST(CASE WHEN wc_ok + mwl_ok + rep_ok + stop_ok = 4
+             |                 THEN 1 ELSE 0 END AS BIGINT) AS quality_pass
+             |FROM m
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ---- C4-style cross-document span dedup ------------------------------
+    // C4 (Raffel et al. 2020 §2.2) removes any three-sentence span that
+    // occurs more than once in the corpus. This corpus has no sentence
+    // marks, so the span unit is a non-overlapping 5-token chunk: hash
+    // every chunk (portable polyhash), count DISTINCT docs per chunk
+    // value globally, and score each document by how much of it is
+    // cross-document boilerplate. Chunks are hashed to longs before the
+    // global count, so the wide shuffle moves 8-byte keys, and the
+    // doc-level rollup is a second small aggregate — two exchanges
+    // total, both on hashed keys.
+    Q(
+      "q78_span_dedup",
+      (s, d) => {
+        import graft.functions.PolyHash.polyHash
+        val cs = 5
+        val chunks = Tables.documents(s, d)
+          .withColumn("toks", split(col("text"), " "))
+          .withColumn("nc", ceil(size(col("toks")) / lit(cs.toDouble)).cast("long"))
+          .select(col("doc_id"),
+                  explode_outer(sequence(lit(0L), col("nc") - 1)).as("ci"),
+                  col("toks"))
+          .where(col("ci").isNotNull)
+          .select(col("doc_id"), col("ci"),
+                  polyHash(concat_ws(" ",
+                    slice(col("toks"), (col("ci") * cs + 1).cast("int"), lit(cs))))
+                    .as("ch"))
+        val global = chunks.groupBy(col("ch"))
+          .agg(countDistinct(col("doc_id")).as("nd"))
+        val scored = chunks.join(global, Seq("ch"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_chunks"),
+               sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup_chunks"))
+        scored
+          .withColumn("dup_ratio",
+            round(col("n_dup_chunks") / col("n_chunks"), 4))
+          .withColumn("keep", (col("dup_ratio") <= 0.5).cast("long"))
+          .select(col("doc_id"), col("n_chunks"), col("n_dup_chunks"),
+                  col("dup_ratio"), col("keep"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |c AS (SELECT doc_id,
+             |        unnest(generate_series(0, CAST(ceil(len(toks) / 5.0) AS BIGINT) - 1)) AS ci,
+             |        toks
+             |      FROM t),
+             |ch AS (SELECT doc_id, ci,
+             |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |           list_transform(range(1, len(array_to_string(list_slice(toks, ci*5+1, ci*5+5), ' ')) + 1),
+             |             j -> CAST(unicode(array_to_string(list_slice(toks, ci*5+1, ci*5+5), ' ')[j]) AS BIGINT))),
+             |           (acc, x) -> (acc * 31 + x) % 1000000007) AS ch
+             |       FROM c),
+             |g AS (SELECT ch, count(DISTINCT doc_id) AS nd FROM ch GROUP BY ch),
+             |sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+             |         CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks
+             |       FROM ch JOIN g USING (ch) GROUP BY doc_id)
+             |SELECT doc_id, n_chunks, n_dup_chunks,
+             |       round(n_dup_chunks * 1.0 / n_chunks, 4) AS dup_ratio,
+             |       CAST(CASE WHEN round(n_dup_chunks * 1.0 / n_chunks, 4) <= 0.5
+             |                 THEN 1 ELSE 0 END AS BIGINT) AS keep
+             |FROM sc
+             |ORDER BY doc_id""".stripMargin))
   )
 }

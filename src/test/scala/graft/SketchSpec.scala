@@ -90,4 +90,28 @@ class SketchSpec extends SparkSpec {
       .agg(avg(col("o_totalprice"))).head().getDouble(0)
     assert(sampleMean > popMean)
   }
+
+  test("q77 quality flags are non-vacuous (both outcomes occur)") {
+    // run at sf0.01 — the thresholds are tuned to split that corpus; the
+    // gate (selfcheck/driver) also verifies values there
+    val rows = queries.Registry.byName("q77_doc_quality_filters")
+      .run(spark, "/root/testdata/sf0.01").collect()
+    for (flag <- Seq("wc_ok", "mwl_ok", "rep_ok", "stop_ok", "quality_pass")) {
+      val vals = rows.map(_.getAs[Long](flag)).toSet
+      assert(vals === Set(0L, 1L), s"$flag is vacuous: $vals")
+    }
+  }
+
+  test("q78 finds cross-document boilerplate spans") {
+    val rows = queries.Registry.byName("q78_span_dedup")
+      .run(spark, "/root/testdata/sf0.01").collect()
+    assert(rows.map(_.getAs[Long]("n_dup_chunks")).sum > 0)
+    assert(rows.forall(r => r.getAs[Long]("n_dup_chunks") <= r.getAs[Long]("n_chunks")))
+    // chunk accounting: every token lands in exactly one chunk
+    val nChunks = rows.map(_.getAs[Long]("n_chunks")).sum
+    val expected = Tables.documents(spark, "/root/testdata/sf0.01")
+      .select(ceil(size(split(col("text"), " ")) / 5.0).cast("long").as("nc"))
+      .agg(sum(col("nc"))).head().getLong(0)
+    assert(nChunks === expected)
+  }
 }
