@@ -112,6 +112,92 @@ object TextOps {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** Powers tried by the integer log2 ladder (covers r up to 2^40 — far
+    * beyond any corpus/df ratio we'd meet).
+    */
+  private[queries] val log2Ladder: Seq[Int] = 1 to 40
+
+  /** 60-bit simhash signatures for a (doc_id, text) frame from the dual
+    * portable token hashes. With `idfWeighted` each occurrence counts
+    * 1 + floor(log2(N div df)) (integer log-damped idf — rare
+    * discriminative tokens drive the bits); without, every occurrence
+    * counts 1 (the q71 frequency weighting — robust for near-dup
+    * mining). Shared by q79 and IdfSimhashSpec's topical-separation
+    * evidence.
+    */
+  private[graft] def simhashSignatures(docsDf: org.apache.spark.sql.DataFrame,
+                                       idfWeighted: Boolean): org.apache.spark.sql.DataFrame = {
+    import graft.functions.PolyHash.polyHash
+    val toks = docsDf
+      .select(col("doc_id"), explode_outer(split(col("text"), " ")).as("tok"))
+      .where(col("tok").isNotNull && col("tok") =!= "")
+    val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("n"))
+    val weighted =
+      if (!idfWeighted) tf.withColumn("c", col("n"))
+      else {
+        val dfc = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+        val nDocs = docsDf.agg(count(lit(1)).as("n_docs"))
+        val r = expr("n_docs div df")
+        val idf = dfc.crossJoin(nDocs)
+          .withColumn("w",
+            lit(1L) + log2Ladder.foldLeft(lit(0L)) {
+              case (acc, p) => when(r >= (1L << p), lit(p.toLong)).otherwise(acc)
+            })
+          .select(col("tok"), col("w"))
+        tf.join(broadcast(idf), Seq("tok")).withColumn("c", col("n") * col("w"))
+      }
+    val contrib = weighted
+      .select(col("doc_id"), col("c"),
+              polyHash(col("tok")).as("p1"), polyHash(col("tok"), 131).as("p2"))
+    val bitCols = (0 until 60).map { j =>
+      val src = if (j < 30) col("p1") else col("p2")
+      val sh = if (j < 30) j else j - 30
+      sum(when(shiftright(src, sh).bitwiseAND(lit(1L)) === 1L, col("c"))
+        .otherwise(-col("c"))).as(s"b$j")
+    }
+    contrib.groupBy(col("doc_id"))
+      .agg(bitCols.head, bitCols.tail: _*)
+      .select(col("doc_id"),
+        (0 until 60).map(j =>
+          when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ + _).as("sig"))
+  }
+
+  /** q79's oracle: identical weighted 60-bit simhash, with the integer
+    * idf weight 1 + floor(log2(N div df)) applied to every occurrence.
+    */
+  private def idfSimhashOracleSql: String = {
+    val bitSums = (0 until 60).map { j =>
+      val (src, sh) = if (j < 30) ("p1", j) else ("p2", j - 30)
+      s"sum(CASE WHEN ($src >> $sh) & 1 = 1 THEN c ELSE -c END) AS b$j"
+    }.mkString(",\n       |            ")
+    val sigExpr = (0 until 60).map(j =>
+      s"(CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+    val ladderSql = log2Ladder.reverse.map(p =>
+      s"WHEN n_docs // df >= ${1L << p} THEN $p").mkString(" ")
+    s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+       |              FROM documents),
+       |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS n
+       |       FROM toks WHERE tok <> '' GROUP BY doc_id, tok),
+       |dfc AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+       |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+       |idf AS (SELECT tok, 1 + (CASE $ladderSql ELSE 0 END) AS w FROM dfc, nd),
+       |contrib AS (SELECT tf.doc_id, tf.n * idf.w AS c,
+       |          list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |            list_transform(range(1, len(tf.tok) + 1), j -> CAST(unicode(tf.tok[j]) AS BIGINT))),
+       |            (acc, x) -> (acc * 31 + x) % 1000000007) AS p1,
+       |          list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |            list_transform(range(1, len(tf.tok) + 1), j -> CAST(unicode(tf.tok[j]) AS BIGINT))),
+       |            (acc, x) -> (acc * 131 + x) % 1000000007) AS p2
+       |        FROM tf JOIN idf USING (tok)),
+       |bitsums AS (SELECT doc_id,
+       |            $bitSums
+       |            FROM contrib GROUP BY doc_id),
+       |sig AS (SELECT doc_id, $sigExpr AS sig FROM bitsums)
+       |SELECT doc_id, sig FROM sig
+       |ORDER BY doc_id""".stripMargin
+  }
+
   private def minhashOracleSql: String = {
     val paramValues =
       minhashParams.map { case (i, a, b) => s"($i, $a, $b)" }.mkString(", ")
@@ -541,6 +627,28 @@ object TextOps {
           .orderBy(col("doc_a"), col("doc_b"))
       },
       Some(simhashOracleSql)),
+
+    // ---- E2: idf-weighted SimHash signatures (full oracle) ----------------
+    // q71 weights every token occurrence equally — the right call for
+    // near-dup mining (a near-dup pair differing in one RARE token stays
+    // close). The idf-weighted variant (Charikar weighting with corpus
+    // idf) is the complementary tool: rare discriminative tokens drive
+    // the bits, so signatures separate by topic rather than by bulk
+    // vocabulary. On this fixture the planted near-dups differ in a rare
+    // marker token, which idf-weighting deliberately amplifies — so this
+    // query exposes the SIGNATURES (the reusable primitive), not a pair
+    // mining at a threshold that would be noise here; IdfSimhashSpec
+    // shows the weighting separating topics a frequency-weighted simhash
+    // cannot. The idf weight is the INTEGER 1 + floor(log2(N div df)) —
+    // a log-damped idf in pure integer arithmetic (a float idf would
+    // make the bit-sums engine-ordering-dependent), computed with a
+    // power-of-two CASE ladder that DuckDB replays verbatim. The idf
+    // table is vocabulary-sized and broadcast.
+    Q(
+      "q79_docs_idf_simhash",
+      (s, d) =>
+        simhashSignatures(docs(s, d), idfWeighted = true).orderBy(col("doc_id")),
+      Some(idfSimhashOracleSql)),
 
     // ---- E2: near-dup clusters via large-star/small-star CC ---------------
     // Connected components over the near-dup pair graph: each doc's label
