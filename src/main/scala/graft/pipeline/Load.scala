@@ -67,14 +67,17 @@ object Load {
     *
     * @return (files before, files after)
     */
+  private def dataFiles(fs: org.apache.hadoop.fs.FileSystem,
+                        p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] =
+    fs.listStatus(p).toSeq.filter(f =>
+      f.isFile && !f.getPath.getName.startsWith("_") &&
+        !f.getPath.getName.startsWith("."))
+
   def compact(spark: SparkSession, path: String,
               targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
     val hadoopPath = new org.apache.hadoop.fs.Path(path)
     val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def dataFiles(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] =
-      fs.listStatus(p).toSeq.filter(f =>
-        f.isFile && !f.getPath.getName.startsWith("_"))
-    val before = dataFiles(hadoopPath)
+    val before = dataFiles(fs, hadoopPath)
     val totalBytes = before.map(_.getLen).sum
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
     val tmp = new org.apache.hadoop.fs.Path(path + "__compact_tmp")
@@ -82,7 +85,42 @@ object Load {
       .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     fs.delete(hadoopPath, true)
     fs.rename(tmp, hadoopPath)
-    (before.size, dataFiles(hadoopPath).size)
+    (before.size, dataFiles(fs, hadoopPath).size)
+  }
+
+  /** Partition-aware compaction for a Hive-layout store (`key=value`
+    * directory tree, e.g. the daily-load `run_date=...` partitions):
+    * walks to the leaf partition directories and compacts each one
+    * INDEPENDENTLY, skipping partitions that are already at their
+    * target file count. Compacting per leaf keeps the job incremental
+    * (yesterday's already-compacted partitions are never rewritten —
+    * only the freshly-appended ones pay I/O) and preserves the layout,
+    * so partition pruning on the key column is untouched.
+    *
+    * @return per-relative-partition-path (files before, files after),
+    *         only for partitions that were rewritten
+    */
+  def compactPartitioned(spark: SparkSession, root: String,
+                         targetFileBytes: Long = 128L * 1024 * 1024): Map[String, (Int, Int)] = {
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rootPath = fs.makeQualified(new org.apache.hadoop.fs.Path(root))
+    def leaves(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] = {
+      val parts = fs.listStatus(p).toSeq.filter(s =>
+        s.isDirectory && s.getPath.getName.contains("="))
+      if (parts.isEmpty) Seq(p) else parts.flatMap(s => leaves(s.getPath))
+    }
+    leaves(rootPath).flatMap { dir =>
+      val files = dataFiles(fs, dir)
+      val totalBytes = files.map(_.getLen).sum
+      val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+      if (files.size <= nOut) None // already compact: zero write amplification
+      else {
+        val (b, a) = compact(spark, dir.toString, targetFileBytes)
+        val rel = dir.toString.stripPrefix(rootPath.toString).stripPrefix("/")
+        Some((if (rel.isEmpty) "." else rel) -> ((b, a)))
+      }
+    }.toMap
   }
 
   /** Idempotent file-set load: process only files not yet in the tracker,

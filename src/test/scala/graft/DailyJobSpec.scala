@@ -44,4 +44,36 @@ class DailyJobSpec extends SparkSpec {
     assert(compacted.count() == n)
     assert(compacted.columns.toSeq == store.columns.toSeq)
   }
+
+  test("partition-aware compaction rewrites only fragmented partitions") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_part").toString
+    // lang=a arrives as 6 tiny appends (fragmented); lang=b as one file
+    (1 to 6).foreach { i =>
+      Seq((i.toLong, "a")).toDF("id", "lang")
+        .write.mode("append").partitionBy("lang").parquet(root)
+    }
+    Seq((100L, "b"), (101L, "b")).toDF("id", "lang")
+      .coalesce(1).write.mode("append").partitionBy("lang").parquet(root)
+
+    val beforeB = new java.io.File(s"$root/lang=b")
+      .listFiles().count(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    val result = graft.pipeline.Load.compactPartitioned(spark, root)
+
+    // only the fragmented partition was touched
+    assert(result.keySet === Set("lang=a"), s"got $result")
+    assert(result("lang=a")._1 == 6 && result("lang=a")._2 == 1)
+    val afterB = new java.io.File(s"$root/lang=b")
+      .listFiles().count(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    assert(afterB == beforeB, "already-compact partition must not be rewritten")
+
+    // data intact and partition pruning still works on the layout
+    val rows = spark.read.parquet(root)
+    assert(rows.count() == 8)
+    val pruned = rows.where(col("lang") === "a")
+    assert(pruned.count() == 6)
+    val scanned = pruned.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString
+    assert(scanned.contains("lang=a") || !scanned.contains("lang=b"))
+  }
 }
