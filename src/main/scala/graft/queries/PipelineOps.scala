@@ -170,6 +170,38 @@ object PipelineOps {
              |       event_type, count(*) AS n, round(sum(value), 2) AS sum_v
              |FROM events
              |GROUP BY h, event_type
-             |ORDER BY h, event_type""".stripMargin))
+             |ORDER BY h, event_type""".stripMargin)),
+
+    // ---- E6: stream-static dimension join, DuckDB-checked -----------------
+    // The event stream enriched with the static customer dimension
+    // (broadcast — no stream shuffle, no join state) before a
+    // watermarked windowed aggregate per market segment: the streaming
+    // twin of a star join, verified against the batch SQL.
+    Q(
+      "q80_events_segment_stream",
+      (s, d) => {
+        val stream = EventStreams.readEventStream(s, s"$d/events.parquet")
+        val dim = Tables.customer(s, d)
+          .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+        val agg = EventStreams.segmentCounts(stream, dim)
+        val name = "graft_stream_segments"
+        s.catalog.dropTempView(name)
+        // state partitions sized to state volume — see q57
+        val prev = s.conf.get("spark.sql.shuffle.partitions")
+        val out =
+          try {
+            s.conf.set("spark.sql.shuffle.partitions", "8")
+            EventStreams.runToMemory(s, agg, name, OutputMode.Update())
+          } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+        out
+          .select(date_format(col("h"), "yyyy-MM-dd HH:00:00").as("h"),
+                  col("c_mktsegment"), col("n"), col("sum_v"))
+          .orderBy(col("h"), col("c_mktsegment"))
+      },
+      Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS h,
+             |       c_mktsegment, count(*) AS n, round(sum(value), 2) AS sum_v
+             |FROM events JOIN customer ON user_id = c_custkey
+             |GROUP BY h, c_mktsegment
+             |ORDER BY h, c_mktsegment""".stripMargin))
   )
 }

@@ -61,6 +61,21 @@ object EventStreams {
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_v"))
       .select(col("w.start").as("h"), col("event_type"), col("n"), col("sum_v"))
 
+  /** E6: stream-static enrichment — join the event stream against a
+    * static dimension (broadcast: the stream side never shuffles and no
+    * join state accumulates, unlike stream-stream joins), then a
+    * watermarked hourly window per dimension attribute. The planner
+    * re-reads the static side per micro-batch, so dimension updates
+    * between batches are picked up — the streaming twin of a star join.
+    */
+  def segmentCounts(events: DataFrame, dim: DataFrame): DataFrame =
+    events
+      .join(broadcast(dim), Seq("user_id"))
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_v"))
+      .select(col("w.start").as("h"), col("c_mktsegment"), col("n"), col("sum_v"))
+
   /** Sliding 1-hour windows every 15 minutes (overlapping aggregation). */
   def slidingCounts(events: DataFrame): DataFrame =
     events

@@ -27,6 +27,31 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.zip(batch).forall { case (a, b) => a == b })
   }
 
+  test("stream-static dimension join is stateless and matches the batch star join") {
+    val stream = EventStreams.readEventStream(spark, s"$sfDir/events.parquet")
+    val dim = Tables.customer(spark, sfDir)
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    val agg = EventStreams.segmentCounts(stream, dim)
+    val streamed = EventStreams.runToMemory(spark, agg, "t_segments", OutputMode.Update())
+      .select(col("h"), col("c_mktsegment"), col("n"), col("sum_v"))
+      .collect().map(_.toSeq).sortBy(_.mkString("|"))
+
+    val batch = Tables.events(spark, sfDir)
+      .join(dim, Seq("user_id"))
+      .groupBy(date_trunc("hour", col("ts")).as("h"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_v"))
+      .collect().map(_.toSeq).sortBy(_.mkString("|"))
+
+    assert(streamed.nonEmpty)
+    assert(streamed.length == batch.length)
+    assert(streamed.zip(batch).forall { case (a, b) => a == b })
+
+    // the static side must come in as a broadcast: no shuffle of the
+    // stream, no stream-stream join state operator in the plan
+    val plan = agg.queryExecution.analyzed.toString
+    assert(plan.contains("ResolvedHint") || plan.toLowerCase.contains("broadcast"))
+  }
+
   test("stateful session counts match the batch window sessionization") {
     val stream = EventStreams.readEventStream(spark, s"$sfDir/events.parquet")
     val streamed = EventStreams.runToMemory(
