@@ -682,27 +682,35 @@ object CoreAnalytics {
              |ORDER BY day""".stripMargin)),
 
     // ---- Bloom-filter join pruning (runtime row-level semi-join) ---------
-    // Build a Bloom filter over the fact side's join key and probe the
-    // other side before the real join — at 100 TB this prunes most of a
-    // scan for selective joins without shuffling either side. The bit
-    // array is insert-order-independent, so the result is deterministic,
-    // but the false-positive set is engine-specific -> rows-only check
-    // (OpsSpec proves it brackets the exact semi-join).
+    // Build a Bloom filter over the selective side's join key, probe the
+    // big side BEFORE the real join (at 100 TB this prunes most of a
+    // scan without shuffling either side), then exact-verify the
+    // survivors with the semi-join itself — the production runtime-
+    // filter shape: the sketch only prunes, the join guarantees
+    // correctness. Because false positives are removed by the exact
+    // join, the output is engine-independent and fully oracle-checked
+    // (OpsSpec separately proves the probe brackets the semi-join).
     Q(
       "q66_bloom_prune",
       (s, d) => {
-        val bloom = Tables.orders(s, d)
+        val urgent = Tables.orders(s, d)
           .where(col("o_orderpriority") === "1-URGENT")
-          .stat.bloomFilter("o_custkey", 2000, 0.01)
+        val bloom = urgent.stat.bloomFilter("o_custkey", 2000, 0.01)
         // the sketch ships to executors inside the probe closure
         // (equivalently: broadcast it explicitly on a real cluster)
         val mightContain = udf((k: Long) => bloom.mightContain(k))
         Tables.customer(s, d)
           .where(mightContain(col("c_custkey")))
-          .agg(count(lit(1)).as("n_candidates"),
+          .join(urgent.select(col("o_custkey").as("c_custkey")).distinct(),
+                Seq("c_custkey"), "left_semi")
+          .agg(count(lit(1)).as("n_buyers"),
                countDistinct(col("c_nationkey")).as("n_nations"))
       },
-      None),
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_buyers,
+             |       CAST(count(DISTINCT c_nationkey) AS BIGINT) AS n_nations
+             |FROM customer
+             |WHERE c_custkey IN (SELECT o_custkey FROM orders
+             |                    WHERE o_orderpriority = '1-URGENT')""".stripMargin)),
 
     // ---- SQL entry point: the same engine surface through spark.sql ------
     // (SURVEY.md §2.10 requires both DataFrame and SQL APIs; the SQL text

@@ -276,6 +276,58 @@ object SketchOps {
              |       CAST(CASE WHEN round(n_dup_chunks * 1.0 / n_chunks, 4) <= 0.5
              |                 THEN 1 ELSE 0 END AS BIGINT) AS keep
              |FROM sc
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ---- Benchmark decontamination (cross-table n-gram overlap) ----------
+    // Before training, every eval/benchmark document must be checked for
+    // n-gram overlap against the training corpus (GPT-3 appendix C /
+    // PaLM-style decontamination). Eval set here: every 50th doc; train:
+    // the rest. Overlap runs on the per-row shingle kernels
+    // (graft.functions.ShingleKernel — same primitive as q70): the train
+    // side dedups each shingle pack to one row (8-byte keys) and the
+    // semi-join-then-rollup counts, per eval doc, how many of its
+    // shingles leak from the train set. At 100 TB the train-distinct
+    // frame is the only wide exchange and it carries longs.
+    Q(
+      "q81_decontamination",
+      (s, d) => {
+        import graft.functions.ShingleKernel.shinglePacks
+        val base = Tables.documents(s, d)
+          .where(size(split(col("text"), " ")) >= 3)
+          .select(col("doc_id"),
+                  explode_outer(shinglePacks(col("text"))).as("pack"))
+          .where(col("pack").isNotNull)
+        val eval_ = base.where(col("doc_id") % 50 === 0)
+        val train = base.where(col("doc_id") % 50 =!= 0)
+          .select(col("pack")).distinct()
+        val leaked = eval_.join(train, Seq("pack"), "left_semi")
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_leaked"))
+        eval_.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+          .join(leaked, Seq("doc_id"), "left")
+          .na.fill(0L, Seq("n_leaked"))
+          .withColumn("overlap", round(col("n_leaked") / col("n_shingles"), 4))
+          .withColumn("contaminated", (col("overlap") >= 0.8).cast("long"))
+          .select(col("doc_id"), col("n_shingles"), col("n_leaked"),
+                  col("overlap"), col("contaminated"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             |sh AS (SELECT DISTINCT doc_id,
+             |         unnest(list_transform(range(1, len(t) - 1),
+             |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+             |       FROM toks WHERE len(t) >= 3),
+             |ev AS (SELECT * FROM sh WHERE doc_id % 50 = 0),
+             |tr AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 50 <> 0),
+             |lk AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_leaked
+             |       FROM ev WHERE sh IN (SELECT sh FROM tr) GROUP BY doc_id),
+             |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles
+             |        FROM ev GROUP BY doc_id)
+             |SELECT tot.doc_id, n_shingles,
+             |       CAST(coalesce(n_leaked, 0) AS BIGINT) AS n_leaked,
+             |       round(coalesce(n_leaked, 0) * 1.0 / n_shingles, 4) AS overlap,
+             |       CAST(CASE WHEN round(coalesce(n_leaked, 0) * 1.0 / n_shingles, 4) >= 0.8
+             |                 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+             |FROM tot LEFT JOIN lk ON tot.doc_id = lk.doc_id
+             |ORDER BY tot.doc_id""".stripMargin))
   )
 }

@@ -212,17 +212,23 @@ class OpsSpec extends SparkSpec {
     assert(heap == window)
   }
 
-  test("bloom pruning brackets the exact semi-join") {
-    val urgentCusts = Tables.orders(spark, sfDir)
+  test("bloom probe brackets the exact semi-join; q66 output is exact") {
+    val urgent = Tables.orders(spark, sfDir)
       .where(col("o_orderpriority") === "1-URGENT")
-      .select("o_custkey").distinct().count()
+    val urgentCusts = urgent.select("o_custkey").distinct().count()
     val total = Tables.customer(spark, sfDir).count()
-    val pruned = Registry.byName("q66_bloom_prune").run(spark, sfDir)
+    val bloom = urgent.stat.bloomFilter("o_custkey", 2000, 0.01)
+    val probed = Tables.customer(spark, sfDir)
+      .select(col("c_custkey").cast("long")).collect().map(_.getLong(0))
+      .count(bloom.mightContain)
+    assert(probed >= urgentCusts) // no false negatives
+    assert(probed <= total)
+    // 1% fpp: the candidate set should be close to the true count
+    assert(probed <= urgentCusts + math.max(10, total / 50))
+    // and the registered query's output removes the false positives
+    val exact = Registry.byName("q66_bloom_prune").run(spark, sfDir)
       .collect()(0).getLong(0)
-    assert(pruned >= urgentCusts)  // no false negatives
-    assert(pruned <= total)
-    // 1% fpp: candidates should be close to the true count
-    assert(pruned <= urgentCusts + math.max(10, total / 50))
+    assert(exact === urgentCusts)
   }
 
   test("every registered query runs at sf0.001") {

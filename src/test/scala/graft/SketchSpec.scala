@@ -114,4 +114,16 @@ class SketchSpec extends SparkSpec {
       .agg(sum(col("nc"))).head().getLong(0)
     assert(nChunks === expected)
   }
+
+  test("q81 decontamination flags the eval doc whose near-dup is in train") {
+    val rows = queries.Registry.byName("q81_decontamination")
+      .run(spark, "/root/testdata/sf0.01").collect()
+    assert(rows.nonEmpty)
+    // background vocabulary overlap is partial, never total...
+    assert(rows.forall(r => r.getAs[Double]("overlap") > 0.0))
+    // ...except the planted near-duplicate, which must be caught
+    assert(rows.exists(_.getAs[Long]("contaminated") == 1L))
+    assert(rows.exists(_.getAs[Long]("contaminated") == 0L))
+    assert(rows.forall(r => r.getAs[Long]("n_leaked") <= r.getAs[Long]("n_shingles")))
+  }
 }
