@@ -59,6 +59,67 @@ object Multimodal {
         lit(mime).as("mime"),
         octet_length(col("payload")).cast("long").as("n_bytes")))
 
+  /** Deterministic stub resize: stride-sample the payload down to
+    * `target` bytes (the byte-level analogue of nearest-neighbor image
+    * downsampling). Stands in for a codec resize; deterministic in the
+    * bytes alone, identity when already small enough.
+    */
+  private[ops] def resizeStub(payload: Array[Byte], target: Int): Array[Byte] = {
+    if (payload == null) return Array.emptyByteArray
+    if (payload.length <= target) return payload
+    val out = new Array[Byte](target)
+    var i = 0
+    while (i < target) {
+      out(i) = payload((i.toLong * payload.length / target).toInt)
+      i += 1
+    }
+    out
+  }
+
+  /** Resize every payload to at most `targetBytes` (per-partition codec
+    * init point, same contract as [[extractFeatures]]); metadata is
+    * recomputed so downstream stages see the true stored size.
+    */
+  def resize(media: DataFrame, targetBytes: Int): DataFrame = {
+    val enc = ExpressionEncoder(mediaSchema)
+    val idIdx = media.schema.fieldIndex("media_id")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    val metaIdx = media.schema.fieldIndex("meta")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val resized = resizeStub(r.getAs[Array[Byte]](payloadIdx), targetBytes)
+        val mime = r.getStruct(metaIdx).getString(0)
+        Row(r.getLong(idIdx), resized, Row(mime, resized.length.toLong))
+      }
+    }(enc)
+  }
+
+  /** Frame sampling (the video analogue: one payload → every n-th
+    * fixed-size frame as its own row). flatMap inside mapPartitions so a
+    * real demuxer would be initialized once per task; frame indices are
+    * the ORIGINAL positions, so downstream can reconstruct timing.
+    */
+  def sampleFrames(media: DataFrame, frameBytes: Int, everyNth: Int): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("frame_idx", LongType),
+      StructField("frame", BinaryType)))
+    val enc = ExpressionEncoder(outSchema)
+    val idIdx = media.schema.fieldIndex("media_id")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val payload = r.getAs[Array[Byte]](payloadIdx)
+        val id = r.getLong(idIdx)
+        if (payload == null) Iterator.empty
+        else payload.grouped(frameBytes).zipWithIndex.collect {
+          case (frame, idx) if idx % everyNth == 0 =>
+            Row(id, idx.toLong, frame)
+        }
+      }
+    }(enc)
+  }
+
   /** Feature-extract every payload via mapPartitions (codec state would be
     * initialized once per partition here).
     */

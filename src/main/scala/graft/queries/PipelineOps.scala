@@ -138,6 +138,48 @@ object PipelineOps {
              |GROUP BY lang
              |ORDER BY lang""".stripMargin)),
 
+    // ---- E5: frame sampling -> per-frame feature extraction ---------------
+    // The video-shaped multimodal path: one payload becomes every 2nd
+    // 64-byte frame (Multimodal.sampleFrames — flatMap with a per-task
+    // demuxer init point, original frame indices preserved), and each
+    // frame then runs through the SAME feature extractor as whole media.
+    // Frames travel under a composite id (media_id * 1024 + frame_idx;
+    // fixture frame counts are < 1024 by construction) and are unpacked
+    // after extraction. The oracle recomputes frames as substrings of
+    // the ASCII text, so slicing, sampling and per-frame stats are all
+    // engine-checked.
+    Q(
+      "q82_frame_sample",
+      (s, d) => {
+        val docs = Tables.documents(s, d).repartition(col("doc_id"))
+        val media = Multimodal.asMedia(docs, "doc_id", "text", "text/plain")
+        val frames = Multimodal.sampleFrames(media, frameBytes = 64, everyNth = 2)
+        val frameMedia = Multimodal.asMedia(
+          frames.select((col("media_id") * 1024 + col("frame_idx")).as("fid"),
+                        col("frame")),
+          "fid", "frame", "text/plain")
+        Multimodal.extractFeatures(frameMedia)
+          .select(expr("media_id div 1024").as("media_id"),
+                  (col("media_id") % 1024).as("frame_idx"),
+                  col("n_bytes").as("frame_len"),
+                  round(element_at(col("features"), 3), 4).as("mean_byte"))
+          .orderBy(col("media_id"), col("frame_idx"))
+      },
+      Some("""WITH f AS (SELECT doc_id AS media_id,
+             |             unnest(generate_series(0,
+             |               CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT) - 1)) AS fi,
+             |             text
+             |           FROM documents),
+             |s AS (SELECT media_id, fi, substring(text, fi * 64 + 1, 64) AS frame
+             |      FROM f WHERE fi % 2 = 0)
+             |SELECT media_id, CAST(fi AS BIGINT) AS frame_idx,
+             |       CAST(octet_length(encode(frame)) AS BIGINT) AS frame_len,
+             |       round(list_sum(list_transform(range(1, len(frame) + 1),
+             |               j -> CAST(unicode(frame[j]) AS BIGINT))) * 1.0
+             |             / len(frame), 4) AS mean_byte
+             |FROM s
+             |ORDER BY media_id, frame_idx""".stripMargin)),
+
     // ---- E6: Structured Streaming hourly windows, DuckDB-checked ----------
     // Runs the real readStream file source to completion against a memory
     // sink; output matches the batch twin (q45), so the same oracle SQL

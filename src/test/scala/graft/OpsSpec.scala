@@ -190,6 +190,30 @@ class OpsSpec extends SparkSpec {
     assert(f1(1).getAs[Seq[Double]](2).forall(_ == 0.0))
   }
 
+  test("frame sampling reconstructs the payload and stride-resize is bounded") {
+    val text = ("abcdefgh" * 20).take(150) // 150 bytes -> 3 frames of 64/64/22
+    val media = Multimodal.asMedia(
+      Seq((7L, text)).toDF("id", "txt"), "id", "txt", "text/plain")
+
+    // everyNth = 1: concatenating the frames in index order is the payload
+    val all = Multimodal.sampleFrames(media, frameBytes = 64, everyNth = 1)
+      .orderBy("frame_idx").collect()
+    assert(all.map(_.getLong(1)).toSeq == Seq(0L, 1L, 2L))
+    assert(all.flatMap(_.getAs[Array[Byte]](2)).map(_.toChar).mkString == text)
+
+    // everyNth = 2 keeps original indices 0 and 2
+    val sampled = Multimodal.sampleFrames(media, 64, 2).orderBy("frame_idx").collect()
+    assert(sampled.map(_.getLong(1)).toSeq == Seq(0L, 2L))
+
+    // resize: above-target payloads shrink to exactly target, small ones
+    // pass through, and metadata tracks the stored size
+    val resized = Multimodal.resize(media, 32).collect()(0)
+    assert(resized.getAs[Array[Byte]](1).length == 32)
+    assert(resized.getStruct(2).getLong(1) == 32L)
+    val untouched = Multimodal.resize(media, 4096).collect()(0)
+    assert(untouched.getAs[Array[Byte]](1).length == 150)
+  }
+
   test("salted aggregation equals direct aggregation on a skewed key") {
     // 90% of lineitem rows forced onto one hot key
     val skewed = Tables.lineitem(spark, sfDir)
