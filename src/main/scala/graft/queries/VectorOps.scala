@@ -315,6 +315,54 @@ object VectorOps {
           .select(col("q_id"), col("vec_id").as("n_id"), col("cos_r"))
           .orderBy(col("q_id"), col("cos_r").desc, col("n_id"))
       },
-      None)
+      None),
+
+    // ---- E3: int8 embedding quantization (full oracle) -------------------
+    // Max-abs symmetric quantization to int8 — the standard storage /
+    // ANN-memory compression (4x smaller than float32; PQ (q73) is the
+    // lossier 16x step). Per vector: scale = max|x|, code_i = floor(x_i
+    // / scale * 127). Every reported stat is either an exact double
+    // (scale: one float widened to double — bit-identical across
+    // engines), an integer sum (order-independent), or an integer MAX of
+    // the 1e-9-quantized reconstruction error — no float aggregation
+    // order anywhere, which is what lets DuckDB replay the whole
+    // quantization bit-for-bit. Saturation count (|code| = 127) is the
+    // quality canary: at least the max-magnitude element saturates by
+    // construction.
+    Q(
+      "q83_embed_quantize",
+      (s, d) => {
+        val b = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("label").cast("long").as("label"),
+                  col("embedding").cast("array<double>").as("v"))
+          .withColumn("m", array_max(expr("transform(v, x -> abs(x))")))
+          .withColumn("scale", when(col("m") === 0, lit(1.0)).otherwise(col("m")))
+        b.select(col("vec_id"), col("label"), col("scale"),
+                 posexplode(col("v")).as(Seq("i", "x")))
+          .withColumn("code", floor(col("x") / col("scale") * 127).cast("long"))
+          .groupBy(col("vec_id"), col("label"), col("scale"))
+          .agg(sum(col("code")).as("sum_codes"),
+               count(when(abs(col("code")) === 127, lit(1))).as("n_sat"),
+               max(floor(abs(col("x") - col("code") * col("scale") / 127)
+                 * 1000000000L).cast("long")).as("max_err_1e9"))
+          .orderBy(col("vec_id"))
+      },
+      Some("""WITH b AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+             |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             |           FROM embeddings),
+             |m AS (SELECT vec_id, label, v,
+             |        CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0 THEN 1.0
+             |             ELSE list_max(list_transform(v, x -> abs(x))) END AS scale
+             |      FROM b),
+             |e AS (SELECT vec_id, label, scale, unnest(v) AS x FROM m),
+             |c AS (SELECT vec_id, label, scale, x,
+             |        CAST(floor(x / scale * 127) AS BIGINT) AS code FROM e)
+             |SELECT vec_id, label, scale,
+             |       CAST(sum(code) AS BIGINT) AS sum_codes,
+             |       CAST(count(*) FILTER (abs(code) = 127) AS BIGINT) AS n_sat,
+             |       max(CAST(floor(abs(x - code * scale / 127) * 1000000000) AS BIGINT)) AS max_err_1e9
+             |FROM c
+             |GROUP BY vec_id, label, scale
+             |ORDER BY vec_id""".stripMargin))
   )
 }

@@ -126,4 +126,19 @@ class SketchSpec extends SparkSpec {
     assert(rows.exists(_.getAs[Long]("contaminated") == 0L))
     assert(rows.forall(r => r.getAs[Long]("n_leaked") <= r.getAs[Long]("n_shingles")))
   }
+
+  test("q83 int8 quantization: error bounded by one step, saturation present") {
+    val rows = queries.Registry.byName("q83_embed_quantize")
+      .run(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val scale = r.getAs[Double]("scale")
+      val step = scale / 127
+      // floor quantization: reconstruction error is strictly under one step
+      assert(r.getAs[Long]("max_err_1e9") <= math.ceil(step * 1e9).toLong,
+        s"vec ${r.getAs[Long]("vec_id")}: err exceeds one quantization step")
+      // the max-magnitude element always saturates by construction
+      assert(r.getAs[Long]("n_sat") >= 1)
+    }
+  }
 }
