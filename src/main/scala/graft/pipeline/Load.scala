@@ -123,6 +123,33 @@ object Load {
     }.toMap
   }
 
+  /** Record-level incremental dedup against the store: append only rows
+    * whose dedup key is absent from what's already written — the batch
+    * twin of streaming dropDuplicates state, for pipelines where the
+    * same record can arrive across days (re-crawls, late files). The
+    * store probe reads ONLY the key columns (column pruning) and joins
+    * anti, so the cost scales with key cardinality, not row width; the
+    * incoming batch is keep-first-deduped on `orderCol` first so a
+    * within-batch duplicate can't race itself.
+    *
+    * @return number of rows appended
+    */
+  def appendDeduped(spark: SparkSession, df: DataFrame, storePath: String,
+                    keys: Seq[String], orderCol: String): Long = {
+    val batch = Clean.dedupKeepFirst(df, keys, orderCol)
+    val fresh =
+      try {
+        val existing = spark.read.parquet(storePath)
+          .select(keys.map(org.apache.spark.sql.functions.col): _*).distinct()
+        batch.join(existing, keys, "left_anti")
+      } catch { case _: Exception => batch } // first write: empty store
+    val out = fresh.cache()
+    val n = out.count()
+    if (n > 0) out.write.mode(SaveMode.Append).parquet(storePath)
+    out.unpersist()
+    n
+  }
+
   /** Idempotent file-set load: process only files not yet in the tracker,
     * append results, then mark them. Exactly the reference's
     * `is_file_loaded`/`mark_file_loaded` semantics, as one anti-join.

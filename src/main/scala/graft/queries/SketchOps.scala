@@ -328,6 +328,70 @@ object SketchOps {
              |       CAST(CASE WHEN round(coalesce(n_leaked, 0) * 1.0 / n_shingles, 4) >= 0.8
              |                 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
              |FROM tot LEFT JOIN lk ON tot.doc_id = lk.doc_id
-             |ORDER BY tot.doc_id""".stripMargin))
+             |ORDER BY tot.doc_id""".stripMargin)),
+
+    // ---- Data-quality audit (expectation checks before load) -------------
+    // The validation gate every production pipeline runs before
+    // publishing a batch (deequ-style): null counts, domain cardinality,
+    // value ranges, and referential integrity — computed in ONE scan +
+    // one aggregate (metrics unpivoted via stack), plus one anti-join
+    // for the FK orphan check. All metrics are counts or exact data
+    // values (no float aggregation), so the audit is engine-exact.
+    Q(
+      "q84_data_quality_audit",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        val agg = o.agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("custkey_nulls"),
+          sum(when(col("o_orderdate").isNull, 1L).otherwise(0L)).as("date_nulls"),
+          sum(when(col("o_totalprice").isNull, 1L).otherwise(0L)).as("price_nulls"),
+          countDistinct(col("o_orderpriority")).as("priority_card"),
+          min(col("o_totalprice")).as("price_min"),
+          max(col("o_totalprice")).as("price_max"),
+          sum(when(col("o_totalprice") < 1 || col("o_totalprice") > 600000,
+            1L).otherwise(0L)).as("price_oor"),
+          min(datediff(col("o_orderdate"), lit("1970-01-01")))
+            .as("date_min_epoch_day"),
+          max(datediff(col("o_orderdate"), lit("1970-01-01")))
+            .as("date_max_epoch_day"))
+        val metrics = agg.select(expr(
+          """stack(10,
+            |  'orders.n_rows',                     CAST(n_rows AS DOUBLE),
+            |  'orders.o_custkey.n_null',           CAST(custkey_nulls AS DOUBLE),
+            |  'orders.o_orderdate.n_null',         CAST(date_nulls AS DOUBLE),
+            |  'orders.o_totalprice.n_null',        CAST(price_nulls AS DOUBLE),
+            |  'orders.o_orderpriority.n_distinct', CAST(priority_card AS DOUBLE),
+            |  'orders.o_totalprice.min',           price_min,
+            |  'orders.o_totalprice.max',           price_max,
+            |  'orders.o_totalprice.out_of_range',  CAST(price_oor AS DOUBLE),
+            |  'orders.o_orderdate.min_epoch_day',  CAST(date_min_epoch_day AS DOUBLE),
+            |  'orders.o_orderdate.max_epoch_day',  CAST(date_max_epoch_day AS DOUBLE)
+            |) AS (cname, value)""".stripMargin))
+        val orphans = o
+          .join(Tables.customer(s, d),
+                col("o_custkey") === col("c_custkey"), "left_anti")
+          .agg(count(lit(1)).cast("double").as("value"))
+          .select(lit("orders.fk_custkey_orphans").as("cname"), col("value"))
+        metrics.union(orphans).orderBy(col("cname"))
+      },
+      Some("""SELECT cname, value FROM (
+             |  SELECT 'orders.n_rows' AS cname, CAST(count(*) AS DOUBLE) AS value FROM orders
+             |  UNION ALL SELECT 'orders.o_custkey.n_null', CAST(count(*) FILTER (o_custkey IS NULL) AS DOUBLE) FROM orders
+             |  UNION ALL SELECT 'orders.o_orderdate.n_null', CAST(count(*) FILTER (o_orderdate IS NULL) AS DOUBLE) FROM orders
+             |  UNION ALL SELECT 'orders.o_totalprice.n_null', CAST(count(*) FILTER (o_totalprice IS NULL) AS DOUBLE) FROM orders
+             |  UNION ALL SELECT 'orders.o_orderpriority.n_distinct', CAST(count(DISTINCT o_orderpriority) AS DOUBLE) FROM orders
+             |  UNION ALL SELECT 'orders.o_totalprice.min', min(o_totalprice) FROM orders
+             |  UNION ALL SELECT 'orders.o_totalprice.max', max(o_totalprice) FROM orders
+             |  UNION ALL SELECT 'orders.o_totalprice.out_of_range',
+             |    CAST(count(*) FILTER (o_totalprice < 1 OR o_totalprice > 600000) AS DOUBLE) FROM orders
+             |  UNION ALL SELECT 'orders.o_orderdate.min_epoch_day',
+             |    CAST(min(CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS DOUBLE) FROM orders
+             |  UNION ALL SELECT 'orders.o_orderdate.max_epoch_day',
+             |    CAST(max(CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS DOUBLE) FROM orders
+             |  UNION ALL SELECT 'orders.fk_custkey_orphans',
+             |    CAST(count(*) AS DOUBLE) FROM orders
+             |    WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+             |ORDER BY cname""".stripMargin))
   )
 }

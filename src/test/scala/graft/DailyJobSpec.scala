@@ -45,6 +45,24 @@ class DailyJobSpec extends SparkSpec {
     assert(compacted.columns.toSeq == store.columns.toSeq)
   }
 
+  test("appendDeduped loads each record once across overlapping batches") {
+    import spark.implicits._
+    val store = java.nio.file.Files.createTempDirectory("graft_dedup").toString + "/store"
+    val b1 = Seq((1L, "a", 10L), (2L, "b", 11L), (2L, "b-dup", 12L)).toDF("k", "v", "ord")
+    val b2 = Seq((2L, "b", 13L), (3L, "c", 14L)).toDF("k", "v", "ord") // overlaps b1
+
+    // first batch: within-batch dup collapses, 2 rows land
+    assert(graft.pipeline.Load.appendDeduped(spark, b1, store, Seq("k"), "ord") == 2L)
+    // overlapping batch: only the genuinely new key lands
+    assert(graft.pipeline.Load.appendDeduped(spark, b2, store, Seq("k"), "ord") == 1L)
+    // replay is a no-op
+    assert(graft.pipeline.Load.appendDeduped(spark, b2, store, Seq("k"), "ord") == 0L)
+
+    val rows = spark.read.parquet(store).orderBy("k")
+      .collect().map(r => (r.getAs[Long]("k"), r.getAs[String]("v")))
+    assert(rows.toSeq == Seq((1L, "a"), (2L, "b"), (3L, "c"))) // keep-first
+  }
+
   test("partition-aware compaction rewrites only fragmented partitions") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_part").toString
