@@ -123,6 +123,27 @@ object Load {
     }.toMap
   }
 
+  /** Retention for a partitioned store: drop `key=value` partition
+    * directories whose value sorts strictly below `cutoff` (ISO dates
+    * sort lexically, so `run_date=...` stores expire naturally). The
+    * complement of compactPartitioned in the maintenance trio
+    * (compact + dedup + expire); deleting whole directories keeps the
+    * operation metadata-only — no file rewrite, no store read.
+    *
+    * @return the relative partition names removed
+    */
+  def expirePartitions(spark: SparkSession, root: String, key: String,
+                       cutoff: String): Seq[String] = {
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rootPath = fs.makeQualified(new org.apache.hadoop.fs.Path(root))
+    fs.listStatus(rootPath).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$key="))
+      .filter(_.getPath.getName.stripPrefix(s"$key=") < cutoff)
+      .map { s => fs.delete(s.getPath, true); s.getPath.getName }
+      .sorted
+  }
+
   /** Record-level incremental dedup against the store: append only rows
     * whose dedup key is absent from what's already written — the batch
     * twin of streaming dropDuplicates state, for pipelines where the

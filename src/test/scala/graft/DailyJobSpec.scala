@@ -63,6 +63,25 @@ class DailyJobSpec extends SparkSpec {
     assert(rows.toSeq == Seq((1L, "a"), (2L, "b"), (3L, "c"))) // keep-first
   }
 
+  test("expirePartitions drops only partitions older than the cutoff") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_ret").toString
+    Seq(("2025-10-19", 1L), ("2025-10-20", 2L), ("2025-10-21", 3L))
+      .toDF("run_date", "v")
+      .write.partitionBy("run_date").mode("append").parquet(root)
+
+    val removed = graft.pipeline.Load.expirePartitions(
+      spark, root, "run_date", cutoff = "2025-10-21")
+    assert(removed == Seq("run_date=2025-10-19", "run_date=2025-10-20"))
+    val left = spark.read.parquet(root) // partition values are inferred as DATE
+      .select(col("run_date").cast("string")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    assert(left == Seq("2025-10-21"))
+    // idempotent
+    assert(graft.pipeline.Load.expirePartitions(
+      spark, root, "run_date", "2025-10-21").isEmpty)
+  }
+
   test("partition-aware compaction rewrites only fragmented partitions") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_part").toString
