@@ -1,0 +1,89 @@
+package graft
+
+import graft.functions.PolyHash.polyHash
+import graft.functions.ShingleKernel.{minhashSig, shinglePacks}
+import graft.functions.{MinHashParams, ShingleKernel, TextHash}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Quantifies the scale claim behind the q70 kernel rewrite: computing
+  * minhash signatures with per-row kernels must move a small fraction
+  * of the shuffle bytes that the expression-pipeline formulation
+  * (repartition → window leads → distinct → groupBy-of-mins) moves on
+  * the same corpus. Wall clock on a 32-core box hides shuffle cost; the
+  * bytes written to shuffle do not — they are what a 1000-executor
+  * cluster pays for over the network.
+  */
+class ShuffleVolumeSpec extends SparkSpec {
+
+  /** Total shuffle bytes written while running `action`. */
+  private def shuffleBytes(action: => Unit): Long = {
+    val bytes = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
+        bytes.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      action
+      // drain the listener bus so the last stage's metrics are counted
+      org.apache.spark.sql.graftbridge.ListenerBridge
+        .waitUntilEmpty(spark.sparkContext, 30000)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    bytes.get()
+  }
+
+  private val P = TextHash.Mod
+
+  /** doc_id -> 32-min signature via the per-row kernels (q70's shape). */
+  private def kernelSignatures(docs: DataFrame): DataFrame =
+    docs.where(size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id"), minhashSig(shinglePacks(col("text"))).as("sig"))
+
+  /** The same signatures via the pre-round-3 expression pipeline. */
+  private def windowSignatures(docs: DataFrame): DataFrame = {
+    val toks = docs.repartition(col("doc_id"))
+      .select(col("doc_id"),
+              posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val sh = toks
+      .withColumn("l1", lead(col("tok"), 1).over(w))
+      .withColumn("l2", lead(col("tok"), 2).over(w))
+      .where(col("l2").isNotNull)
+      .withColumn("shs", concat_ws(" ", col("tok"), col("l1"), col("l2")))
+      .select(col("doc_id"),
+              ((polyHash(col("shs")) * 1000003L + polyHash(col("shs"), 131)) % P)
+                .as("h"))
+      .distinct()
+    val minCols = MinHashParams.params.map { case (i, a, b) =>
+      min((lit(a) * col("h") + lit(b)) % P).as(s"m$i") }
+    sh.groupBy(col("doc_id"))
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col("doc_id"),
+              array((0 until MinHashParams.rows).map(i => col(s"m$i")): _*).as("sig"))
+  }
+
+  test("kernel minhash moves a fraction of the window pipeline's shuffle bytes") {
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val kernelB = shuffleBytes(kernelSignatures(docs).collect())
+    val windowB = shuffleBytes(windowSignatures(docs).collect())
+    // the kernel path shuffles nothing before a consumer: signatures are
+    // computed scan-side
+    assert(kernelB < windowB / 3,
+      s"kernel=$kernelB bytes vs window=$windowB bytes")
+    assert(windowB > 0)
+  }
+
+  test("both formulations produce identical signatures (hash identity differs only in packing)") {
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val a = kernelSignatures(docs).orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1))
+    // kernel h = (p1 * 1000003 + p2) % P where p1 = pack div 2^30 — the
+    // window twin reproduces that combination directly from the strings
+    val b = windowSignatures(docs).orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1))
+    assert(a.toSeq === b.toSeq)
+  }
+}
