@@ -76,6 +76,45 @@ class ShuffleVolumeSpec extends SparkSpec {
     assert(windowB > 0)
   }
 
+  test("two-pass heavy hitters beat full aggregation on high-cardinality streams") {
+    import spark.implicits._
+    // The documents fixture has a 31-token vocabulary, where map-side
+    // combine already collapses a full groupBy — the regime Misra-Gries
+    // exists for is heavy-tailed HIGH cardinality: here 200k rows with
+    // 100k distinct rare ids and a few heavy ids. Deterministic stream.
+    val n = 200000
+    val k = 20
+    // materialize to parquet so the stream-construction shuffle is not
+    // measured — only the aggregation strategies differ between runs
+    val dir = java.nio.file.Files.createTempDirectory("graft_hh").toString + "/ids"
+    spark.range(n).select(
+      when(col("id") % 2 === 0, concat(lit("heavy_"), (col("id") % 4).cast("string")))
+        .otherwise(concat(lit("rare_"), col("id").cast("string"))).as("tok"))
+      .repartition(8)
+      .write.parquet(dir)
+    val ids = spark.read.parquet(dir)
+
+    val twoPass = shuffleBytes {
+      val cands = ids.as[String]
+        .mapPartitions(it => graft.ops.MisraGries.candidates(k, it))
+        .toDF("tok").distinct()
+      val total = ids.count()
+      ids.join(broadcast(cands), Seq("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+        .where(col("c") * (k + 1) > total)
+        .collect()
+    }
+    val fullAgg = shuffleBytes {
+      val total = ids.count()
+      ids.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+        .where(col("c") * (k + 1) > total)
+        .collect()
+    }
+    // full aggregation shuffles ~100k partial rows; the two-pass plan
+    // ships <= k candidates per partition plus the pruned recount
+    assert(twoPass < fullAgg / 5, s"twoPass=$twoPass fullAgg=$fullAgg")
+  }
+
   test("both formulations produce identical signatures (hash identity differs only in packing)") {
     val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
     val a = kernelSignatures(docs).orderBy("doc_id").collect()
