@@ -26,6 +26,43 @@ object VectorOps {
 
   private def dot(a: String, b: String): Column = dotProduct(col(a), col(b))
 
+  /** IVF approximate top-3: corpus bucketed by nearest coarse centroid
+    * (quantizer trained with two deterministic Lloyd iterations), each
+    * query probes its `nprobe` nearest buckets — THE recall/cost knob of
+    * every IVF index: more probes, more candidates scored, higher
+    * recall. A corpus vector lives in exactly one bucket, so multi-probe
+    * never double-scores a pair. q42 registers nprobe=1; OpsSpec
+    * measures the recall ladder nprobe=1 vs 2 against the exact q40
+    * ranking.
+    */
+  private[graft] def ivfTopK(s: SparkSession, d: String, nprobe: Int): DataFrame = {
+    val e = withNorm(s, d)
+    val cent = kmeansCentroids(e, 8, 2)
+      .select(col("c_id"), col("cv"))
+      .withColumn("cn2", squaredNorm(col("cv")))
+    // assign every vector to its nearest centroid (broadcast centroids;
+    // one pass, no shuffle until the grouped join below)
+    val ranked = e.crossJoin(broadcast(cent))
+      .withColumn("cos_c", dot("v", "cv") / sqrt(col("n2") * col("cn2")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("cos_c").desc, col("c_id"))))
+    val assigned = ranked.where(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("n2"), col("c_id").as("bucket"))
+    // queries keep their nprobe nearest buckets
+    val q = ranked.where(col("vec_id") < 10 && col("rn") <= nprobe)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+              col("n2").as("qn2"), col("c_id").as("bucket"))
+    assigned.join(broadcast(q), Seq("bucket"))
+      .where(col("vec_id") =!= col("q_id"))
+      .withColumn("cos_r",
+        round(dot("v", "qv") / sqrt(col("n2") * col("qn2")), 4))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("cos_r").desc, col("vec_id"))))
+      .where(col("rn") <= 3)
+      .select(col("q_id"), col("vec_id").as("n_id"), col("cos_r"))
+      .orderBy(col("q_id"), col("cos_r").desc, col("n_id"))
+  }
+
   /** Lloyd-iteration k-means over the embedding corpus: deterministic
     * seeding (first k vectors), assignment via the codegen'd cosine
     * kernel, centroid update as an element-wise mean computed with
@@ -286,35 +323,7 @@ object VectorOps {
     // ---- E3 scale path: IVF-bucketed approximate NN (rows-only check) -----
     Q(
       "q42_embed_ivf_ann",
-      (s, d) => {
-        val e = withNorm(s, d)
-        // coarse centroids trained with two Lloyd iterations from a
-        // deterministic seed (the quantizer-training step of a real IVF)
-        val cent = kmeansCentroids(e, 8, 2)
-          .select(col("c_id"), col("cv"))
-          .withColumn("cn2", squaredNorm(col("cv")))
-        // assign every vector to its nearest centroid (broadcast centroids;
-        // one pass, no shuffle until the grouped join below)
-        val assigned = e.crossJoin(broadcast(cent))
-          .withColumn("cos_c", dot("v", "cv") / sqrt(col("n2") * col("cn2")))
-          .withColumn("rn", row_number().over(
-            Window.partitionBy(col("vec_id")).orderBy(col("cos_c").desc, col("c_id"))))
-          .where(col("rn") === 1)
-          .select(col("vec_id"), col("v"), col("n2"), col("c_id").as("bucket"))
-        val q = assigned.where(col("vec_id") < 10)
-          .select(col("vec_id").as("q_id"), col("v").as("qv"),
-                  col("n2").as("qn2"), col("bucket"))
-        // probe only the query's own bucket (the IVF trade-off)
-        assigned.join(broadcast(q), Seq("bucket"))
-          .where(col("vec_id") =!= col("q_id"))
-          .withColumn("cos_r",
-            round(dot("v", "qv") / sqrt(col("n2") * col("qn2")), 4))
-          .withColumn("rn", row_number().over(
-            Window.partitionBy(col("q_id")).orderBy(col("cos_r").desc, col("vec_id"))))
-          .where(col("rn") <= 3)
-          .select(col("q_id"), col("vec_id").as("n_id"), col("cos_r"))
-          .orderBy(col("q_id"), col("cos_r").desc, col("n_id"))
-      },
+      (s, d) => ivfTopK(s, d, nprobe = 1),
       None),
 
     // ---- E3: int8 embedding quantization (full oracle) -------------------

@@ -88,6 +88,24 @@ class OpsSpec extends SparkSpec {
     assert(hits >= (total * 0.8).toInt, s"IVF recall $hits/$total below 80%")
   }
 
+  test("IVF nprobe ladder: probing more buckets never loses recall") {
+    // The recall/cost knob of every IVF index: nprobe=2 scores strictly
+    // more candidates than nprobe=1, so against the exact ranking its
+    // recall must be >= — and any out-of-bucket misses at nprobe=1 that
+    // sit in the second-nearest bucket are recovered.
+    val brute = Registry.byName("q40_embed_topk").run(spark, sfDir)
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    def recall(nprobe: Int): Int =
+      graft.queries.VectorOps.ivfTopK(spark, sfDir, nprobe)
+        .collect().groupBy(_.getLong(0))
+        .map { case (q, rs) => (rs.map(_.getLong(1)).toSet & brute(q)).size }.sum
+    val r1 = recall(1)
+    val r2 = recall(2)
+    assert(r2 >= r1, s"nprobe=2 recall $r2 below nprobe=1 $r1")
+    assert(r2 >= 24) // at least the 80% floor holds with more probes
+  }
+
   test("PQ ANN recall: >= 60% of ADC top-3 are true top-5 neighbors") {
     // 4x16 Lloyd-trained codebooks + asymmetric-distance scoring +
     // exact rescore of the top-25 candidates: measured 24/30 at
