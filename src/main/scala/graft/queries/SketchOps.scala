@@ -67,6 +67,51 @@ object SketchOps {
              |                 - n_exact) / n_exact * 100, 2) AS err_pct
              |FROM m, ex""".stripMargin)),
 
+    // ---- KMV per group (cardinality estimation under groupBy) ------------
+    // The shape the sketch exists for at 100 TB: per-key distinct counts
+    // without a double shuffle — one hash aggregate where every group's
+    // buffer partial-merges map-side and ships <= k longs. The oracle
+    // replays each group's minima with a windowed rank.
+    Q(
+      "q85_kmv_by_group",
+      (s, d) => {
+        import graft.functions.KMVSketch.kmvMins
+        val k = 64
+        val o = Tables.orders(s, d)
+          .select(col("o_orderpriority").as("grp"),
+                  col("o_custkey").cast("long").as("key"))
+          .withColumn("h", (lit(HashA) * col("key") + lit(HashB)) % P)
+        val agg = o.groupBy(col("grp")).agg(
+          kmvMins(col("h"), k).as("mins"),
+          countDistinct(col("key")).as("n_exact"))
+        val est = when(size(col("mins")) < k,
+            size(col("mins")).cast("double"))
+          .otherwise(round(lit((k - 1).toDouble * P) /
+            element_at(col("mins"), k), 4))
+        agg
+          .withColumn("n_min", size(col("mins")).cast("long"))
+          .withColumn("kth_hash", element_at(col("mins"), size(col("mins"))))
+          .withColumn("est_kmv", est)
+          .select(col("grp"), col("n_exact"), col("n_min"),
+                  col("kth_hash"), col("est_kmv"))
+          .orderBy(col("grp"))
+      },
+      Some(s"""WITH h AS (SELECT DISTINCT o_orderpriority AS grp,
+             |             ($HashA::BIGINT * o_custkey + $HashB) % $P AS h
+             |           FROM orders),
+             |r AS (SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+             |      FROM h),
+             |m AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_min, max(h) AS kth_hash
+             |      FROM r WHERE rn <= 64 GROUP BY grp),
+             |ex AS (SELECT o_orderpriority AS grp,
+             |         CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_exact
+             |       FROM orders GROUP BY grp)
+             |SELECT m.grp, n_exact, n_min, kth_hash,
+             |       CASE WHEN n_min < 64 THEN CAST(n_min AS DOUBLE)
+             |            ELSE round(63 * ${P}.0 / kth_hash, 4) END AS est_kmv
+             |FROM m JOIN ex ON m.grp = ex.grp
+             |ORDER BY m.grp""".stripMargin)),
+
     // ---- Two-pass EXACT heavy hitters (Misra-Gries + rescore) ------------
     // Pass 1: a per-partition Misra-Gries summary (graft.ops.MisraGries)
     // ships <= k tokens per partition and is guaranteed to contain every
