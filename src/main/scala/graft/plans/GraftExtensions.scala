@@ -1,6 +1,7 @@
 package graft.plans
 
-import graft.functions.{DotProduct, PolyHash, SquaredNorm, TitleCase}
+import graft.functions.{DotProduct, KMVMins, MinhashSig, PolyHash, ShinglePacks, SquaredNorm, TitleCase}
+import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -28,5 +29,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("dot_product", exprs => DotProduct(exprs(0), exprs(1))))
     ext.injectFunction(fn("squared_norm", exprs => SquaredNorm(exprs.head)))
     ext.injectFunction(fn("poly_hash", exprs => PolyHash(exprs.head)))
+    ext.injectFunction(fn("shingle_packs", exprs => ShinglePacks(exprs.head)))
+    ext.injectFunction(fn("minhash_sig", exprs => MinhashSig(exprs.head)))
+    // kmv_mins(hash, k): k must be a literal int (sketch width is fixed
+    // at plan time, like every bounded-state aggregate)
+    ext.injectFunction(fn("kmv_mins", exprs =>
+      KMVMins(exprs(0), exprs(1) match {
+        case Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"kmv_mins k must be an integer literal, got $other")
+      }).toAggregateExpression()))
   }
 }

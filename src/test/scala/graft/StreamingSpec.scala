@@ -140,6 +140,17 @@ class StreamingSpec extends SparkSpec {
     assert(r.getString(0) == "Ai/Ml Engineer")
     assert(r.getDouble(1) == 32.0)
     assert(r.getDouble(2) == 25.0)
+
+    // round-3 kernels and the KMV aggregate are SQL-reachable too
+    val r2 = spark.sql(
+      "SELECT size(shingle_packs('a b c d')) AS n_sh, " +
+      "size(minhash_sig(shingle_packs('a b c d'))) AS n_sig").collect()(0)
+    assert(r2.getInt(0) == 2)  // "a b c", "b c d"
+    assert(r2.getInt(1) == 32)
+    val r3 = spark.sql(
+      "SELECT kmv_mins(h, 4) AS mins FROM " +
+      "(SELECT CAST(id % 1000 AS BIGINT) AS h FROM range(10000))").collect()(0)
+    assert(r3.getSeq[Long](0) == Seq(0L, 1L, 2L, 3L))
   }
 
   test("checkpointed foreachBatch ingestion is exactly-once across restarts") {
