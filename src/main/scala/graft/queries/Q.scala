@@ -23,7 +23,8 @@ final case class Q(
 object Registry {
   lazy val all: Seq[Q] =
     CoreAnalytics.defs ++ TextOps.defs ++ VectorOps.defs ++
-      EventOps.defs ++ CleanOps.defs ++ PipelineOps.defs ++ SketchOps.defs
+      EventOps.defs ++ CleanOps.defs ++ PipelineOps.defs ++ SketchOps.defs ++
+      TrainingOps.defs
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

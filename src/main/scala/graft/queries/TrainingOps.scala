@@ -1,0 +1,435 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.PolyHash.polyHash
+import graft.functions.VectorFunctions.{dotProduct, squaredNorm}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data preparation operators (SURVEY.md §2.14): the pipeline
+  * stages between a cleaned corpus and a training run — retrieval
+  * scoring, sequence packing, repetition gating, PII anonymization,
+  * split assignment, and context chunking. Every query keeps the
+  * oracle-parity rules (integer or rounded outputs, total tie-break
+  * orders, portable hashes) so the DuckDB gate replays it exactly.
+  */
+/** Input row of the q87 packing pass (named fields so `.as[PackIn]`
+  * resolves by column name).
+  */
+final case class PackIn(doc_id: Long, lang: String, n_tok: Long)
+
+/** One packed document: `seq_id` is the training-sequence (bin) index
+  * within the lang, `seq_fill` the bin's running token count after this
+  * doc.
+  */
+final case class PackOut(doc_id: Long, lang: String, n_tok: Long,
+                         seq_id: Long, seq_fill: Long)
+
+object TrainingOps {
+
+  private val P = graft.functions.TextHash.Mod
+  private val HashA = 982451653L
+  private val HashB = 12345L
+
+  /** Greedy sequential packing state machine shared by q87 and its spec:
+    * runs over one partition's rows, already sorted by (lang, doc_id);
+    * resets the bin counter at every lang boundary. Oversized docs
+    * (n_tok > cap) occupy a bin alone.
+    */
+  private[graft] def packGreedy(cap: Long, it: Iterator[PackIn])
+      : Iterator[PackOut] = {
+    var curLang: String = null
+    var bin = 0L
+    var fill = 0L
+    it.map { r =>
+      if (r.lang != curLang) { curLang = r.lang; bin = 0L; fill = 0L }
+      if (fill > 0L && fill + r.n_tok > cap) { bin += 1L; fill = r.n_tok }
+      else fill += r.n_tok
+      PackOut(r.doc_id, r.lang, r.n_tok, bin, fill)
+    }
+  }
+
+  val defs: Seq[Q] = Seq(
+
+    // ---- Seeded IVF ANN, fully oracle-checked ----------------------------
+    // q42's IVF uses a Lloyd-trained quantizer (recall-spec'd, not
+    // oracle-able: the unrounded argmin assignment is FP-order
+    // sensitive). This variant pins the coarse quantizer to data-sampled
+    // seeds (the first 8 corpus vectors) and ranks BOTH the assignment
+    // and the probe on ROUNDED cosine with index tie-breaks, so the
+    // whole index build + probe is a deterministic function of the data
+    // that DuckDB replays row for row. Same physical shape as q42: one
+    // broadcast of 8 centroids, one bucket shuffle, per-bucket top-k.
+    Q(
+      "q86_ivf_seeded_ann",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+          .withColumn("n2", squaredNorm(col("v")))
+        val cent = e.where(col("vec_id") < 8)
+          .select(col("vec_id").as("c_id"), col("v").as("cv"), col("n2").as("cn2"))
+        val assigned = e.crossJoin(broadcast(cent))
+          .withColumn("cos_c",
+            round(dotProduct(col("v"), col("cv")) / sqrt(col("n2") * col("cn2")), 4))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("vec_id")).orderBy(col("cos_c").desc, col("c_id"))))
+          .where(col("rn") === 1)
+          .select(col("vec_id"), col("v"), col("n2"), col("c_id").as("bucket"))
+        val q = assigned.where(col("vec_id") >= 8 && col("vec_id") < 18)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"),
+                  col("n2").as("qn2"), col("bucket"))
+        assigned.join(broadcast(q), Seq("bucket"))
+          .where(col("vec_id") =!= col("q_id"))
+          .withColumn("cos_r",
+            round(dotProduct(col("v"), col("qv")) / sqrt(col("n2") * col("qn2")), 4))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("q_id")).orderBy(col("cos_r").desc, col("vec_id"))))
+          .where(col("rn") <= 3)
+          .select(col("q_id"), col("bucket").cast("long").as("bucket"),
+                  col("vec_id").as("n_id"), col("cos_r"))
+          .orderBy(col("q_id"), col("cos_r").desc, col("n_id"))
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |cent AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 8),
+             |asg AS (SELECT vec_id, v, c_id AS bucket FROM (
+             |          SELECT e.vec_id, e.v, c.c_id,
+             |                 row_number() OVER (PARTITION BY e.vec_id
+             |                   ORDER BY round(list_cosine_similarity(e.v, c.cv), 4) DESC, c.c_id) AS rn
+             |          FROM e, cent c)
+             |        WHERE rn = 1),
+             |q AS (SELECT vec_id AS q_id, v AS qv, bucket
+             |      FROM asg WHERE vec_id >= 8 AND vec_id < 18),
+             |sc AS (SELECT q.q_id, q.bucket, a.vec_id AS n_id,
+             |              round(list_cosine_similarity(a.v, q.qv), 4) AS cos_r,
+             |              row_number() OVER (PARTITION BY q.q_id
+             |                ORDER BY round(list_cosine_similarity(a.v, q.qv), 4) DESC, a.vec_id) AS rn
+             |       FROM q JOIN asg a ON a.bucket = q.bucket
+             |       WHERE a.vec_id <> q.q_id)
+             |SELECT q_id, CAST(bucket AS BIGINT) AS bucket, n_id, cos_r
+             |FROM sc WHERE rn <= 3
+             |ORDER BY q_id, cos_r DESC, n_id""".stripMargin)),
+
+    // ---- Greedy sequence packing (pretraining batch assembly) ------------
+    // Packs documents into <=128-token training sequences, greedy
+    // first-fit in doc_id order within each lang — the standard
+    // "concatenate docs up to the context length" step before
+    // tokenized-example serialization. The packing is inherently
+    // sequential PER GROUP, so the distributed shape is: shuffle once on
+    // the group key, sort within partitions, then a single stateful pass
+    // per partition (a lang never spans partitions; at 100 TB the group
+    // key becomes (lang, shard) so each task packs a bounded shard).
+    // The oracle replays the same state machine with a recursive CTE.
+    Q(
+      "q87_seq_pack",
+      (s, d) => {
+        import s.implicits._
+        val cap = 128L
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id").cast("long").as("doc_id"), col("lang"),
+                  size(split(col("text"), " ")).cast("long").as("n_tok"))
+        docs.repartition(col("lang"))
+          .sortWithinPartitions(col("lang"), col("doc_id"))
+          .as[PackIn]
+          .mapPartitions(it => packGreedy(cap, it))
+          .toDF()
+          .orderBy(col("lang"), col("doc_id"))
+      },
+      Some("""WITH RECURSIVE d AS (SELECT doc_id, lang,
+             |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+             |       FROM documents),
+             |t AS (SELECT lang, doc_id, n_tok,
+             |        row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+             |      FROM d),
+             |r AS (
+             |  SELECT lang, doc_id, n_tok, rn, CAST(0 AS BIGINT) AS seq_id,
+             |         n_tok AS seq_fill
+             |  FROM t WHERE rn = 1
+             |  UNION ALL
+             |  SELECT t.lang, t.doc_id, t.n_tok, t.rn,
+             |         CASE WHEN r.seq_fill + t.n_tok > 128 THEN r.seq_id + 1
+             |              ELSE r.seq_id END,
+             |         CASE WHEN r.seq_fill + t.n_tok > 128 THEN t.n_tok
+             |              ELSE r.seq_fill + t.n_tok END
+             |  FROM r JOIN t ON t.lang = r.lang AND t.rn = r.rn + 1)
+             |SELECT doc_id, lang, n_tok, seq_id, seq_fill
+             |FROM r
+             |ORDER BY lang, doc_id""".stripMargin)),
+
+    // ---- BM25 retrieval scoring ------------------------------------------
+    // Okapi BM25 (k1=1.2, b=0.75) for a two-term query over the corpus —
+    // the retrieval scorer behind RAG data selection. The idf uses the
+    // q79 integer log2 ladder (1 + floor(log2(N div df))) instead of ln,
+    // so the only floats are per-row IEEE arithmetic on identical values
+    // in both engines; the two per-term scores sum commutatively and the
+    // final round(.,4) pins the hash. Plan: one explode + two hash
+    // aggregates + a broadcast of 2 df rows — no windows over the corpus.
+    Q(
+      "q88_bm25_rank",
+      (s, d) => {
+        val terms = Seq("dup", "spark")
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), explode_outer(split(col("text"), " ")).as("tok"))
+          .where(col("tok").isNotNull && col("tok") =!= "")
+        val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+        val stats = dl.agg(count(lit(1)).as("n_docs"),
+                           sum(col("dl")).as("sum_dl"))
+        val tf = toks.where(col("tok").isin(terms: _*))
+          .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+        val dfc = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+        val r = expr("n_docs div df")
+        val idf = dfc.crossJoin(stats)
+          .withColumn("w",
+            lit(1L) + TextOps.log2Ladder.foldLeft(lit(0L)) {
+              case (acc, p) => when(r >= (1L << p), lit(p.toLong)).otherwise(acc)
+            })
+          .select(col("tok"), col("w"), col("sum_dl"), col("n_docs"))
+        val scored = tf.join(broadcast(idf), Seq("tok"))
+          .join(dl, Seq("doc_id"))
+          .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
+          .withColumn("score_t",
+            col("w") * (col("tf") * lit(2.2) /
+              (col("tf") + lit(1.2) *
+                (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))))
+        scored.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_terms"),
+               max(col("dl")).as("dl"),
+               round(sum(col("score_t")), 4).as("score"))
+          .orderBy(desc("score"), col("doc_id"))
+          .limit(15)
+          .select(col("doc_id"), col("n_terms"), col("dl"), col("score"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+             |              FROM documents),
+             |tk AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+             |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tk GROUP BY doc_id),
+             |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             |              CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+             |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+             |       FROM tk WHERE tok IN ('dup', 'spark') GROUP BY doc_id, tok),
+             |dfc AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+             |idf AS (SELECT tok,
+             |          1 + (CASE WHEN n_docs // df >= 1099511627776 THEN 40
+             |                    WHEN n_docs // df >= 549755813888 THEN 39
+             |                    WHEN n_docs // df >= 274877906944 THEN 38
+             |                    WHEN n_docs // df >= 137438953472 THEN 37
+             |                    WHEN n_docs // df >= 68719476736 THEN 36
+             |                    WHEN n_docs // df >= 34359738368 THEN 35
+             |                    WHEN n_docs // df >= 17179869184 THEN 34
+             |                    WHEN n_docs // df >= 8589934592 THEN 33
+             |                    WHEN n_docs // df >= 4294967296 THEN 32
+             |                    WHEN n_docs // df >= 2147483648 THEN 31
+             |                    WHEN n_docs // df >= 1073741824 THEN 30
+             |                    WHEN n_docs // df >= 536870912 THEN 29
+             |                    WHEN n_docs // df >= 268435456 THEN 28
+             |                    WHEN n_docs // df >= 134217728 THEN 27
+             |                    WHEN n_docs // df >= 67108864 THEN 26
+             |                    WHEN n_docs // df >= 33554432 THEN 25
+             |                    WHEN n_docs // df >= 16777216 THEN 24
+             |                    WHEN n_docs // df >= 8388608 THEN 23
+             |                    WHEN n_docs // df >= 4194304 THEN 22
+             |                    WHEN n_docs // df >= 2097152 THEN 21
+             |                    WHEN n_docs // df >= 1048576 THEN 20
+             |                    WHEN n_docs // df >= 524288 THEN 19
+             |                    WHEN n_docs // df >= 262144 THEN 18
+             |                    WHEN n_docs // df >= 131072 THEN 17
+             |                    WHEN n_docs // df >= 65536 THEN 16
+             |                    WHEN n_docs // df >= 32768 THEN 15
+             |                    WHEN n_docs // df >= 16384 THEN 14
+             |                    WHEN n_docs // df >= 8192 THEN 13
+             |                    WHEN n_docs // df >= 4096 THEN 12
+             |                    WHEN n_docs // df >= 2048 THEN 11
+             |                    WHEN n_docs // df >= 1024 THEN 10
+             |                    WHEN n_docs // df >= 512 THEN 9
+             |                    WHEN n_docs // df >= 256 THEN 8
+             |                    WHEN n_docs // df >= 128 THEN 7
+             |                    WHEN n_docs // df >= 64 THEN 6
+             |                    WHEN n_docs // df >= 32 THEN 5
+             |                    WHEN n_docs // df >= 16 THEN 4
+             |                    WHEN n_docs // df >= 8 THEN 3
+             |                    WHEN n_docs // df >= 4 THEN 2
+             |                    WHEN n_docs // df >= 2 THEN 1
+             |                    ELSE 0 END) AS w,
+             |          sum_dl, n_docs
+             |        FROM dfc, st),
+             |sc AS (SELECT tf.doc_id, dl.dl,
+             |         idf.w * (tf.tf * 2.2 /
+             |           (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl /
+             |             (CAST(idf.sum_dl AS DOUBLE) / idf.n_docs)))) AS score_t
+             |       FROM tf JOIN idf ON tf.tok = idf.tok
+             |                JOIN dl ON tf.doc_id = dl.doc_id)
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+             |       CAST(max(dl) AS BIGINT) AS dl,
+             |       round(sum(score_t), 4) AS score
+             |FROM sc GROUP BY doc_id
+             |ORDER BY score DESC, doc_id
+             |LIMIT 15""".stripMargin)),
+
+    // ---- Duplicate-n-gram repetition signals (Gopher §A1.1 completion) ---
+    // q77 gates on top-TOKEN dominance; Gopher's remaining repetition
+    // rules gate on n-grams: the fraction of 2-gram occurrences that are
+    // duplicated within the doc, and the share of the single most
+    // frequent 2-gram. Thresholds (0.10 / 0.08) split the fixture so
+    // both flags carry signal. One explode + two hash aggregates.
+    Q(
+      "q89_dup_ngrams",
+      (s, d) => {
+        val grams = Tables.documents(s, d)
+          .withColumn("toks", split(col("text"), " "))
+          .where(size(col("toks")) >= 2)
+          .select(col("doc_id"),
+            explode(expr("transform(sequence(0, size(toks) - 2)," +
+              " i -> concat_ws(' ', slice(toks, i + 1, 2)))")).as("g"))
+        val perGram = grams.groupBy(col("doc_id"), col("g"))
+          .agg(count(lit(1)).as("n"))
+        perGram.groupBy(col("doc_id"))
+          .agg(sum(col("n")).as("n_grams"),
+               sum(when(col("n") >= 2, col("n")).otherwise(0L)).as("n_dup"),
+               max(col("n")).as("top_n"))
+          .withColumn("dup_frac", round(col("n_dup") / col("n_grams"), 4))
+          .withColumn("top_frac", round(col("top_n") / col("n_grams"), 4))
+          .withColumn("rep2_ok", (col("dup_frac") <= 0.10).cast("long"))
+          .withColumn("top2_ok", (col("top_frac") <= 0.08).cast("long"))
+          .select(col("doc_id"), col("n_grams"), col("n_dup"), col("top_n"),
+                  col("dup_frac"), col("top_frac"), col("rep2_ok"), col("top2_ok"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+             |           WHERE len(string_split(text, ' ')) >= 2),
+             |g AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS g
+             |      FROM t, unnest(range(1, len(t))) AS u(i)),
+             |pg AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS n
+             |       FROM g GROUP BY doc_id, g),
+             |pd AS (SELECT doc_id,
+             |         CAST(sum(n) AS BIGINT) AS n_grams,
+             |         CAST(sum(CASE WHEN n >= 2 THEN n ELSE 0 END) AS BIGINT) AS n_dup,
+             |         CAST(max(n) AS BIGINT) AS top_n
+             |       FROM pg GROUP BY doc_id)
+             |SELECT doc_id, n_grams, n_dup, top_n,
+             |       round(n_dup * 1.0 / n_grams, 4) AS dup_frac,
+             |       round(top_n * 1.0 / n_grams, 4) AS top_frac,
+             |       CAST(CASE WHEN round(n_dup * 1.0 / n_grams, 4) <= 0.10
+             |                 THEN 1 ELSE 0 END AS BIGINT) AS rep2_ok,
+             |       CAST(CASE WHEN round(top_n * 1.0 / n_grams, 4) <= 0.08
+             |                 THEN 1 ELSE 0 END AS BIGINT) AS top2_ok
+             |FROM pd
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ---- PII anonymization + k-anonymity audit ---------------------------
+    // Before a table leaves the trust boundary as training data: the
+    // direct identifier is pseudonymized (portable hash — deterministic,
+    // join-preserving, irreversible without the dictionary), the numeric
+    // quasi-identifier is generalized to $1000 buckets, and each
+    // (segment, bucket) equivalence class is audited against k=20 —
+    // classes smaller than k are flagged for suppression (k-anonymity,
+    // Sweeney 2002). One scan + one window count, no extra shuffle
+    // beyond the class key.
+    Q(
+      "q90_pii_kanon",
+      (s, d) => {
+        val c = Tables.customer(s, d)
+          .withColumn("pseudo",
+            concat(lit("c-"), polyHash(col("c_name")).cast("string")))
+          .withColumn("bal_bucket",
+            (floor(col("c_acctbal") / 1000) * 1000).cast("long"))
+        c.withColumn("grp_n", count(lit(1)).over(
+            Window.partitionBy(col("c_mktsegment"), col("bal_bucket"))))
+          .withColumn("suppress", (col("grp_n") < 20).cast("long"))
+          .select(col("pseudo"), col("c_mktsegment"), col("bal_bucket"),
+                  col("grp_n"), col("suppress"))
+          .orderBy(col("pseudo"))
+      },
+      Some("""WITH c AS (SELECT 'c-' || CAST(
+             |           list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |             list_transform(range(1, len(c_name) + 1),
+             |               j -> CAST(unicode(c_name[j]) AS BIGINT))),
+             |             (acc, x) -> (acc * 31 + x) % 1000000007) AS VARCHAR) AS pseudo,
+             |         c_mktsegment,
+             |         CAST(floor(c_acctbal / 1000) * 1000 AS BIGINT) AS bal_bucket
+             |       FROM customer)
+             |SELECT pseudo, c_mktsegment, bal_bucket,
+             |       CAST(count(*) OVER (PARTITION BY c_mktsegment, bal_bucket) AS BIGINT) AS grp_n,
+             |       CAST(CASE WHEN count(*) OVER (PARTITION BY c_mktsegment, bal_bucket) < 20
+             |                 THEN 1 ELSE 0 END AS BIGINT) AS suppress
+             |FROM c
+             |ORDER BY pseudo""".stripMargin)),
+
+    // ---- Deterministic train/val/test split ------------------------------
+    // Split assignment by portable hash of the stable key (80/10/10) —
+    // reproducible across runs and engines, no RNG state, and membership
+    // is decidable per row without a global pass (the property that
+    // matters when the corpus is 100 TB: the split is a map-side column,
+    // not a shuffle). Output audits the per-lang distribution.
+    Q(
+      "q91_split_assign",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .withColumn("h",
+            (lit(HashA) * col("doc_id") + lit(HashB)) % P % 100)
+          .withColumn("split",
+            when(col("h") < 80, "train").when(col("h") < 90, "val")
+              .otherwise("test"))
+        docs.groupBy(col("lang"), col("split"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("pct", round(col("n") * 100.0 /
+            sum(col("n")).over(Window.partitionBy(col("lang"))), 2))
+          .orderBy(col("lang"), col("split"))
+      },
+      Some(s"""WITH d AS (SELECT lang,
+             |         CASE WHEN ($HashA::BIGINT * doc_id + $HashB) % $P % 100 < 80 THEN 'train'
+             |              WHEN ($HashA::BIGINT * doc_id + $HashB) % $P % 100 < 90 THEN 'val'
+             |              ELSE 'test' END AS split
+             |       FROM documents),
+             |g AS (SELECT lang, split, CAST(count(*) AS BIGINT) AS n
+             |      FROM d GROUP BY lang, split)
+             |SELECT lang, split, n,
+             |       round(n * 100.0 / sum(n) OVER (PARTITION BY lang), 2) AS pct
+             |FROM g
+             |ORDER BY lang, split""".stripMargin)),
+
+    // ---- Sliding-window context chunking (RAG / long-doc splitting) ------
+    // Splits every document into 32-token windows with stride 24 (8-token
+    // overlap) — the chunking step of retrieval indexing and of
+    // long-document pretraining. Chunk count, boundaries and the chunk
+    // content hash are all exact-integer functions of the text, and the
+    // explode is generated per row (no shuffle at all until a downstream
+    // consumer groups). Window math: 1 + ceil(max(n-32,0)/24) windows,
+    // last window right-aligned-short.
+    Q(
+      "q92_chunk_windows",
+      (s, d) => {
+        val (cs, stride) = (32, 24)
+        Tables.documents(s, d)
+          .withColumn("toks", split(col("text"), " "))
+          .withColumn("nw",
+            (ceil(greatest(size(col("toks")) - cs, lit(0)) / lit(stride.toDouble))
+              + 1).cast("long"))
+          .select(col("doc_id"), col("toks"),
+                  explode(sequence(lit(0L), col("nw") - 1)).as("chunk_ix"))
+          .withColumn("ctoks",
+            slice(col("toks"), (col("chunk_ix") * stride + 1).cast("int"), lit(cs)))
+          .select(col("doc_id"), col("chunk_ix"),
+                  size(col("ctoks")).cast("long").as("n_ctoks"),
+                  polyHash(concat_ws(" ", col("ctoks"))).as("chunk_hash"))
+          .orderBy(col("doc_id"), col("chunk_ix"))
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |w AS (SELECT doc_id, toks,
+             |        1 + CAST(ceil(greatest(len(toks) - 32, 0) / 24.0) AS BIGINT) AS nw
+             |      FROM t),
+             |c AS (SELECT doc_id, unnest(range(0, nw)) AS chunk_ix, toks FROM w),
+             |ch AS (SELECT doc_id, chunk_ix,
+             |         array_to_string(list_slice(toks, chunk_ix * 24 + 1,
+             |                                    chunk_ix * 24 + 32), ' ') AS ctext,
+             |         CAST(len(list_slice(toks, chunk_ix * 24 + 1,
+             |                             chunk_ix * 24 + 32)) AS BIGINT) AS n_ctoks
+             |       FROM c)
+             |SELECT doc_id, chunk_ix, n_ctoks,
+             |       list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |         list_transform(range(1, len(ctext) + 1),
+             |           j -> CAST(unicode(ctext[j]) AS BIGINT))),
+             |         (acc, x) -> (acc * 31 + x) % 1000000007) AS chunk_hash
+             |FROM ch
+             |ORDER BY doc_id, chunk_ix""".stripMargin))
+  )
+}

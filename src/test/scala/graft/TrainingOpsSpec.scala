@@ -1,0 +1,230 @@
+package graft
+
+import graft.queries.{PackIn, Registry, TrainingOps}
+import org.apache.spark.sql.functions._
+
+/** Targeted evidence for the §2.14 training-data operators beyond the
+  * DuckDB oracle rows: greedy-packing invariants and partition
+  * invariance (q87), seeded-IVF candidate containment + measured recall
+  * (q86), BM25 idf dominance (q88), repetition-flag consistency (q89),
+  * anonymization properties (q90), split determinism and balance (q91),
+  * and chunk-coverage reconstruction (q92).
+  */
+class TrainingOpsSpec extends SparkSpec {
+  import queries.{PackOut}
+
+  // ---- q87 sequence packing ----------------------------------------------
+
+  test("q87: packGreedy respects capacity, bins are contiguous and tight") {
+    val cap = 128L
+    val rows = Registry.byName("q87_seq_pack").run(spark, sfDir)
+      .collect()
+      .map(r => PackOut(r.getLong(0), r.getString(1), r.getLong(2),
+                        r.getLong(3), r.getLong(4)))
+    assert(rows.length == 500)
+    rows.groupBy(_.lang).foreach { case (_, docs) =>
+      val sorted = docs.sortBy(_.doc_id)
+      // bins start at 0, advance by at most 1, and fills stay in cap
+      // (an oversized doc may exceed cap only when alone in its bin)
+      var bin = 0L; var fill = 0L
+      sorted.foreach { r =>
+        assert(r.seq_id == bin || r.seq_id == bin + 1)
+        if (r.seq_id == bin + 1) {
+          // greedy tightness: the doc genuinely did not fit
+          assert(fill + r.n_tok > cap)
+          bin += 1; fill = r.n_tok
+        } else fill += r.n_tok
+        assert(r.seq_fill == fill)
+        assert(fill <= cap || r.seq_fill == r.n_tok)
+      }
+    }
+  }
+
+  test("q87: packing is invariant to input partitioning") {
+    val cap = 64L
+    val base = Tables.documents(spark, sfDir)
+      .select(col("doc_id").cast("long").as("doc_id"), col("lang"),
+              size(split(col("text"), " ")).cast("long").as("n_tok"))
+    import spark.implicits._
+    def pack(parts: Int) =
+      base.repartition(parts, col("lang"))
+        .sortWithinPartitions(col("lang"), col("doc_id"))
+        .as[PackIn]
+        .mapPartitions(it => TrainingOps.packGreedy(cap, it))
+        .collect().sortBy(r => (r.lang, r.doc_id)).toSeq
+    assert(pack(1) == pack(7))
+  }
+
+  // ---- q86 seeded IVF ANN ------------------------------------------------
+
+  test("q86: one bucket per query; approximation bounded by exact rank <= 30") {
+    val ivf = Registry.byName("q86_ivf_seeded_ann").run(spark, sfDir).collect()
+    assert(ivf.length == 30) // 10 queries x top-3
+    // one bucket per query (nprobe=1)
+    ivf.groupBy(_.getAs[Long]("q_id")).foreach { case (_, rows) =>
+      assert(rows.map(_.getAs[Long]("bucket")).distinct.length == 1)
+    }
+    // exact ranking of all 499 candidates per query (q40's brute-force
+    // shape). 8 untrained seeds give modest recall@3 (q42's trained
+    // quantizer owns the >=80% floor); the bound a BROKEN bucket join
+    // would violate is rank containment: every returned neighbor sits
+    // in the exact top 30 of 499 (94th percentile), mean rank <= 15.
+    import graft.functions.VectorFunctions.{dotProduct, squaredNorm}
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("n2", squaredNorm(col("v")))
+    val q = e.where(col("vec_id") >= 8 && col("vec_id") < 18)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("n2").as("qn2"))
+    val rank = e.crossJoin(broadcast(q))
+      .where(col("vec_id") =!= col("q_id"))
+      .withColumn("cos_r",
+        round(dotProduct(col("v"), col("qv")) / sqrt(col("n2") * col("qn2")), 4))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("cos_r").desc, col("vec_id"))))
+      .select(col("q_id"), col("vec_id").as("n_id"), col("rk"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val ranks = ivf.map(r =>
+      rank((r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))))
+    assert(ranks.max <= 30, s"worst exact rank ${ranks.max}")
+    assert(ranks.sum.toDouble / ranks.length <= 15.0,
+      s"mean exact rank ${ranks.sum.toDouble / ranks.length}")
+  }
+
+  // ---- q88 BM25 ----------------------------------------------------------
+
+  test("q88: rare-term docs outrank common-term-only docs (idf dominance)") {
+    val rows = Registry.byName("q88_bm25_rank").run(spark, sfDir).collect()
+    assert(rows.length == 15)
+    val scores = rows.map(_.getAs[Double]("score"))
+    assert(scores.forall(_ > 0))
+    assert(scores.sliding(2).forall(p => p(0) >= p(1)), "descending scores")
+    // every doc in the top 15 matched the rare term: with df(dup)=25 of
+    // 500 docs its ladder idf is 5 vs 1 for 'spark', so a single 'dup'
+    // occurrence (>= 5 * 2.2*1/(1+...) ~ 3.9) beats any spark-only doc
+    // (score < 1 * 2.2 capped). Verify against the raw text.
+    val dupDocs = Tables.documents(spark, sfDir)
+      .where(col("text").rlike("(^| )dup( |$)"))
+      .select(col("doc_id").cast("long")).collect().map(_.getLong(0)).toSet
+    val top = rows.map(_.getAs[Long]("doc_id"))
+    assert(top.forall(dupDocs.contains), "top-15 all contain the rare term")
+  }
+
+  // ---- q89 duplicate n-grams ---------------------------------------------
+
+  test("q89: flags recompute from fractions and both outcomes occur") {
+    val rows = Registry.byName("q89_dup_ngrams").run(spark, sfDir).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val dupFrac = r.getAs[Double]("dup_frac")
+      val topFrac = r.getAs[Double]("top_frac")
+      assert(r.getAs[Long]("rep2_ok") == (if (dupFrac <= 0.10) 1L else 0L))
+      assert(r.getAs[Long]("top2_ok") == (if (topFrac <= 0.08) 1L else 0L))
+      assert(r.getAs[Long]("n_dup") <= r.getAs[Long]("n_grams"))
+      assert(r.getAs[Long]("top_n") >= 1L)
+    }
+    assert(rows.map(_.getAs[Long]("rep2_ok")).distinct.length == 2)
+    assert(rows.map(_.getAs[Long]("top2_ok")).distinct.length == 2)
+  }
+
+  // ---- q90 PII anonymization ---------------------------------------------
+
+  test("q90: pseudonyms are unique, raw names absent, suppression matches k") {
+    val rows = Registry.byName("q90_pii_kanon").run(spark, sfDir).collect()
+    val n = Tables.customer(spark, sfDir).count()
+    assert(rows.length == n)
+    val pseudos = rows.map(_.getAs[String]("pseudo"))
+    assert(pseudos.distinct.length == pseudos.length, "collision-free on fixture")
+    assert(pseudos.forall(p => p.startsWith("c-") && !p.contains("Customer")))
+    // group sizes are consistent: every member of a class reports the
+    // same grp_n, classes partition the table, suppress == (grp_n < 20)
+    val byClass = rows.groupBy(r =>
+      (r.getAs[String]("c_mktsegment"), r.getAs[Long]("bal_bucket")))
+    assert(byClass.values.map(_.length).sum == n)
+    byClass.values.foreach { cls =>
+      val ns = cls.map(_.getAs[Long]("grp_n")).distinct
+      assert(ns.toSeq == Seq(cls.length.toLong))
+      cls.foreach(r => assert(
+        r.getAs[Long]("suppress") == (if (cls.length < 20) 1L else 0L)))
+    }
+  }
+
+  // ---- q91 split assignment ----------------------------------------------
+
+  test("q91: split is deterministic, partitions the corpus, roughly 80/10/10") {
+    val a = Registry.byName("q91_split_assign").run(spark, sfDir).collect()
+    val b = Registry.byName("q91_split_assign").run(spark, sfDir).collect()
+    assert(a.toSeq == b.toSeq, "replay-deterministic")
+    val total = a.map(_.getAs[Long]("n")).sum
+    assert(total == 500)
+    val trainPct = a.filter(_.getAs[String]("split") == "train")
+      .map(_.getAs[Long]("n")).sum * 100.0 / total
+    assert(trainPct > 70 && trainPct < 90, s"train share $trainPct")
+    // per-lang percentages sum to ~100
+    a.groupBy(_.getAs[String]("lang")).values.foreach { g =>
+      val s = g.map(_.getAs[Double]("pct")).sum
+      assert(math.abs(s - 100.0) < 0.1, s"pct sum $s")
+    }
+  }
+
+  // ---- q92 chunk windows -------------------------------------------------
+
+  test("q92: windows tile every doc with stride 24 and hash-match the text") {
+    import graft.functions.PolyHash.polyHash
+    val chunks = Registry.byName("q92_chunk_windows").run(spark, sfDir)
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n_tok"))
+    // chunk-count formula and coverage: last window reaches the end,
+    // every window start is < n_tok, consecutive windows overlap by 8
+    val perDoc = chunks.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("nw"), max(col("chunk_ix")).as("last_ix"),
+           sum(col("n_ctoks")).as("sum_toks"))
+      .join(docs, "doc_id").collect()
+    perDoc.foreach { r =>
+      val n = r.getAs[Int]("n_tok").toLong
+      val nw = 1L + math.ceil(math.max(n - 32, 0) / 24.0).toLong
+      assert(r.getAs[Long]("nw") == nw)
+      assert(r.getAs[Long]("last_ix") == nw - 1)
+      // full coverage: starts at 0,24,..., last window ends at n
+      val lastStart = (nw - 1) * 24
+      assert(lastStart < n && lastStart + 32 >= n)
+    }
+    // content check: the first chunk of each doc is the polyhash of its
+    // first 32 tokens
+    val firstExpected = Tables.documents(spark, sfDir)
+      .select(col("doc_id").cast("long").as("doc_id"),
+        polyHash(concat_ws(" ",
+          slice(split(col("text"), " "), 1, 32))).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    chunks.where(col("chunk_ix") === 0)
+      .select(col("doc_id").cast("long"), col("chunk_hash"))
+      .collect()
+      .foreach(r => assert(firstExpected(r.getLong(0)) == r.getLong(1)))
+  }
+
+  // ---- physical-plan shape -----------------------------------------------
+
+  private def planOf(name: String): String =
+    Registry.byName(name).run(spark, sfDir).queryExecution.executedPlan.toString
+
+  test("plans: q86 broadcasts index build and probe, no cartesian product") {
+    val p = planOf("q86_ivf_seeded_ann")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert("BroadcastExchange".r.findAllMatchIn(p).size >= 2, p.take(800))
+  }
+
+  test("plans: q87 shuffles once on the group key; q92 generates shuffle-free") {
+    // q87: ONE hash exchange (the repartition on lang) feeds the sorted
+    // stateful pass; the only other exchange is the final presentation sort
+    val p87 = planOf("q87_seq_pack")
+    assert("Exchange hashpartitioning".r.findAllMatchIn(p87).size == 1,
+      p87.take(1000))
+    // q92: chunk explode + hash are per-row generate — zero hash
+    // exchanges; the single range exchange is the final ORDER BY
+    val p92 = planOf("q92_chunk_windows")
+    assert("Exchange hashpartitioning".r.findAllMatchIn(p92).size == 0,
+      p92.take(1000))
+    assert("Exchange rangepartitioning".r.findAllMatchIn(p92).size == 1,
+      p92.take(1000))
+  }
+}
