@@ -430,6 +430,62 @@ object TrainingOps {
              |           j -> CAST(unicode(ctext[j]) AS BIGINT))),
              |         (acc, x) -> (acc * 31 + x) % 1000000007) AS chunk_hash
              |FROM ch
-             |ORDER BY doc_id, chunk_ix""".stripMargin))
+             |ORDER BY doc_id, chunk_ix""".stripMargin)),
+
+    // ---- Source-mixture rebalancing (pretraining data mixing) ------------
+    // Rebalances a multi-source corpus to a target mixture — here
+    // balance-down-to-the-smallest-source, the degenerate uniform case
+    // of Pile/DoReMi-style mixture weighting. Unlike q55b (FIXED
+    // per-stratum rates), the rates are COMPUTED from the observed
+    // source counts, so the dataflow is the production one: one count
+    // aggregate, a broadcast of per-source hash thresholds back onto
+    // the corpus, one filtered recount. Sampling is the portable affine
+    // hash against floor(rate*P) — deterministic, replayable,
+    // engine-exact; a row's membership never depends on partitioning.
+    Q(
+      "q93_source_mix",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .withColumn("h", (lit(HashA) * col("doc_id") + lit(HashB)) % P)
+        val counts = docs.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_source"))
+        val tgt = counts.agg(min(col("n_source")).as("target_n"))
+        val rates = counts.crossJoin(tgt)
+          .withColumn("rate", col("target_n").cast("double") / col("n_source"))
+          .withColumn("thresh",
+            floor(col("rate") * lit(P.toDouble)).cast("long"))
+        val kept = docs
+          .join(broadcast(rates.select(col("source"), col("thresh"))), Seq("source"))
+          .where(col("h") < col("thresh"))
+          .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+        rates.join(kept, Seq("source"), "left")
+          .na.fill(0L, Seq("n_kept"))
+          .withColumn("share_pct", round(col("n_kept") * 100.0 /
+            sum(col("n_kept")).over(Window.partitionBy()), 2))
+          .select(col("source"), col("n_source"), col("target_n"),
+                  round(col("rate"), 6).as("rate"), col("n_kept"),
+                  col("share_pct"))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH d AS (SELECT source, doc_id,
+             |         ($HashA::BIGINT * doc_id + $HashB) % $P AS h
+             |       FROM documents),
+             |c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_source
+             |      FROM d GROUP BY source),
+             |t AS (SELECT min(n_source) AS target_n FROM c),
+             |r AS (SELECT source, n_source, target_n,
+             |        CAST(target_n AS DOUBLE) / n_source AS rate,
+             |        CAST(floor(CAST(target_n AS DOUBLE) / n_source * $P.0) AS BIGINT) AS thresh
+             |      FROM c, t),
+             |k AS (SELECT d.source, CAST(count(*) AS BIGINT) AS n_kept
+             |      FROM d JOIN r ON d.source = r.source
+             |      WHERE d.h < r.thresh GROUP BY d.source)
+             |SELECT r.source, n_source, target_n,
+             |       round(rate, 6) AS rate,
+             |       CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept,
+             |       round(coalesce(n_kept, 0) * 100.0 /
+             |             sum(coalesce(n_kept, 0)) OVER (), 2) AS share_pct
+             |FROM r LEFT JOIN k ON r.source = k.source
+             |ORDER BY r.source""".stripMargin))
   )
 }

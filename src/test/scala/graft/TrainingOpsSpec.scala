@@ -202,6 +202,34 @@ class TrainingOpsSpec extends SparkSpec {
       .foreach(r => assert(firstExpected(r.getLong(0)) == r.getLong(1)))
   }
 
+  // ---- q93 source mixing -------------------------------------------------
+
+  test("q93: smallest source kept whole, others downsampled toward it") {
+    val rows = Registry.byName("q93_source_mix").run(spark, sfDir).collect()
+    val nSources = Tables.documents(spark, sfDir)
+      .select(col("source")).distinct().count()
+    assert(rows.length == nSources)
+    val target = rows.map(_.getAs[Long]("target_n")).distinct
+    assert(target.length == 1)
+    val minSource = rows.map(_.getAs[Long]("n_source")).min
+    assert(target.head == minSource)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_source")
+      val kept = r.getAs[Long]("n_kept")
+      assert(kept <= n)
+      // rate=1 sources are kept whole; others can't keep more than source
+      if (n == minSource) assert(kept == n, s"smallest source kept $kept/$n")
+      assert(r.getAs[Double]("rate") <= 1.0 && r.getAs[Double]("rate") > 0.0)
+    }
+    // the mix is pulled toward uniform: every source's kept count is
+    // within hash noise of the target (binomial sd ~ sqrt(target))
+    val tol = 4 * math.sqrt(target.head.toDouble) // ~4 sigma
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Long]("n_kept") - target.head) <= tol,
+        s"${r.getAs[String]("source")}: ${r.getAs[Long]("n_kept")} vs ${target.head}")
+    }
+  }
+
   // ---- physical-plan shape -----------------------------------------------
 
   private def planOf(name: String): String =
