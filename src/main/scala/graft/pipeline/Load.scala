@@ -88,6 +88,28 @@ object Load {
     (before.size, dataFiles(fs, hadoopPath).size)
   }
 
+  /** JSONL export shards — the interchange format training runs consume
+    * (one JSON object per line; Spark's json sink is line-delimited).
+    * Rows are range-partitioned and sorted on `orderCol`, so shard
+    * boundaries and shard contents are a deterministic function of the
+    * data (not of the input partitioning), and every shard holds a
+    * contiguous key range of ~`rowsPerShard` rows — the layout that
+    * lets a trainer assign shards to data-loader workers without a
+    * manifest. The extra count() pass is one columnar scan of the
+    * order column; at 100 TB you'd pass the known row count in.
+    *
+    * @return number of shards written
+    */
+  def toJsonlShards(df: DataFrame, path: String, orderCol: String,
+                    rowsPerShard: Long): Int = {
+    val n = df.count()
+    val shards = math.max(1, math.ceil(n.toDouble / rowsPerShard).toInt)
+    df.repartitionByRange(shards, col(orderCol))
+      .sortWithinPartitions(col(orderCol))
+      .write.mode(SaveMode.Overwrite).json(path)
+    shards
+  }
+
   /** Partition-aware compaction for a Hive-layout store (`key=value`
     * directory tree, e.g. the daily-load `run_date=...` partitions):
     * walks to the leaf partition directories and compacts each one

@@ -113,4 +113,37 @@ class DailyJobSpec extends SparkSpec {
       .map(_.toString).mkString
     assert(scanned.contains("lang=a") || !scanned.contains("lang=b"))
   }
+
+  test("toJsonlShards writes deterministic line-delimited range shards") {
+    val out = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("text"))
+    val shards = graft.pipeline.Load.toJsonlShards(
+      docs, s"$out/docs", "doc_id", rowsPerShard = 100L)
+    assert(shards == 5) // 500 docs / 100
+
+    // each part file is genuine JSONL: every line parses standalone
+    val parts = new java.io.File(s"$out/docs").listFiles()
+      .filter(f => f.getName.startsWith("part-")).sortBy(_.getName)
+    assert(parts.length == shards)
+    val firstLines = scala.io.Source.fromFile(parts.head).getLines().toSeq
+    assert(firstLines.nonEmpty && firstLines.forall(l =>
+      l.startsWith("{") && l.endsWith("}") && l.contains("\"doc_id\"")))
+
+    // round-trip: all rows survive, doc_ids are contiguous ranges per
+    // shard (range partitioning + within-shard sort)
+    val back = spark.read.json(s"$out/docs")
+    assert(back.count() == 500)
+    val ranges = parts.map { f =>
+      val ids = scala.io.Source.fromFile(f).getLines()
+        .map(l => "\"doc_id\":(\\d+)".r.findFirstMatchIn(l).get.group(1).toLong)
+        .toSeq
+      assert(ids == ids.sorted, s"${f.getName} not sorted")
+      (ids.min, ids.max)
+    }
+    ranges.sliding(2).foreach {
+      case Array((_, aMax), (bMin, _)) => assert(aMax < bMin, "overlapping shards")
+      case _ =>
+    }
+  }
 }
