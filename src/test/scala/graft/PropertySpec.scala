@@ -95,4 +95,42 @@ class PropertySpec extends SparkSpec {
     assert(row.salary.contains(120000.0))
     assert(row.city == "seattle")
   }
+
+  test("greedy packing invariants hold on random multi-lang token streams") {
+    import graft.queries.{PackIn, TrainingOps}
+    val cap = 100L
+    val gen: Gen[List[PackIn]] = for {
+      n <- Gen.choose(0, 120)
+      rows <- Gen.listOfN(n, for {
+        lang <- Gen.oneOf("aa", "bb", "cc")
+        tok <- Gen.choose(1L, 150L) // includes oversized (> cap) docs
+      } yield (lang, tok))
+    } yield rows.zipWithIndex
+      .map { case ((l, t), i) => PackIn(i.toLong, l, t) }
+      .sortBy(r => (r.lang, r.doc_id))
+    forAllSeeded(gen, n = 40) { rows =>
+      val out = TrainingOps.packGreedy(cap, rows.iterator).toList
+      assert(out.map(_.doc_id) == rows.map(_.doc_id), "order preserved")
+      out.groupBy(_.lang).foreach { case (_, docs) =>
+        // bin ids are a contiguous non-decreasing sequence from 0
+        val bins = docs.map(_.seq_id)
+        assert(bins.head == 0L)
+        assert(bins.sliding(2).forall {
+          case Seq(a, b) => b == a || b == a + 1; case _ => true })
+        // per-bin totals: within cap unless a single oversized doc
+        docs.groupBy(_.seq_id).values.foreach { bin =>
+          val total = bin.map(_.n_tok).sum
+          assert(total <= cap || bin.length == 1,
+            s"overfull multi-doc bin: $bin")
+        }
+        // greedy tightness: first doc of bin b+1 would overflow bin b
+        val byBin = docs.groupBy(_.seq_id).toSeq.sortBy(_._1)
+        byBin.sliding(2).foreach {
+          case Seq((_, prev), (_, next)) =>
+            assert(prev.map(_.n_tok).sum + next.head.n_tok > cap)
+          case _ =>
+        }
+      }
+    }
+  }
 }
