@@ -486,6 +486,101 @@ object TrainingOps {
              |       round(coalesce(n_kept, 0) * 100.0 /
              |             sum(coalesce(n_kept, 0)) OVER (), 2) AS share_pct
              |FROM r LEFT JOIN k ON r.source = k.source
-             |ORDER BY r.source""".stripMargin))
+             |ORDER BY r.source""".stripMargin)),
+
+    // ---- Seeded product-quantized ANN, fully oracle-checked --------------
+    // q73's PQ trains Lloyd codebooks (recall-spec'd; the unrounded
+    // argmin is FP-order sensitive, so no oracle). This twin pins each
+    // of the 4 sub-space codebooks to data-sampled seeds (the first 16
+    // vectors' sub-vectors) and makes every step a deterministic
+    // function of the data: sub-distances are an index-order fold of
+    // squared diffs (bit-identical in both engines), assignment and
+    // ranking use ROUNDED distances with index tie-breaks, and the ADC
+    // score sums the 4 rounded table entries in a FIXED association
+    // (((d0+d1)+d2)+d3). Same physical shape as production PQ: encode
+    // once (codes are 4 small ints per vector), score queries against a
+    // 16-entry lookup table per sub-space, never against raw vectors.
+    Q(
+      "q94_pq_seeded_ann",
+      (s, d) => {
+        val nSub = 4; val subDim = 16; val nCw = 16
+        def sqDist(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+          round(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+            lit(0.0), (acc, x) => acc + x), 4)
+        val sub = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+          .select(col("vec_id"), explode(sequence(lit(0L), lit(nSub - 1L))).as("j"),
+                  col("v"))
+          .withColumn("sv", slice(col("v"), (col("j") * subDim + 1).cast("int"),
+                                  lit(subDim)))
+          .select(col("vec_id"), col("j"), col("sv"))
+        val cw = sub.where(col("vec_id") < nCw)
+          .select(col("vec_id").as("c_id"), col("j").as("cj"), col("sv").as("cv"))
+        val codes = sub.join(broadcast(cw), col("j") === col("cj"))
+          .withColumn("d2", sqDist(col("sv"), col("cv")))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("vec_id"), col("j"))
+              .orderBy(col("d2"), col("c_id"))))
+          .where(col("rn") === 1)
+          .select(col("vec_id"), col("j"), col("c_id").as("code"))
+        val q = sub.where(col("vec_id") >= nCw && col("vec_id") < nCw + 10)
+          .select(col("vec_id").as("q_id"), col("j").as("qj"), col("sv").as("qv"))
+        val dtab = q.join(broadcast(cw), col("qj") === col("cj"))
+          .select(col("q_id"), col("qj"), col("c_id"),
+                  sqDist(col("qv"), col("cv")).as("dj"))
+        val scored = codes.join(broadcast(dtab),
+            col("j") === col("qj") && col("code") === col("c_id"))
+          .where(col("vec_id") =!= col("q_id"))
+          .groupBy(col("q_id"), col("vec_id"))
+          .agg(max(when(col("j") === 0, col("dj"))).as("d0"),
+               max(when(col("j") === 1, col("dj"))).as("d1"),
+               max(when(col("j") === 2, col("dj"))).as("d2"),
+               max(when(col("j") === 3, col("dj"))).as("d3"))
+          .withColumn("adc",
+            round(col("d0") + col("d1") + col("d2") + col("d3"), 4))
+        scored.withColumn("rn", row_number().over(
+            Window.partitionBy(col("q_id")).orderBy(col("adc"), col("vec_id"))))
+          .where(col("rn") <= 3)
+          .select(col("q_id"), col("vec_id").as("n_id"), col("adc"))
+          .orderBy(col("q_id"), col("adc"), col("n_id"))
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |sub0 AS (SELECT vec_id, unnest([0,1,2,3]) AS j, v FROM e),
+             |sub AS (SELECT vec_id, j,
+             |          list_slice(v, j*16 + 1, j*16 + 16) AS sv
+             |        FROM sub0),
+             |cw AS (SELECT vec_id AS c_id, j AS cj, sv AS cv FROM sub WHERE vec_id < 16),
+             |codes AS (SELECT vec_id, j, c_id AS code FROM (
+             |            SELECT sub.vec_id, sub.j, cw.c_id,
+             |              row_number() OVER (PARTITION BY sub.vec_id, sub.j
+             |                ORDER BY round(list_reduce(list_prepend(0.0,
+             |                    list_transform(range(1, 17),
+             |                      i -> (sub.sv[i] - cw.cv[i]) * (sub.sv[i] - cw.cv[i]))),
+             |                    (acc, x) -> acc + x), 4), cw.c_id) AS rn
+             |            FROM sub JOIN cw ON sub.j = cw.cj)
+             |          WHERE rn = 1),
+             |q AS (SELECT vec_id AS q_id, j AS qj, sv AS qv
+             |      FROM sub WHERE vec_id >= 16 AND vec_id < 26),
+             |dtab AS (SELECT q_id, qj, c_id,
+             |           round(list_reduce(list_prepend(0.0,
+             |               list_transform(range(1, 17),
+             |                 i -> (q.qv[i] - cw.cv[i]) * (q.qv[i] - cw.cv[i]))),
+             |               (acc, x) -> acc + x), 4) AS dj
+             |         FROM q JOIN cw ON q.qj = cw.cj),
+             |sc AS (SELECT dtab.q_id, codes.vec_id,
+             |         max(CASE WHEN codes.j = 0 THEN dj END) AS d0,
+             |         max(CASE WHEN codes.j = 1 THEN dj END) AS d1,
+             |         max(CASE WHEN codes.j = 2 THEN dj END) AS d2,
+             |         max(CASE WHEN codes.j = 3 THEN dj END) AS d3
+             |       FROM codes JOIN dtab ON codes.j = dtab.qj AND codes.code = dtab.c_id
+             |       WHERE codes.vec_id <> dtab.q_id
+             |       GROUP BY dtab.q_id, codes.vec_id),
+             |r AS (SELECT q_id, vec_id AS n_id,
+             |        round(d0 + d1 + d2 + d3, 4) AS adc,
+             |        row_number() OVER (PARTITION BY q_id
+             |          ORDER BY round(d0 + d1 + d2 + d3, 4), vec_id) AS rn
+             |      FROM sc)
+             |SELECT q_id, n_id, adc FROM r WHERE rn <= 3
+             |ORDER BY q_id, adc, n_id""".stripMargin))
   )
 }

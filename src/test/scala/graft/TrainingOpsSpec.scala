@@ -230,6 +230,70 @@ class TrainingOpsSpec extends SparkSpec {
     }
   }
 
+  // ---- q94 seeded PQ -----------------------------------------------------
+
+  test("q94: ADC ranking is deterministic and far better than random") {
+    val out = Registry.byName("q94_pq_seeded_ann").run(spark, sfDir).collect()
+    assert(out.length == 30) // 10 queries x top-3
+    out.groupBy(_.getAs[Long]("q_id")).values.foreach { rows =>
+      val adcs = rows.map(_.getAs[Double]("adc"))
+      assert(adcs.sorted.sameElements(adcs), "ascending ADC per query")
+      assert(adcs.forall(_ >= 0.0))
+    }
+    // exact L2 rank of each returned neighbor: 16 untrained seed
+    // codewords quantize coarsely (q73's trained PQ owns the recall
+    // floor), but a BROKEN ADC join would rank randomly (expected mean
+    // rank ~250 of 499). Seeded-PQ measures ~127; assert well below
+    // random.
+    import org.apache.spark.sql.expressions.Window
+    def sq(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x)
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val q = e.where(col("vec_id") >= 16 && col("vec_id") < 26)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val rank = e.crossJoin(broadcast(q))
+      .where(col("vec_id") =!= col("q_id"))
+      .withColumn("d", round(sq(col("v"), col("qv")), 4))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("d"), col("vec_id"))))
+      .select(col("q_id"), col("vec_id").as("n_id"), col("rk"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val ranks = out.map(r => rank((r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))))
+    val mean = ranks.sum.toDouble / ranks.length
+    assert(mean <= 180.0, s"mean exact rank $mean (random ~250)")
+  }
+
+  test("q94 mechanism: every seed vector encodes to its own codeword") {
+    // reconstruct the per-subspace assignment exactly as q94 does and
+    // check the identity property d(seed, itself)=0 forces code==c_id
+    def sq(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      round(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x), 4)
+    import org.apache.spark.sql.expressions.Window
+    val sub = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .select(col("vec_id"), explode(sequence(lit(0L), lit(3L))).as("j"), col("v"))
+      .withColumn("sv", slice(col("v"), (col("j") * 16 + 1).cast("int"), lit(16)))
+      .select(col("vec_id"), col("j"), col("sv"))
+    val cw = sub.where(col("vec_id") < 16)
+      .select(col("vec_id").as("c_id"), col("j").as("cj"), col("sv").as("cv"))
+    val codes = sub.where(col("vec_id") < 16)
+      .join(broadcast(cw), col("j") === col("cj"))
+      .withColumn("d2", sq(col("sv"), col("cv")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id"), col("j"))
+          .orderBy(col("d2"), col("c_id"))))
+      .where(col("rn") === 1)
+      .select(col("vec_id"), col("j"), col("c_id").as("code"))
+      .collect()
+    assert(codes.length == 16 * 4)
+    codes.foreach(r =>
+      assert(r.getAs[Long]("code") == r.getAs[Long]("vec_id"),
+        s"seed ${r.getAs[Long]("vec_id")} subspace ${r.getAs[Long]("j")}"))
+  }
+
   // ---- physical-plan shape -----------------------------------------------
 
   private def planOf(name: String): String =
