@@ -115,6 +115,39 @@ class ShuffleVolumeSpec extends SparkSpec {
     assert(twoPass < fullAgg / 5, s"twoPass=$twoPass fullAgg=$fullAgg")
   }
 
+  test("q87 packing shuffles the projected triple, never the document text") {
+    import graft.queries.{PackIn, TrainingOps}
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    // the registered shape: project to (doc_id, lang, n_tok) BEFORE the
+    // lang repartition, so the wire carries ~24 bytes/row
+    val projectedB = shuffleBytes {
+      docs.select(col("doc_id").cast("long").as("doc_id"), col("lang"),
+                  size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .repartition(col("lang"))
+        .sortWithinPartitions(col("lang"), col("doc_id"))
+        .as[PackIn]
+        .mapPartitions(it => TrainingOps.packGreedy(128L, it))
+        .collect()
+    }
+    // the naive formulation: shuffle rows with the text column still
+    // attached and tokenize after the exchange
+    val unprunedB = shuffleBytes {
+      docs.select(col("doc_id").cast("long").as("doc_id"), col("lang"),
+                  col("text"))
+        .repartition(col("lang"))
+        .sortWithinPartitions(col("lang"), col("doc_id"))
+        .select(col("doc_id"), col("lang"),
+                size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .as[PackIn]
+        .mapPartitions(it => TrainingOps.packGreedy(128L, it))
+        .collect()
+    }
+    // fixture docs average ~250 chars; the triple is ~24 bytes
+    assert(projectedB > 0 && projectedB < unprunedB / 3,
+      s"projected=$projectedB bytes vs with-text=$unprunedB bytes")
+  }
+
   test("both formulations produce identical signatures (hash identity differs only in packing)") {
     val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
     val a = kernelSignatures(docs).orderBy("doc_id").collect()

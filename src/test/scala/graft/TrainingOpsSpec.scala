@@ -305,6 +305,21 @@ class TrainingOpsSpec extends SparkSpec {
     assert("BroadcastExchange".r.findAllMatchIn(p).size >= 2, p.take(800))
   }
 
+  test("plans: scans prune to the referenced columns only") {
+    // q90 touches 3 of customer's 5 columns; q92 touches 2 of documents'
+    // 5 — the parquet ReadSchema must not include the others, or a
+    // 100 TB scan pays for bytes the query never reads
+    val scans90 = Registry.byName("q90_pii_kanon").run(spark, sfDir)
+      .queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+    assert(scans90.contains("c_name") && scans90.contains("c_acctbal"))
+    assert(!scans90.contains("c_nationkey"), scans90.take(600))
+    val scans92 = Registry.byName("q92_chunk_windows").run(spark, sfDir)
+      .queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+    assert(scans92.contains("text"))
+    assert(!scans92.contains("n_chars") && !scans92.contains("source"),
+      scans92.take(600))
+  }
+
   test("plans: q87 shuffles once on the group key; q92 generates shuffle-free") {
     // q87: ONE hash exchange (the repartition on lang) feeds the sorted
     // stateful pass; the only other exchange is the final presentation sort
