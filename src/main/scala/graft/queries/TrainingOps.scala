@@ -32,6 +32,31 @@ object TrainingOps {
   private val HashA = 982451653L
   private val HashB = 12345L
 
+  /** Per-row document quality metrics (the stateless subset of q77's
+    * Gopher gates: word count, mean word length, distinct-stopword
+    * presence) as pure column expressions over the token ARRAY of each
+    * row — no explode, no aggregation, no state. Because every metric
+    * is row-local, the identical frame runs over `readStream` (q95) and
+    * a batch scan (spec twin), and the DuckDB oracle replays it with
+    * list functions.
+    */
+  private[graft] def rowQuality(df: DataFrame): DataFrame = {
+    val stops = Seq("the", "a", "of", "and", "to", "in")
+    df.withColumn("toks", filter(split(col("text"), " "), t => t =!= ""))
+      .withColumn("n_words", size(col("toks")).cast("long"))
+      .withColumn("sum_len",
+        aggregate(col("toks"), lit(0L), (acc, t) => acc + length(t)))
+      .withColumn("mean_word_len", round(col("sum_len") / col("n_words"), 4))
+      .withColumn("n_stop_distinct",
+        size(array_intersect(array_distinct(col("toks")),
+          array(stops.map(lit): _*))).cast("long"))
+      .withColumn("quality_pass",
+        (col("n_words") >= 30 && col("mean_word_len") >= 3 &&
+          col("mean_word_len") <= 5 && col("n_stop_distinct") >= 2).cast("long"))
+      .select(col("doc_id"), col("n_words"), col("mean_word_len"),
+              col("n_stop_distinct"), col("quality_pass"))
+  }
+
   /** Greedy sequential packing state machine shared by q87 and its spec:
     * runs over one partition's rows, already sorted by (lang, doc_id);
     * resets the bin counter at every lang boundary. Oversized docs
@@ -581,6 +606,44 @@ object TrainingOps {
              |          ORDER BY round(d0 + d1 + d2 + d3, 4), vec_id) AS rn
              |      FROM sc)
              |SELECT q_id, n_id, adc FROM r WHERE rn <= 3
-             |ORDER BY q_id, adc, n_id""".stripMargin))
+             |ORDER BY q_id, adc, n_id""".stripMargin)),
+
+    // ---- Streaming quality gate (continuous corpus ingestion) ------------
+    // The q77 gate recast for ingestion time: documents arrive as a
+    // file-source stream and every row is gated by stateless per-row
+    // metrics (rowQuality) — no shuffle, no state store, no watermark,
+    // so the streaming micro-batch plan is the same narrow map as the
+    // batch plan and scales with input rate alone. Because the metrics
+    // are row-local and deterministic, the STREAMING result hash-matches
+    // a plain batch SQL oracle — the strongest correctness statement a
+    // streaming operator can carry.
+    Q(
+      "q95_stream_quality_gate",
+      (s, d) => {
+        val path = s"$d/documents.parquet"
+        val stream = graft.streaming.EventStreams.readParquetStream(
+          s, path, s.read.parquet(path).schema)
+        graft.streaming.EventStreams
+          .runToMemory(s, rowQuality(stream), "q95_stream_quality")
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (SELECT doc_id,
+             |         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+             |       FROM documents),
+             |m AS (SELECT doc_id,
+             |        CAST(len(toks) AS BIGINT) AS n_words,
+             |        round(list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |            list_transform(toks, x -> CAST(len(x) AS BIGINT))),
+             |            (a, x) -> a + x) / len(toks), 4) AS mean_word_len,
+             |        CAST(len(list_intersect(list_distinct(toks),
+             |            ['the', 'a', 'of', 'and', 'to', 'in'])) AS BIGINT)
+             |          AS n_stop_distinct
+             |      FROM t)
+             |SELECT doc_id, n_words, mean_word_len, n_stop_distinct,
+             |       CAST(CASE WHEN n_words >= 30 AND mean_word_len >= 3
+             |                  AND mean_word_len <= 5 AND n_stop_distinct >= 2
+             |                 THEN 1 ELSE 0 END AS BIGINT) AS quality_pass
+             |FROM m
+             |ORDER BY doc_id""".stripMargin))
   )
 }

@@ -27,6 +27,23 @@ object EventStreams {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** File-source stream over any parquet fixture (directory, glob, or a
+    * single file via the glob trick). The declared schema is mandatory
+    * for file streams; pass `spark.read.parquet(path).schema` to reuse
+    * the on-disk one.
+    */
+  def readParquetStream(spark: SparkSession, path: String, schema: StructType,
+                        maxFilesPerTrigger: Int = 1): DataFrame = {
+    val f = new java.io.File(path)
+    val streamPath =
+      if (f.isFile) s"${f.getParent}/[${f.getName.head}]${f.getName.tail}"
+      else path
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(streamPath)
+  }
+
   /** File-source stream over a directory (or glob) of parquet events.
     * The fixture's ts is TIMESTAMP(NANOS): read as long nanos and
     * truncate to micros, mirroring graft.Tables.events.

@@ -294,6 +294,28 @@ class TrainingOpsSpec extends SparkSpec {
         s"seed ${r.getAs[Long]("vec_id")} subspace ${r.getAs[Long]("j")}"))
   }
 
+  // ---- q95 streaming quality gate ----------------------------------------
+
+  test("q95: streaming gate is stateless and equals the batch twin") {
+    import graft.streaming.EventStreams
+    val path = s"$sfDir/documents.parquet"
+    val stream = EventStreams.readParquetStream(
+      spark, path, spark.read.parquet(path).schema)
+    val q = TrainingOps.rowQuality(stream).writeStream
+      .outputMode("append").format("memory").queryName("t_q95").start()
+    try q.processAllAvailable() finally q.stop()
+    // stateless: the micro-batch ran without any state store operator
+    assert(q.lastProgress != null && q.lastProgress.stateOperators.isEmpty)
+    val streamed = spark.table("t_q95").collect()
+      .map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    val batch = TrainingOps.rowQuality(Tables.documents(spark, sfDir))
+      .collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+    // the gate carries signal: both pass and fail occur
+    assert(spark.table("t_q95").select(col("quality_pass"))
+      .distinct().count() == 2)
+  }
+
   // ---- physical-plan shape -----------------------------------------------
 
   private def planOf(name: String): String =
