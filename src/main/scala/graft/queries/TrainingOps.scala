@@ -32,6 +32,14 @@ object TrainingOps {
   private val HashA = 982451653L
   private val HashB = 12345L
 
+  /** q88's idf ladder in DuckDB form, generated from the same
+    * TextOps.log2Ladder the Spark side folds over (q79's pattern) — the
+    * two engines can't drift on a hand-transcribed threshold.
+    */
+  private def ladderSql: String =
+    TextOps.log2Ladder.reverse
+      .map(p => s"WHEN n_docs // df >= ${1L << p} THEN $p").mkString(" ")
+
   /** Per-row document quality metrics (the stateless subset of q77's
     * Gopher gates: word count, mean word length, distinct-stopword
     * presence) as pure column expressions over the token ARRAY of each
@@ -224,7 +232,7 @@ object TrainingOps {
           .limit(15)
           .select(col("doc_id"), col("n_terms"), col("dl"), col("score"))
       },
-      Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      Some(s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
              |              FROM documents),
              |tk AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
              |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tk GROUP BY doc_id),
@@ -233,48 +241,7 @@ object TrainingOps {
              |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
              |       FROM tk WHERE tok IN ('dup', 'spark') GROUP BY doc_id, tok),
              |dfc AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok),
-             |idf AS (SELECT tok,
-             |          1 + (CASE WHEN n_docs // df >= 1099511627776 THEN 40
-             |                    WHEN n_docs // df >= 549755813888 THEN 39
-             |                    WHEN n_docs // df >= 274877906944 THEN 38
-             |                    WHEN n_docs // df >= 137438953472 THEN 37
-             |                    WHEN n_docs // df >= 68719476736 THEN 36
-             |                    WHEN n_docs // df >= 34359738368 THEN 35
-             |                    WHEN n_docs // df >= 17179869184 THEN 34
-             |                    WHEN n_docs // df >= 8589934592 THEN 33
-             |                    WHEN n_docs // df >= 4294967296 THEN 32
-             |                    WHEN n_docs // df >= 2147483648 THEN 31
-             |                    WHEN n_docs // df >= 1073741824 THEN 30
-             |                    WHEN n_docs // df >= 536870912 THEN 29
-             |                    WHEN n_docs // df >= 268435456 THEN 28
-             |                    WHEN n_docs // df >= 134217728 THEN 27
-             |                    WHEN n_docs // df >= 67108864 THEN 26
-             |                    WHEN n_docs // df >= 33554432 THEN 25
-             |                    WHEN n_docs // df >= 16777216 THEN 24
-             |                    WHEN n_docs // df >= 8388608 THEN 23
-             |                    WHEN n_docs // df >= 4194304 THEN 22
-             |                    WHEN n_docs // df >= 2097152 THEN 21
-             |                    WHEN n_docs // df >= 1048576 THEN 20
-             |                    WHEN n_docs // df >= 524288 THEN 19
-             |                    WHEN n_docs // df >= 262144 THEN 18
-             |                    WHEN n_docs // df >= 131072 THEN 17
-             |                    WHEN n_docs // df >= 65536 THEN 16
-             |                    WHEN n_docs // df >= 32768 THEN 15
-             |                    WHEN n_docs // df >= 16384 THEN 14
-             |                    WHEN n_docs // df >= 8192 THEN 13
-             |                    WHEN n_docs // df >= 4096 THEN 12
-             |                    WHEN n_docs // df >= 2048 THEN 11
-             |                    WHEN n_docs // df >= 1024 THEN 10
-             |                    WHEN n_docs // df >= 512 THEN 9
-             |                    WHEN n_docs // df >= 256 THEN 8
-             |                    WHEN n_docs // df >= 128 THEN 7
-             |                    WHEN n_docs // df >= 64 THEN 6
-             |                    WHEN n_docs // df >= 32 THEN 5
-             |                    WHEN n_docs // df >= 16 THEN 4
-             |                    WHEN n_docs // df >= 8 THEN 3
-             |                    WHEN n_docs // df >= 4 THEN 2
-             |                    WHEN n_docs // df >= 2 THEN 1
-             |                    ELSE 0 END) AS w,
+             |idf AS (SELECT tok, 1 + (CASE $ladderSql ELSE 0 END) AS w,
              |          sum_dl, n_docs
              |        FROM dfc, st),
              |sc AS (SELECT tf.doc_id, dl.dl,
