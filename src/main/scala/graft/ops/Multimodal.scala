@@ -10,11 +10,16 @@ import org.apache.spark.sql.types._
   * feature-extraction runs per-partition so heavyweight codec state is
   * initialized once per task, never per row.
   *
-  * The decode step is a DETERMINISTIC STUB (this container has no
-  * image/audio codecs): it derives a fixed-length feature vector from the
-  * bytes. The Spark-side plumbing — schema, binary transport, partition
-  * batching, feature schema — is real and tested; swapping `decodeStub`
-  * for a JNI/codec call is a one-function change.
+  * Two decode paths:
+  *  - `decodeImages` is a REAL codec: binary PPM (P6) parse + pixel-grid
+  *    nearest-neighbor resize, no external libraries (q96 oracle-checks
+  *    the full encode→decode→feature chain).
+  *  - `decodeStub` stands in for formats that need external codecs
+  *    (JPEG/audio/video — absent in this container): it derives a
+  *    fixed-length feature vector from the bytes. The surrounding
+  *    plumbing — schema, binary transport, partition batching — is the
+  *    same either way; swapping the stub for a JNI/codec call is a
+  *    one-function change.
   */
 object Multimodal {
 
@@ -116,6 +121,129 @@ object Multimodal {
           case (frame, idx) if idx % everyNth == 0 =>
             Row(id, idx.toLong, frame)
         }
+      }
+    }(enc)
+  }
+
+  // ---- REAL image codec: binary PPM (P6) ---------------------------------
+  // PPM needs no codec library, so this path is NOT a stub: a
+  // spec-compliant parser (magic, '#' comments, arbitrary token
+  // whitespace, maxval, raster) plus a true nearest-neighbor resize on
+  // the decoded pixel grid. It exercises every piece of the multimodal
+  // contract — binary transport, per-task decode, malformed-payload
+  // failure — on a genuine image format.
+
+  /** Decoded 8-bit image: dimensions + packed RGB raster. */
+  final case class RgbImage(w: Int, h: Int, rgb: Array[Byte])
+
+  /** Encode an 8-bit RGB raster as binary PPM (P6). */
+  def encodePpm(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(rgb.length == w * h * 3, s"raster ${rgb.length} != ${w * h * 3}")
+    val header = s"P6\n$w $h\n255\n"
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val out = new Array[Byte](header.length + rgb.length)
+    System.arraycopy(header, 0, out, 0, header.length)
+    System.arraycopy(rgb, 0, out, header.length, rgb.length)
+    out
+  }
+
+  /** Parse a binary PPM (P6) payload per the Netpbm spec. Throws
+    * IllegalArgumentException on malformed input — an ingestion pipeline
+    * catches and quarantines those rows.
+    */
+  def decodePpm(payload: Array[Byte]): RgbImage = {
+    def fail(msg: String): Nothing = throw new IllegalArgumentException(msg)
+    if (payload == null || payload.length < 2 ||
+        payload(0) != 'P' || payload(1) != '6') fail("not a P6 ppm")
+    var pos = 2
+    def skipWs(): Unit = {
+      var done = false
+      while (!done && pos < payload.length) {
+        val b = payload(pos)
+        if (b == '#') {
+          while (pos < payload.length && payload(pos) != '\n') pos += 1
+        } else if (b == ' ' || b == '\n' || b == '\r' || b == '\t') pos += 1
+        else done = true
+      }
+    }
+    def intToken(): Int = {
+      skipWs()
+      val start = pos
+      while (pos < payload.length && payload(pos) >= '0' && payload(pos) <= '9')
+        pos += 1
+      if (pos == start) fail(s"expected integer at byte $start")
+      new String(payload, start, pos - start,
+        java.nio.charset.StandardCharsets.US_ASCII).toInt
+    }
+    val w = intToken(); val h = intToken(); val maxval = intToken()
+    if (w <= 0 || h <= 0) fail(s"bad dimensions ${w}x$h")
+    if (maxval != 255) fail(s"unsupported maxval $maxval")
+    pos += 1 // exactly one whitespace byte separates maxval from raster
+    val n = w * h * 3
+    if (payload.length - pos < n) fail("truncated raster")
+    val rgb = new Array[Byte](n)
+    System.arraycopy(payload, pos, rgb, 0, n)
+    RgbImage(w, h, rgb)
+  }
+
+  /** True nearest-neighbor resize on the decoded pixel grid:
+    * out(x, y) = in(floor(x*w/tw), floor(y*h/th)).
+    */
+  def nnResize(img: RgbImage, tw: Int, th: Int): RgbImage = {
+    val out = new Array[Byte](tw * th * 3)
+    var y = 0
+    while (y < th) {
+      val sy = (y.toLong * img.h / th).toInt
+      var x = 0
+      while (x < tw) {
+        val sx = (x.toLong * img.w / tw).toInt
+        val src = (sy * img.w + sx) * 3
+        val dst = (y * tw + x) * 3
+        out(dst) = img.rgb(src)
+        out(dst + 1) = img.rgb(src + 1)
+        out(dst + 2) = img.rgb(src + 2)
+        x += 1
+      }
+      y += 1
+    }
+    RgbImage(tw, th, out)
+  }
+
+  /** Decode every payload with the REAL P6 parser, then emit image-level
+    * features: dimensions, stored size, per-channel sums, and the total
+    * of a (tw x th) nearest-neighbor thumbnail. Integer outputs keep the
+    * whole chain engine-exact for the oracle.
+    */
+  def decodeImages(media: DataFrame, tw: Int, th: Int): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("w", LongType),
+      StructField("h", LongType),
+      StructField("n_bytes", LongType),
+      StructField("sum_r", LongType),
+      StructField("sum_g", LongType),
+      StructField("sum_b", LongType),
+      StructField("rsum", LongType)))
+    val enc = ExpressionEncoder(outSchema)
+    val idIdx = media.schema.fieldIndex("media_id")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](payloadIdx)
+        val img = decodePpm(payload)
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var i = 0
+        while (i < img.rgb.length) {
+          sr += img.rgb(i) & 0xff
+          sg += img.rgb(i + 1) & 0xff
+          sb += img.rgb(i + 2) & 0xff
+          i += 3
+        }
+        val small = nnResize(img, tw, th)
+        var rs = 0L; var j = 0
+        while (j < small.rgb.length) { rs += small.rgb(j) & 0xff; j += 1 }
+        Row(r.getLong(idIdx), img.w.toLong, img.h.toLong,
+            payload.length.toLong, sr, sg, sb, rs)
       }
     }(enc)
   }

@@ -244,6 +244,64 @@ object PipelineOps {
              |       c_mktsegment, count(*) AS n, round(sum(value), 2) AS sum_v
              |FROM events JOIN customer ON user_id = c_custkey
              |GROUP BY h, c_mktsegment
-             |ORDER BY h, c_mktsegment""".stripMargin))
+             |ORDER BY h, c_mktsegment""".stripMargin)),
+
+    // ---- E5: REAL image decode (PPM codec, not the stub) -----------------
+    // Each embedding's first 48 components quantize ([-1,1] → 0..255)
+    // into a 4x4 RGB raster, encoded as a genuine binary PPM (P6) file,
+    // carried as a binary column, then decoded by the spec-compliant
+    // parser and summarized: dimensions, stored bytes, per-channel sums
+    // and a 2x2 nearest-neighbor thumbnail sum — all exact integers.
+    // The oracle recomputes every number straight from the floats
+    // (thumbnail = even-row/even-col pixels at a 2:1 ratio), so ANY
+    // defect in header writing, parsing, channel interleave, or resize
+    // index math breaks the hash match. Construction and decode run in
+    // the same mapPartitions shape a real codec would.
+    Q(
+      "q96_image_decode",
+      (s, d) => {
+        import org.apache.spark.sql.Row
+        import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+        import org.apache.spark.sql.types._
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id").cast("long").as("vec_id"),
+                  col("embedding").cast("array<double>").as("v"))
+        val payloadSchema = StructType(Seq(
+          StructField("media_id", LongType),
+          StructField("payload", BinaryType)))
+        val payloads = e.mapPartitions { rows =>
+          rows.map { r =>
+            val v = r.getSeq[Double](1)
+            val rgb = new Array[Byte](48)
+            var i = 0
+            while (i < 48) {
+              val q = math.floor((v(i) + 1.0) * 127.5).toLong
+              rgb(i) = math.max(0L, math.min(255L, q)).toByte
+              i += 1
+            }
+            Row(r.getLong(0), Multimodal.encodePpm(4, 4, rgb))
+          }
+        }(ExpressionEncoder(payloadSchema))
+        val media = Multimodal.asMedia(payloads, "media_id", "payload",
+          "image/x-portable-pixmap")
+        Multimodal.decodeImages(media, 2, 2).orderBy(col("media_id"))
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |px AS (SELECT vec_id, i,
+             |         CAST(greatest(0, least(255, floor((v[i] + 1) * 127.5))) AS BIGINT) AS b,
+             |         (i - 1) % 3 AS c, (i - 1) // 3 AS pix
+             |       FROM e, unnest(generate_series(1, 48)) AS t(i)),
+             |agg AS (SELECT vec_id,
+             |          CAST(sum(CASE WHEN c = 0 THEN b ELSE 0 END) AS BIGINT) AS sum_r,
+             |          CAST(sum(CASE WHEN c = 1 THEN b ELSE 0 END) AS BIGINT) AS sum_g,
+             |          CAST(sum(CASE WHEN c = 2 THEN b ELSE 0 END) AS BIGINT) AS sum_b,
+             |          CAST(sum(CASE WHEN (pix // 4) % 2 = 0 AND (pix % 4) % 2 = 0
+             |                        THEN b ELSE 0 END) AS BIGINT) AS rsum
+             |        FROM px GROUP BY vec_id)
+             |SELECT vec_id AS media_id, CAST(4 AS BIGINT) AS w,
+             |       CAST(4 AS BIGINT) AS h, CAST(59 AS BIGINT) AS n_bytes,
+             |       sum_r, sum_g, sum_b, rsum
+             |FROM agg
+             |ORDER BY media_id""".stripMargin))
   )
 }

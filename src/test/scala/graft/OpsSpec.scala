@@ -232,6 +232,43 @@ class OpsSpec extends SparkSpec {
     assert(untouched.getAs[Array[Byte]](1).length == 150)
   }
 
+  test("PPM codec: round-trip identity, spec whitespace/comments, malformed rejection") {
+    // round-trip: encode → decode returns the exact raster
+    val rgb = Array.tabulate(2 * 3 * 3)(i => (i * 7 % 256).toByte)
+    val img = Multimodal.decodePpm(Multimodal.encodePpm(3, 2, rgb))
+    assert(img.w == 3 && img.h == 2)
+    assert(img.rgb.toSeq == rgb.toSeq)
+
+    // spec-compliant header variations: comments and mixed whitespace
+    val raster = Array.tabulate(3)(i => (i + 1).toByte) // 1x1 pixel
+    val weird = ("P6 # binary ppm\n# a comment line\n  1\t1 # dims\n255\n")
+      .getBytes("US-ASCII") ++ raster
+    val wimg = Multimodal.decodePpm(weird)
+    assert(wimg.w == 1 && wimg.h == 1 && wimg.rgb.toSeq == raster.toSeq)
+
+    // malformed payloads are rejected, not silently misread
+    def rejects(p: Array[Byte]) =
+      assertThrows[IllegalArgumentException](Multimodal.decodePpm(p))
+    rejects("P5\n1 1\n255\n".getBytes("US-ASCII") ++ raster) // wrong magic
+    rejects("P6\n1 1\n65535\n".getBytes("US-ASCII") ++ raster) // deep maxval
+    rejects("P6\n2 2\n255\n".getBytes("US-ASCII") ++ raster) // truncated
+    rejects(Array[Byte]()) // empty
+  }
+
+  test("PPM nearest-neighbor resize picks the mathematically right source pixels") {
+    // 4x2 image with distinct per-pixel values; downsample to 2x1:
+    // out(x,0) = in(2x, 0) — columns 0 and 2 of row 0
+    val rgb = Array.tabulate(4 * 2 * 3)(_.toByte)
+    val small = Multimodal.nnResize(Multimodal.RgbImage(4, 2, rgb), 2, 1)
+    assert(small.w == 2 && small.h == 1)
+    def px(x: Int, y: Int) = rgb.slice((y * 4 + x) * 3, (y * 4 + x) * 3 + 3).toSeq
+    assert(small.rgb.slice(0, 3).toSeq == px(0, 0))
+    assert(small.rgb.slice(3, 6).toSeq == px(2, 0))
+    // upscale is also well-defined: 1x1 -> 2x2 replicates the pixel
+    val up = Multimodal.nnResize(Multimodal.RgbImage(1, 1, Array[Byte](9, 8, 7)), 2, 2)
+    assert(up.rgb.toSeq == Seq[Byte](9, 8, 7, 9, 8, 7, 9, 8, 7, 9, 8, 7))
+  }
+
   test("salted aggregation equals direct aggregation on a skewed key") {
     // 90% of lineitem rows forced onto one hot key
     val skewed = Tables.lineitem(spark, sfDir)
