@@ -48,7 +48,14 @@ object TrainingOps {
     * a batch scan (spec twin), and the DuckDB oracle replays it with
     * list functions.
     */
-  private[graft] def rowQuality(df: DataFrame): DataFrame = {
+  private[graft] def rowQuality(df: DataFrame): DataFrame =
+    withRowQuality(df).select(col("doc_id"), col("n_words"),
+      col("mean_word_len"), col("n_stop_distinct"), col("quality_pass"))
+
+  /** The same gate but PRESERVING the input columns — the composable form
+    * q98 chains ahead of dedup/chunk/split.
+    */
+  private[graft] def withRowQuality(df: DataFrame): DataFrame = {
     val stops = Seq("the", "a", "of", "and", "to", "in")
     df.withColumn("toks", filter(split(col("text"), " "), t => t =!= ""))
       .withColumn("n_words", size(col("toks")).cast("long"))
@@ -61,8 +68,7 @@ object TrainingOps {
       .withColumn("quality_pass",
         (col("n_words") >= 30 && col("mean_word_len") >= 3 &&
           col("mean_word_len") <= 5 && col("n_stop_distinct") >= 2).cast("long"))
-      .select(col("doc_id"), col("n_words"), col("mean_word_len"),
-              col("n_stop_distinct"), col("quality_pass"))
+      .drop("toks", "sum_len")
   }
 
   /** Greedy sequential packing state machine shared by q87 and its spec:
@@ -611,6 +617,180 @@ object TrainingOps {
              |                  AND mean_word_len <= 5 AND n_stop_distinct >= 2
              |                 THEN 1 ELSE 0 END AS BIGINT) AS quality_pass
              |FROM m
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ---- Greedy subword tokenization (real tokenizer inference) ----------
+    // q31/q68 count whitespace/regex tokens; this is the real thing: a
+    // WordPiece-style greedy longest-match tokenizer whose vocab is
+    // LEARNED from the corpus (top-8 words + top-12 character 2-grams —
+    // small enough on the fixture that most words genuinely split into
+    // subword pieces and single-char fallbacks). Vocab learning is two
+    // top-k aggregates; tokenization is a shuffle-free broadcast-vocab
+    // mapPartitions pass with a per-partition word memo (ops.Subword).
+    // tok_hash pins the entire piece sequence of every document, so the
+    // oracle — same top-k vocab, per-position longest-match via
+    // join+row_number, greedy walk via recursive CTE over the distinct
+    // words, re-joined to occurrences — certifies every piece boundary.
+    Q(
+      "q97_subword_tokenize",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+        graft.ops.Subword.tokenize(s, docs, topWords = 8, topGrams = 12)
+          .withColumn("chars_per_tok",
+            round(col("n_chars").cast("double") / col("n_tokens"), 4))
+          .select(col("doc_id"), col("n_words"), col("n_chars"),
+                  col("n_tokens"), col("n_fallback"), col("chars_per_tok"),
+                  col("tok_hash"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH RECURSIVE
+             |t AS (SELECT doc_id,
+             |        list_filter(string_split(text, ' '), x -> x <> '') AS toks
+             |      FROM documents),
+             |w AS (SELECT doc_id, i AS pos, toks[i] AS word
+             |      FROM t, unnest(range(1, len(toks) + 1)) AS u(i)),
+             |wf AS (SELECT word, count(*) AS n FROM w GROUP BY word),
+             |topw AS (SELECT word AS piece FROM (
+             |           SELECT word, row_number() OVER (ORDER BY n DESC, word) AS rn
+             |           FROM wf) WHERE rn <= 8),
+             |g AS (SELECT substr(word, CAST(i AS INT), 2) AS piece
+             |      FROM w, unnest(range(1, len(word))) AS u(i)
+             |      WHERE len(word) >= 2),
+             |gf AS (SELECT piece, count(*) AS n FROM g GROUP BY piece),
+             |topg AS (SELECT piece FROM (
+             |           SELECT piece, row_number() OVER (ORDER BY n DESC, piece) AS rn
+             |           FROM gf) WHERE rn <= 12),
+             |vocab AS (SELECT piece FROM topw UNION SELECT piece FROM topg),
+             |dw AS (SELECT DISTINCT word FROM w),
+             |p0 AS (SELECT word, i AS pos
+             |       FROM dw, unnest(range(1, len(word) + 1)) AS u(i)),
+             |cand AS (SELECT p.word, p.pos, v.piece
+             |         FROM p0 p JOIN vocab v
+             |           ON substr(p.word, CAST(p.pos AS INT), CAST(len(v.piece) AS INT)) = v.piece),
+             |best AS (SELECT word, pos, piece FROM (
+             |           SELECT word, pos, piece,
+             |             row_number() OVER (PARTITION BY word, pos
+             |               ORDER BY len(piece) DESC, piece) AS rn
+             |           FROM cand) WHERE rn = 1),
+             |step AS (SELECT p.word, p.pos,
+             |           coalesce(b.piece, substr(p.word, CAST(p.pos AS INT), 1)) AS piece,
+             |           CASE WHEN b.piece IS NULL THEN 1 ELSE 0 END AS fb
+             |         FROM p0 p LEFT JOIN best b
+             |           ON b.word = p.word AND b.pos = p.pos),
+             |r AS (SELECT word, CAST(1 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS n_pieces,
+             |             CAST(0 AS BIGINT) AS n_fb, '' AS pieces
+             |      FROM dw
+             |      UNION ALL
+             |      SELECT r.word, r.pos + len(s.piece), r.n_pieces + 1, r.n_fb + s.fb,
+             |             CASE WHEN r.pieces = '' THEN s.piece
+             |                  ELSE r.pieces || ' ' || s.piece END
+             |      FROM r JOIN step s ON s.word = r.word AND s.pos = r.pos
+             |      WHERE r.pos <= len(r.word)),
+             |tok AS (SELECT word, n_pieces, n_fb, pieces
+             |        FROM r WHERE pos = len(word) + 1),
+             |dt AS (SELECT w.doc_id,
+             |         CAST(count(*) AS BIGINT) AS n_words,
+             |         CAST(sum(len(w.word)) AS BIGINT) AS n_chars,
+             |         CAST(sum(tk.n_pieces) AS BIGINT) AS n_tokens,
+             |         CAST(sum(tk.n_fb) AS BIGINT) AS n_fallback,
+             |         string_agg(tk.pieces, ' ' ORDER BY w.pos) AS doc_pieces
+             |       FROM w JOIN tok tk ON tk.word = w.word
+             |       GROUP BY w.doc_id)
+             |SELECT doc_id, n_words, n_chars, n_tokens, n_fallback,
+             |       round(CAST(n_chars AS DOUBLE) / n_tokens, 4) AS chars_per_tok,
+             |       list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |         list_transform(range(1, len(doc_pieces) + 1),
+             |           j -> CAST(unicode(doc_pieces[j]) AS BIGINT))),
+             |         (acc, x) -> (acc * 31 + x) % 1000000007) AS tok_hash
+             |FROM dt
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ---- End-to-end corpus-prep composition ------------------------------
+    // The point of building operators is that they CHAIN: this is the
+    // canonical pretraining-corpus pipeline — quality gate (the exact
+    // withRowQuality frame q95 streams) → near-dup removal keyed on the
+    // 16-token prefix (the planted near-dups share prefixes; exact-text
+    // dedup is vacuous on this fixture) → 32/24 sliding-window chunking
+    // (q92) → hash split assignment (q91) → per-(split, lang) corpus
+    // stats. Every stage keeps its scale shape: the gate and chunker are
+    // narrow, dedup is the pipeline's one data shuffle (on the prefix
+    // key; at 100 TB the key is its hash), split is a map-side column,
+    // and the final aggregate runs on already-chunk-local rows. On
+    // sf0.01: 500 docs → 293 gated → 281 deduped.
+    Q(
+      "q98_corpus_prep_pipeline",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id").cast("long").as("doc_id"), col("lang"),
+                  col("text"))
+        val gated = withRowQuality(docs).where(col("quality_pass") === 1)
+          .select(col("doc_id"), col("lang"), col("text"))
+        val deduped = gated
+          .withColumn("pfx", concat_ws(" ", slice(split(col("text"), " "), 1, 16)))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("pfx")).orderBy(col("doc_id"))))
+          .where(col("rn") === 1)
+          .select(col("doc_id"), col("lang"), col("text"))
+        val cs = 32; val stride = 24
+        val chunks = deduped.withColumn("toks", split(col("text"), " "))
+          .withColumn("nw",
+            (ceil(greatest(size(col("toks")) - cs, lit(0)) / lit(stride.toDouble))
+              + 1).cast("long"))
+          .select(col("doc_id"), col("lang"), col("toks"),
+                  explode(sequence(lit(0L), col("nw") - 1)).as("chunk_ix"))
+          .withColumn("n_ctoks",
+            size(slice(col("toks"), (col("chunk_ix") * stride + 1).cast("int"),
+              lit(cs))).cast("long"))
+        chunks
+          .withColumn("h", (lit(HashA) * col("doc_id") + lit(HashB)) % P % 100)
+          .withColumn("split",
+            when(col("h") < 80, "train").when(col("h") < 90, "val")
+              .otherwise("test"))
+          .groupBy(col("split"), col("lang"))
+          .agg(countDistinct(col("doc_id")).as("n_docs"),
+               count(lit(1)).as("n_chunks"),
+               sum(col("n_ctoks")).as("sum_ctoks"))
+          .orderBy(col("split"), col("lang"))
+      },
+      Some(s"""WITH d AS (SELECT doc_id, lang, text,
+             |         list_filter(string_split(text, ' '), x -> x <> '') AS ftoks
+             |       FROM documents),
+             |m AS (SELECT doc_id, lang, text,
+             |        CAST(len(ftoks) AS BIGINT) AS n_words,
+             |        round(list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |            list_transform(ftoks, x -> CAST(len(x) AS BIGINT))),
+             |            (a, x) -> a + x) / len(ftoks), 4) AS mwl,
+             |        CAST(len(list_intersect(list_distinct(ftoks),
+             |            ['the', 'a', 'of', 'and', 'to', 'in'])) AS BIGINT) AS nsd
+             |      FROM d),
+             |g AS (SELECT doc_id, lang, text,
+             |        array_to_string(list_slice(string_split(text, ' '), 1, 16), ' ') AS pfx
+             |      FROM m
+             |      WHERE n_words >= 30 AND mwl >= 3 AND mwl <= 5 AND nsd >= 2),
+             |dd AS (SELECT doc_id, lang, text FROM (
+             |         SELECT doc_id, lang, text,
+             |           row_number() OVER (PARTITION BY pfx ORDER BY doc_id) AS rn
+             |         FROM g) WHERE rn = 1),
+             |t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM dd),
+             |w2 AS (SELECT doc_id, lang, toks,
+             |         1 + CAST(ceil(greatest(len(toks) - 32, 0) / 24.0) AS BIGINT) AS nw
+             |       FROM t),
+             |c AS (SELECT doc_id, lang, unnest(range(0, nw)) AS chunk_ix, toks FROM w2),
+             |ch AS (SELECT doc_id, lang, chunk_ix,
+             |         CAST(len(list_slice(toks, chunk_ix * 24 + 1,
+             |                             chunk_ix * 24 + 32)) AS BIGINT) AS n_ctoks
+             |       FROM c),
+             |sp AS (SELECT doc_id, lang, n_ctoks,
+             |         CASE WHEN ($HashA::BIGINT * doc_id + $HashB) % $P % 100 < 80 THEN 'train'
+             |              WHEN ($HashA::BIGINT * doc_id + $HashB) % $P % 100 < 90 THEN 'val'
+             |              ELSE 'test' END AS split
+             |       FROM ch)
+             |SELECT split, lang,
+             |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             |       CAST(count(*) AS BIGINT) AS n_chunks,
+             |       CAST(sum(n_ctoks) AS BIGINT) AS sum_ctoks
+             |FROM sp GROUP BY split, lang
+             |ORDER BY split, lang""".stripMargin))
   )
 }

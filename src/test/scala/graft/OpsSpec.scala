@@ -269,6 +269,41 @@ class OpsSpec extends SparkSpec {
     assert(up.rgb.toSeq == Seq[Byte](9, 8, 7, 9, 8, 7, 9, 8, 7, 9, 8, 7))
   }
 
+  test("subword greedy tokenizer: longest match wins, fallback counts, reconstruction") {
+    import graft.ops.Subword
+    val vocab = Set("ab", "abc", "bc", "a")
+    def tok(w: String): (String, Int, Int) = {
+      val sb = new StringBuilder
+      val (p, f) = Subword.tokenizeWord(vocab, 3, w, sb)
+      (sb.toString, p, f)
+    }
+    // longest match at the cursor beats shorter prefixes ("abc" over "ab"/"a")
+    assert(tok("abcbc") == (("abc bc", 2, 0)))
+    assert(tok("abab") == (("ab ab", 2, 0)))
+    // unmatched chars fall back one codepoint at a time and are counted
+    assert(tok("axq") == (("a x q", 3, 2)))
+    assert(tok("zz") == (("z z", 2, 2)))
+    // pieces always reconstruct the word exactly (no char lost or doubled)
+    Seq("abcabczzzbc", "zzzz", "a", "bca", "cab", "abcabcabc").foreach { w =>
+      val sb = new StringBuilder
+      Subword.tokenizeWord(vocab, 3, w, sb)
+      assert(sb.toString.replace(" ", "") == w, s"reconstruction of $w")
+    }
+  }
+
+  test("subword vocab learning: frequency top-k with deterministic tie-breaks") {
+    import graft.ops.Subword
+    import spark.implicits._
+    // words: aa(2), bb(2), cc(1); 2-grams: aa(2), bb(2), cc(1).
+    // topWords=2 keeps {aa,bb}; topGrams=1 must break the aa/bb tie by
+    // token text -> aa. Union dedups.
+    val words = Seq("aa", "aa", "bb", "bb", "cc").toDF("w")
+    val v = Subword.learnVocab(words, topWords = 2, topGrams = 1).toSeq
+    assert(v == Seq("aa", "bb"))
+    val v2 = Subword.learnVocab(words, topWords = 1, topGrams = 1).toSeq
+    assert(v2 == Seq("aa"))
+  }
+
   test("salted aggregation equals direct aggregation on a skewed key") {
     // 90% of lineitem rows forced onto one hot key
     val skewed = Tables.lineitem(spark, sfDir)

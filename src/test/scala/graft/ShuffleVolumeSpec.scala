@@ -148,6 +148,53 @@ class ShuffleVolumeSpec extends SparkSpec {
       s"projected=$projectedB bytes vs with-text=$unprunedB bytes")
   }
 
+  test("q93 source mixing broadcasts rates; a shuffle join would move the corpus") {
+    val registeredB = shuffleBytes {
+      graft.queries.Registry.byName("q93_source_mix").run(spark, sfDir).collect()
+    }
+    // the naive formulation: same dataflow but the rates join forced to
+    // sort-merge, which exchanges every doc row WITH its text column
+    val naiveB = shuffleBytes {
+      val HashA = 982451653L; val HashB = 12345L
+      val docs = Tables.documents(spark, sfDir)
+        .withColumn("h", (lit(HashA) * col("doc_id") + lit(HashB)) % P)
+      val counts = docs.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_source"))
+      val tgt = counts.agg(min(col("n_source")).as("target_n"))
+      val rates = counts.crossJoin(tgt)
+        .withColumn("thresh",
+          floor(col("target_n").cast("double") / col("n_source") * P).cast("long"))
+        .select(col("source"), col("thresh"))
+      docs.join(rates.hint("merge"), Seq("source"))
+        .where(col("h") < col("thresh"))
+        .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+        .collect()
+    }
+    // registered: two count aggregates (bytes ~ n_sources); naive: the
+    // full documents table crosses the wire for the join
+    assert(registeredB > 0 && registeredB < naiveB / 3,
+      s"registered=$registeredB bytes vs shuffle-join=$naiveB bytes")
+  }
+
+  test("q97 tokenization adds no shuffle beyond vocab learning") {
+    import graft.ops.Subword
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val words = docs.select(explode_outer(split(col("text"), " ")).as("w"))
+      .where(col("w").isNotNull && col("w") =!= "")
+    val vocabB = shuffleBytes {
+      Subword.learnVocab(words, topWords = 8, topGrams = 12)
+    }
+    val fullB = shuffleBytes {
+      Subword.tokenize(spark, docs, topWords = 8, topGrams = 12).collect()
+    }
+    // the tokenize pass itself is a narrow scan-side map: every shuffle
+    // byte of the full run is already present in vocab learning alone
+    assert(vocabB > 0, s"vocab learning should aggregate (got $vocabB)")
+    assert(fullB <= vocabB + 16384,
+      s"tokenize added shuffle: full=$fullB vs vocab-only=$vocabB bytes")
+  }
+
   test("both formulations produce identical signatures (hash identity differs only in packing)") {
     val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
     val a = kernelSignatures(docs).orderBy("doc_id").collect()
