@@ -1,0 +1,88 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One word type during BPE training: corpus frequency + current symbol
+  * sequence (top-level case class for by-name encoder resolution).
+  */
+final case class WordSyms(word: String, freq: Long, syms: Seq[String])
+
+/** One learned merge: the round's winning adjacent pair, its
+  * frequency-weighted corpus count, and the corpus symbol count after
+  * applying the merge (which certifies the non-overlapping application,
+  * since overlapping occurrences like "aaa" merge fewer times than the
+  * pair count suggests).
+  */
+final case class BpeMerge(round: Long, a: String, b: String, pair_n: Long,
+                          corpus_syms_after: Long)
+
+/** Byte-pair-encoding merge LEARNING (Sennrich et al. 2016) — the
+  * tokenizer-training half that q97's greedy inference consumes.
+  * Start from per-character symbols over the distinct-word table
+  * (weighted by corpus frequency — BPE's standard word-type
+  * optimization: the corpus enters only through `freq`), then per
+  * round: count adjacent symbol pairs, pick the most frequent
+  * (count DESC, pair ASC — deterministic), and merge its
+  * non-overlapping left-to-right occurrences in every word.
+  *
+  * Distributed shape per round: one pair-count aggregate (the only
+  * shuffle; input is one row per word TYPE, Zipf-bounded, not per
+  * token), a 1-row argmax collect (the iterative driver step, exactly
+  * like q60's convergence check), and a narrow merge map over the word
+  * table, localCheckpoint'd so round k's plan does not re-execute
+  * rounds 1..k-1. At 100 TB the word-type table is the only state and
+  * it SHRINKS relative to the corpus as scale grows.
+  */
+object BpeTrain {
+
+  /** Merge non-overlapping (a,b) occurrences left to right — the
+    * standard BPE application rule: after "aaa" with pair (a,a) the
+    * result is ["aa","a"], not ["aa","aa"].
+    */
+  private[graft] def applyMerge(a: String, b: String,
+                                syms: Seq[String]): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+        out += a + b; i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toSeq
+  }
+
+  /** Learn `k` merges from a one-column DataFrame of word occurrences
+    * (`w`, non-empty). Returns the merge table ordered by round.
+    */
+  def learnMerges(s: SparkSession, words: DataFrame, k: Int): DataFrame = {
+    import s.implicits._
+    var syms = words.groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(col("w").as("word"), col("freq"),
+        expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+          .as("syms"))
+      .as[WordSyms]
+      .localCheckpoint()
+    val merges = Seq.newBuilder[BpeMerge]
+    for (r <- 1 to k) {
+      val pairs = syms.toDF()
+        .select(col("freq"), explode_outer(zip_with(
+          slice(col("syms"), lit(1), size(col("syms")) - 1),
+          slice(col("syms"), lit(2), size(col("syms")) - 1),
+          (x, y) => struct(x.as("a"), y.as("b")))).as("p"))
+        .where(col("p").isNotNull)
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("freq")).as("n"))
+        .orderBy(desc("n"), col("a"), col("b"))
+        .limit(1).collect()
+      val best = pairs.head
+      val (a, b, n) = (best.getString(0), best.getString(1), best.getLong(2))
+      syms = syms.map(ws => ws.copy(syms = applyMerge(a, b, ws.syms)))
+        .localCheckpoint()
+      val after = syms.toDF()
+        .agg(sum(col("freq") * size(col("syms")))).collect().head.getLong(0)
+      merges += BpeMerge(r.toLong, a, b, n, after)
+    }
+    s.createDataFrame(merges.result()).orderBy(col("round"))
+  }
+}

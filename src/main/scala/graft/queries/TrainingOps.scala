@@ -89,6 +89,48 @@ object TrainingOps {
     }
   }
 
+  /** q99's oracle, generated per round like `ladderSql`: each BPE round
+    * is a pair-count aggregate, a 1-row argmax, a recursive merge walk
+    * (the same left-to-right non-overlap rule as BpeTrain.applyMerge),
+    * and a post-merge corpus-size audit.
+    */
+  private def bpeOracleSql(k: Int): String = {
+    def round(r: Int): String =
+      s"""p$r AS (SELECT syms[i] AS a, syms[i+1] AS b, CAST(sum(freq) AS BIGINT) AS n
+         |        FROM s${r - 1}, unnest(range(1, len(syms))) AS u(i)
+         |        GROUP BY syms[i], syms[i+1]),
+         |best$r AS (SELECT a, b, n FROM p$r ORDER BY n DESC, a, b LIMIT 1),
+         |walk$r AS (
+         |  SELECT word, freq, syms, b.a AS ma, b.b AS mb, CAST(1 AS BIGINT) AS i,
+         |         CAST([] AS VARCHAR[]) AS acc
+         |  FROM s${r - 1}, best$r b
+         |  UNION ALL
+         |  SELECT word, freq, syms, ma, mb,
+         |    CASE WHEN i + 1 <= len(syms) AND syms[i] = ma AND syms[i+1] = mb
+         |         THEN i + 2 ELSE i + 1 END,
+         |    list_append(acc, CASE WHEN i + 1 <= len(syms) AND syms[i] = ma
+         |                           AND syms[i+1] = mb
+         |                          THEN ma || mb ELSE syms[i] END)
+         |  FROM walk$r WHERE i <= len(syms)),
+         |s$r AS (SELECT word, freq, acc AS syms FROM walk$r WHERE i = len(syms) + 1),
+         |stat$r AS (SELECT b.a, b.b, b.n,
+         |             (SELECT CAST(sum(freq * len(syms)) AS BIGINT) FROM s$r) AS after
+         |           FROM best$r b)""".stripMargin
+    val rounds = (1 to k).map(round).mkString(",\n")
+    val union = (1 to k).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS round, a, b, n AS pair_n, after AS corpus_syms_after FROM stat$r")
+      .mkString(" UNION ALL ")
+    s"""WITH RECURSIVE
+       |w0 AS (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+       |       FROM documents),
+       |wf AS (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM w0 GROUP BY word),
+       |s0 AS (SELECT word, freq,
+       |         list_transform(range(1, len(word) + 1), i -> word[i]) AS syms
+       |       FROM wf),
+       |$rounds
+       |SELECT * FROM ($union) ORDER BY round""".stripMargin
+  }
+
   val defs: Seq[Q] = Seq(
 
     // ---- Seeded IVF ANN, fully oracle-checked ----------------------------
@@ -791,6 +833,29 @@ object TrainingOps {
              |       CAST(count(*) AS BIGINT) AS n_chunks,
              |       CAST(sum(n_ctoks) AS BIGINT) AS sum_ctoks
              |FROM sp GROUP BY split, lang
-             |ORDER BY split, lang""".stripMargin))
+             |ORDER BY split, lang""".stripMargin)),
+
+    // ---- BPE merge learning (tokenizer TRAINING) -------------------------
+    // q97 is tokenizer inference over a frequency-derived vocab; this is
+    // the training half: 6 rounds of byte-pair-encoding merge learning
+    // (count adjacent symbol pairs over the frequency-weighted word-TYPE
+    // table, take the argmax with a count-desc/pair-asc tie-break, merge
+    // non-overlapping occurrences left to right). Per round the engine
+    // runs one pair-count shuffle + a 1-row argmax collect + a narrow
+    // checkpointed merge map — the standard distributed BPE shape, where
+    // the state is the Zipf-bounded word-type table, never the corpus.
+    // corpus_syms_after certifies the application rule itself: for
+    // overlapping runs it is NOT before - pair_n, so a naive
+    // replace-all implementation breaks the hash. The oracle replays
+    // all 6 rounds with generated per-round CTEs (recursive walks).
+    Q(
+      "q99_bpe_merges",
+      (s, d) => {
+        val words = Tables.documents(s, d)
+          .select(explode_outer(split(col("text"), " ")).as("w"))
+          .where(col("w").isNotNull && col("w") =!= "")
+        graft.ops.BpeTrain.learnMerges(s, words, k = 6)
+      },
+      Some(bpeOracleSql(6)))
   )
 }

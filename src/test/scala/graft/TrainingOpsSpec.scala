@@ -316,6 +316,36 @@ class TrainingOpsSpec extends SparkSpec {
       .distinct().count() == 2)
   }
 
+  // ---- q99 BPE merge learning --------------------------------------------
+
+  test("q99: applyMerge is non-overlapping left-to-right") {
+    import graft.ops.BpeTrain.applyMerge
+    // the classic overlap case: "aaa" with pair (a,a) yields 1 merge
+    assert(applyMerge("a", "a", Seq("a", "a", "a")) == Seq("aa", "a"))
+    assert(applyMerge("a", "a", Seq("a", "a", "a", "a")) == Seq("aa", "aa"))
+    assert(applyMerge("a", "b", Seq("a", "b", "a", "b")) == Seq("ab", "ab"))
+    assert(applyMerge("x", "y", Seq("a", "b")) == Seq("a", "b"))
+    assert(applyMerge("a", "b", Seq("a")) == Seq("a"))
+  }
+
+  test("q99: learnMerges hand-checked rounds, overlap audit, tie-break") {
+    import graft.ops.BpeTrain
+    import spark.implicits._
+    // corpus: "aaa"×2, "ab"×1. Round 1: (a,a) appears 2×/word-instance
+    // → n=4, but the non-overlap rule merges only once per "aaa", so
+    // corpus syms go 8 → 6 (NOT 8-4): the audit column catches a
+    // replace-all implementation. Round 2: ("aa","a") n=2 → 4 syms.
+    val words = Seq("aaa", "aaa", "ab").toDF("w")
+    val m = BpeTrain.learnMerges(spark, words, k = 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3),
+                 r.getLong(4)))
+    assert(m.toSeq == Seq((1L, "a", "a", 4L, 6L), (2L, "aa", "a", 2L, 4L)))
+    // equal counts break ties pair-ascending: (a,b) beats (b,a)
+    val tie = Seq("ab", "ba").toDF("w")
+    val t = BpeTrain.learnMerges(spark, tie, k = 1).collect().head
+    assert((t.getString(1), t.getString(2), t.getLong(3)) == ("a", "b", 1L))
+  }
+
   // ---- physical-plan shape -----------------------------------------------
 
   private def planOf(name: String): String =
