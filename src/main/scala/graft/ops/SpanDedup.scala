@@ -1,0 +1,77 @@
+package graft.ops
+
+import graft.functions.PolyHash.polyHash
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact duplicated-span removal across documents at w-token-window
+  * granularity — the substring-level third of the dedup family, between
+  * doc-level exact dedup (q30) and within-doc repetition signals (q89):
+  * a span of w consecutive tokens that appears anywhere earlier in the
+  * corpus (by (doc_id, pos) order) is removed from the later document,
+  * keeping the globally-first occurrence intact.
+  *
+  * Distributed shape: one shuffle of the w-gram table keyed on the
+  * dual-base gram hash (the window that elects the first occurrence),
+  * one small aggregate of duplicate starts per doc, and one corpus join
+  * back on doc_id for reconstruction — gram construction and token
+  * filtering are narrow per-row passes. The gram table is ~1 row per
+  * corpus token (24 B hashed, never the gram text), so the exchange is
+  * O(corpus tokens), the same scale class as any tokenizing aggregate.
+  *
+  * Dual-base polynomial hashes (31/131, cross-engine-replayable) make
+  * gram identity collision-safe AND let DuckDB replay the whole
+  * operator, including the removal: `kept_hash` pins the reconstructed
+  * post-dedup text of every document.
+  */
+object SpanDedup {
+
+  /** `docs(doc_id, text)` → one row per doc: token count, duplicated
+    * span count, removed-token count, and the polynomial hash of the
+    * reconstructed deduplicated text.
+    */
+  def dedupSpans(docs: DataFrame, w: Int): DataFrame =
+    withKept(docs, w)
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tok"),
+        coalesce(size(col("starts")), lit(0)).cast("long").as("n_dup_spans"),
+        coalesce(size(col("covered")), lit(0)).cast("long").as("n_removed"),
+        polyHash(array_join(col("kept"), " ")).as("kept_hash"))
+      .orderBy("doc_id")
+
+  /** The reconstructed corpus itself: `(doc_id, text)` with every
+    * duplicated span removed — the form a training pipeline feeds
+    * downstream (chunking, packing, export).
+    */
+  def keptText(docs: DataFrame, w: Int): DataFrame =
+    withKept(docs, w)
+      .select(col("doc_id"), array_join(col("kept"), " ").as("text"))
+
+  private def withKept(docs: DataFrame, w: Int): DataFrame = {
+    val toked = docs.select(col("doc_id"),
+      filter(split(col("text"), " "), t => t =!= "").as("toks"))
+    // (doc_id, pos, h1, h2): one row per w-gram start, hashes only
+    val grams = toked.select(col("doc_id"),
+        posexplode_outer(when(size(col("toks")) >= w,
+          transform(sequence(lit(0), size(col("toks")) - w), i => {
+            val gram = array_join(slice(col("toks"), i + 1, lit(w)), " ")
+            struct(polyHash(gram).as("h1"), polyHash(gram, 131).as("h2"))
+          })))
+          .as(Seq("pos", "g")))
+      .where(col("g").isNotNull)
+      .select(col("doc_id"), col("pos"), col("g.h1"), col("g.h2"))
+    // global first occurrence per gram wins; every later one is a dup
+    val firstWins = Window.partitionBy("h1", "h2").orderBy("doc_id", "pos")
+    val dupStarts = grams.withColumn("rn", row_number().over(firstWins))
+      .where(col("rn") > 1)
+      .groupBy("doc_id").agg(sort_array(collect_list(col("pos"))).as("starts"))
+    toked.join(dupStarts, Seq("doc_id"), "left")
+      .withColumn("covered", when(col("starts").isNotNull,
+        array_sort(array_distinct(flatten(transform(col("starts"),
+          s => sequence(s, s + lit(w - 1))))))))
+      .withColumn("kept", when(col("covered").isNotNull,
+        filter(col("toks"), (t, i) => !array_contains(col("covered"), i)))
+        .otherwise(col("toks")))
+  }
+}

@@ -856,6 +856,59 @@ object TrainingOps {
           .where(col("w").isNotNull && col("w") =!= "")
         graft.ops.BpeTrain.learnMerges(s, words, k = 6)
       },
-      Some(bpeOracleSql(6)))
+      Some(bpeOracleSql(6))),
+
+    // ---- Exact duplicated-span removal (substring-level dedup) -----------
+    // The third granularity of the dedup family: doc-level (q30),
+    // span-level (here, 8-token windows, keep the globally-first
+    // occurrence), within-doc repetition fractions (q89). kept_hash
+    // pins the reconstructed post-removal text of every document, so
+    // the oracle checks the removal itself, not just the counts.
+    Q(
+      "q100_span_dedup",
+      (s, d) => graft.ops.SpanDedup.dedupSpans(Tables.documents(s, d), w = 8),
+      Some(spanDedupSql(8)))
   )
+
+  /** q100's oracle: replay gram hashing (dual-base polynomial), the
+    * first-occurrence election, the covered-position union, and the
+    * reconstruction hash — entirely in DuckDB list ops.
+    */
+  private def spanDedupSql(w: Int): String = {
+    def ph(s: String, base: Int): String =
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |  list_transform(range(1, len($s)+1), j -> CAST(unicode($s[j]) AS BIGINT))),
+         |  (acc,x) -> (acc*$base+x)%1000000007)""".stripMargin
+    s"""WITH tok0 AS (
+       |  SELECT doc_id, list_filter(string_split(text,' '), t -> t <> '') AS toks
+       |  FROM documents),
+       |g0 AS (
+       |  SELECT doc_id, i - 1 AS pos, array_to_string(toks[i:i+${w - 1}], ' ') AS gram
+       |  FROM tok0, unnest(range(1, len(toks) - $w + 2)) AS u(i)
+       |  WHERE len(toks) >= $w),
+       |g AS (
+       |  SELECT doc_id, pos, ${ph("gram", 31)} AS h1, ${ph("gram", 131)} AS h2
+       |  FROM g0),
+       |r AS (SELECT doc_id, pos,
+       |        row_number() OVER (PARTITION BY h1, h2 ORDER BY doc_id, pos) AS rn
+       |      FROM g),
+       |d AS (SELECT doc_id, list_sort(list(pos)) AS starts
+       |      FROM r WHERE rn > 1 GROUP BY doc_id),
+       |cov AS (SELECT doc_id, starts,
+       |          list_sort(list_distinct(flatten(
+       |            list_transform(starts, s -> range(s, s+$w))))) AS covered
+       |        FROM d),
+       |keep AS (
+       |  SELECT t.doc_id,
+       |         CAST(len(t.toks) AS BIGINT) AS n_tok,
+       |         CAST(coalesce(len(c.starts), 0) AS BIGINT) AS n_dup_spans,
+       |         CAST(coalesce(len(c.covered), 0) AS BIGINT) AS n_removed,
+       |         CASE WHEN c.doc_id IS NULL THEN t.toks
+       |              ELSE list_filter(t.toks, (t2, i) -> NOT list_contains(c.covered, i - 1))
+       |         END AS kept
+       |  FROM tok0 t LEFT JOIN cov c ON t.doc_id = c.doc_id)
+       |SELECT doc_id, n_tok, n_dup_spans, n_removed,
+       |  ${ph("array_to_string(kept,' ')", 31)} AS kept_hash
+       |FROM keep ORDER BY doc_id""".stripMargin
+  }
 }

@@ -346,6 +346,48 @@ class TrainingOpsSpec extends SparkSpec {
     assert((t.getString(1), t.getString(2), t.getLong(3)) == ("a", "b", 1L))
   }
 
+  // ---- q100 span dedup ---------------------------------------------------
+
+  test("q100: planted cross-doc span removed, first occurrence kept, overlap unions") {
+    import graft.ops.SpanDedup
+    import spark.implicits._
+    def ph(s: String): Long =
+      graft.functions.TextHash.polyHash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s), 31)
+    val d0 = (0 until 20).map(i => s"t$i").mkString(" ")
+    // d1 embeds d0's tokens t5..t12 — exactly one shared 8-gram
+    val d1 = "x0 x1 x2 " + (5 to 12).map(i => s"t$i").mkString(" ") + " y0 y1"
+    // d2 is one token repeated 10× — grams at 0,1,2 all collide; the
+    // covered union of dup starts 1,2 is positions 1..9, keeping one "a"
+    val d2 = (1 to 10).map(_ => "a").mkString(" ")
+    val docs = Seq((0L, d0), (1L, d1), (2L, d2)).toDF("doc_id", "text")
+    val out = SpanDedup.dedupSpans(docs, w = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                 r.getLong(4)))
+    assert(out(0) == ((0L, 20L, 0L, 0L, ph(d0))))
+    assert(out(1) == ((1L, 13L, 1L, 8L, ph("x0 x1 x2 y0 y1"))))
+    assert(out(2) == ((2L, 10L, 2L, 9L, ph("a"))))
+  }
+
+  test("q100: keptText matches kept_hash; re-pass on this corpus finds nothing") {
+    import graft.functions.PolyHash.polyHash
+    import graft.ops.SpanDedup
+    val docs = Tables.documents(spark, sfDir)
+    val first = SpanDedup.dedupSpans(docs, w = 8)
+    assert(first.agg(sum(col("n_removed"))).collect().head.getLong(0) > 0)
+    val kept = SpanDedup.keptText(docs, w = 8)
+    // the reconstructed corpus hashes exactly to the audited kept_hash
+    val cmp = kept.select(col("doc_id"), polyHash(col("text")).as("h"))
+      .join(first.select(col("doc_id"), col("kept_hash")), Seq("doc_id"))
+      .where(col("h") =!= col("kept_hash")).count()
+    assert(cmp == 0L)
+    // removal excises whole w-blocks, so new dup grams can only form at
+    // excision seams — on this corpus a second pass finds none (checked
+    // empirically; the fixture is deterministic, so this is stable)
+    val again = SpanDedup.dedupSpans(kept, w = 8)
+    assert(again.agg(sum(col("n_removed"))).collect().head.getLong(0) == 0L)
+  }
+
   // ---- physical-plan shape -----------------------------------------------
 
   private def planOf(name: String): String =
