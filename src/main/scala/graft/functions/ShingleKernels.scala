@@ -104,10 +104,56 @@ object ShingleKernel {
     new GenericArrayData(sig)
   }
 
+  /** ORDERED packed dual-hash w-gram starts of one document (q100 span
+    * dedup): element i is the pack for the gram of w consecutive
+    * non-empty tokens starting at token position i — duplicates kept,
+    * positions implied by index (posexplode recovers them). Same
+    * identity contract as [[shinglePacks]] (dual polynomial hash of the
+    * space-joined gram, packed `p1 * 2^30 + p2`) but length-w, empty
+    * tokens dropped before gramming, and set-dedup skipped.
+    */
+  def gramPacks(s: UTF8String, w: Int): ArrayData = {
+    val toks = s.toString.split(" ", -1).filter(_.nonEmpty)
+    val n = toks.length
+    if (n < w) return new GenericArrayData(Array.emptyLongArray)
+    val h31 = new Array[Long](n); val h131 = new Array[Long](n)
+    val pw31 = new Array[Long](n); val pw131 = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      var a = 0L; var b = 0L; var p31 = 1L; var p131 = 1L
+      val it = toks(i).codePoints().iterator()
+      while (it.hasNext) {
+        val cp = it.nextInt()
+        a = (a * 31 + cp) % P
+        b = (b * 131 + cp) % P
+        p31 = (p31 * 31) % P
+        p131 = (p131 * 131) % P
+      }
+      h31(i) = a; h131(i) = b; pw31(i) = p31; pw131(i) = p131
+      i += 1
+    }
+    val out = new Array[Long](n - w + 1)
+    i = 0
+    while (i <= n - w) {
+      var p1 = h31(i); var p2 = h131(i)
+      var j = i + 1
+      while (j < i + w) {
+        p1 = ((p1 * 31 + 32) % P * pw31(j) + h31(j)) % P
+        p2 = ((p2 * 131 + 32) % P * pw131(j) + h131(j)) % P
+        j += 1
+      }
+      out(i) = p1 * PackBase + p2
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def shinglePacks(c: Column): Column =
     ColumnBridge.column(ShinglePacks(ColumnBridge.expression(c)))
   def minhashSig(c: Column): Column =
     ColumnBridge.column(MinhashSig(ColumnBridge.expression(c)))
+  def gramPacks(c: Column, w: Int): Column =
+    ColumnBridge.column(GramPacks(ColumnBridge.expression(c), w))
 }
 
 /** 32 affine minhash transforms drawn once from a fixed seed; shared
@@ -133,6 +179,17 @@ case class ShinglePacks(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): ShinglePacks =
     copy(child = c)
   override def prettyName: String = "shingle_packs"
+}
+
+case class GramPacks(child: Expression, w: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    ShingleKernel.gramPacks(v.asInstanceOf[UTF8String], w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleKernel.gramPacks($c, $w)")
+  override protected def withNewChildInternal(c: Expression): GramPacks =
+    copy(child = c)
+  override def prettyName: String = "gram_packs"
 }
 
 case class MinhashSig(child: Expression) extends UnaryExpression {

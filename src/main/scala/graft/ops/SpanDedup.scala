@@ -17,8 +17,9 @@ import org.apache.spark.sql.functions._
   * one small aggregate of duplicate starts per doc, and one corpus join
   * back on doc_id for reconstruction — gram construction and token
   * filtering are narrow per-row passes. The gram table is ~1 row per
-  * corpus token (24 B hashed, never the gram text), so the exchange is
-  * O(corpus tokens), the same scale class as any tokenizing aggregate.
+  * corpus token ((doc_id, pos, pack) = 20 B hashed, never the gram
+  * text), so the exchange is O(corpus tokens), the same scale class as
+  * any tokenizing aggregate.
   *
   * Dual-base polynomial hashes (31/131, cross-engine-replayable) make
   * gram identity collision-safe AND let DuckDB replay the whole
@@ -51,18 +52,16 @@ object SpanDedup {
   private def withKept(docs: DataFrame, w: Int): DataFrame = {
     val toked = docs.select(col("doc_id"),
       filter(split(col("text"), " "), t => t =!= "").as("toks"))
-    // (doc_id, pos, h1, h2): one row per w-gram start, hashes only
-    val grams = toked.select(col("doc_id"),
-        posexplode_outer(when(size(col("toks")) >= w,
-          transform(sequence(lit(0), size(col("toks")) - w), i => {
-            val gram = array_join(slice(col("toks"), i + 1, lit(w)), " ")
-            struct(polyHash(gram).as("h1"), polyHash(gram, 131).as("h2"))
-          })))
-          .as(Seq("pos", "g")))
-      .where(col("g").isNotNull)
-      .select(col("doc_id"), col("pos"), col("g.h1"), col("g.h2"))
+    // (doc_id, pos, pack): one row per w-gram start — the GramPacks
+    // kernel computes every dual-hash pack in one codegen pass over the
+    // string (O(1) fold per token via prefix hashes), so the 12-byte
+    // (pos, pack) pair is all that ever leaves the scan stage
+    val grams = docs.select(col("doc_id"),
+        posexplode_outer(graft.functions.ShingleKernel.gramPacks(col("text"), w))
+          .as(Seq("pos", "pack")))
+      .where(col("pack").isNotNull)
     // global first occurrence per gram wins; every later one is a dup
-    val firstWins = Window.partitionBy("h1", "h2").orderBy("doc_id", "pos")
+    val firstWins = Window.partitionBy("pack").orderBy("doc_id", "pos")
     val dupStarts = grams.withColumn("rn", row_number().over(firstWins))
       .where(col("rn") > 1)
       .groupBy("doc_id").agg(sort_array(collect_list(col("pos"))).as("starts"))
