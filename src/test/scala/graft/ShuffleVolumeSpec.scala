@@ -205,4 +205,41 @@ class ShuffleVolumeSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getSeq[Long](1))
     assert(a.toSeq === b.toSeq)
   }
+
+  test("q100's gram election exchanges hashed packs, not gram text") {
+    // the dup-start election stage isolated (gram build → first-wins
+    // window → per-doc starts), identically shaped in both runs; only
+    // the shuffle KEY differs: 8 B pack vs the w-token gram string
+    def election(grams: DataFrame, key: String): Unit = {
+      val firstWins = Window.partitionBy(key).orderBy("doc_id", "pos")
+      grams.withColumn("rn", row_number().over(firstWins))
+        .where(col("rn") > 1)
+        .groupBy("doc_id").agg(sort_array(collect_list(col("pos"))).as("starts"))
+        .collect()
+    }
+    val w = 8
+    val docs = Tables.documents(spark, sfDir)
+    val packB = shuffleBytes {
+      election(docs.select(col("doc_id"),
+          posexplode_outer(ShingleKernel.gramPacks(col("text"), w))
+            .as(Seq("pos", "pack")))
+        .where(col("pack").isNotNull), "pack")
+    }
+    val stringB = shuffleBytes {
+      val toked = docs.select(col("doc_id"),
+        filter(split(col("text"), " "), t => t =!= "").as("toks"))
+      election(toked.select(col("doc_id"),
+          posexplode_outer(when(size(col("toks")) >= w,
+            transform(sequence(lit(0), size(col("toks")) - w),
+              i => array_join(slice(col("toks"), i + 1, lit(w)), " "))))
+            .as(Seq("pos", "gram")))
+        .where(col("gram").isNotNull), "gram")
+    }
+    // raw key width is ~45 B vs 8 B, but this fixture's ~40-word
+    // vocabulary lets lz4 compress gram STRINGS unrealistically well —
+    // production text has far higher entropy, widening the gap toward
+    // the raw ratio. Even here the pack run must win by a clear margin.
+    assert(packB > 0 && packB < (stringB * 3) / 4,
+      s"pack-keyed=$packB bytes vs gram-string=$stringB bytes")
+  }
 }
