@@ -867,6 +867,26 @@ object TrainingOps {
     Q(
       "q100_span_dedup",
       (s, d) => graft.ops.SpanDedup.dedupSpans(Tables.documents(s, d), w = 8),
+      Some(spanDedupSql(8))),
+
+    // ---- Incremental span dedup over a document STREAM -------------------
+    // q100's continuous-ingestion twin: the corpus arrives as 4 files
+    // (one micro-batch each), every batch dedups against a persistent
+    // gram-pack store plus its own earlier docs, and the store grows by
+    // each batch's first-seen packs. Arrival order is staged to match
+    // doc_id order, so the accumulated output is row-for-row the batch
+    // operator's — q101 therefore shares q100's full DuckDB oracle,
+    // which checks cross-batch dedup state end to end.
+    Q(
+      "q101_span_dedup_stream",
+      (s, d) => {
+        val prev = s.conf.get("spark.sql.shuffle.partitions")
+        try {
+          s.conf.set("spark.sql.shuffle.partitions", "8")
+          graft.streaming.SpanDedupStream.runOn(
+            s, Tables.documents(s, d), w = 8, nSplits = 4)
+        } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      },
       Some(spanDedupSql(8)))
   )
 

@@ -388,6 +388,40 @@ class TrainingOpsSpec extends SparkSpec {
     assert(again.agg(sum(col("n_removed"))).collect().head.getLong(0) == 0L)
   }
 
+  // ---- q101 incremental span dedup ---------------------------------------
+
+  test("q101: later batch is trimmed against the earlier batch's gram store") {
+    import graft.streaming.SpanDedupStream
+    import spark.implicits._
+    def ph(s: String): Long =
+      graft.functions.TextHash.polyHash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s), 31)
+    val d0 = (0 until 20).map(i => s"s$i").mkString(" ")
+    // d1's only duplicate source lives in d0 — a DIFFERENT micro-batch
+    val d1 = "z0 z1 " + (4 to 11).map(i => s"s$i").mkString(" ") + " z2"
+    val docs = Seq((0L, d0), (1L, d1)).toDF("doc_id", "text")
+    val workDir = java.nio.file.Files.createTempDirectory("q101_spec").toString
+    SpanDedupStream.stageSplits(spark, docs, s"$workDir/input", 2)
+    def parquets(dir: String): Int =
+      Option(new java.io.File(dir).listFiles()).toSeq.flatten
+        .count(_.getName.endsWith(".parquet"))
+    assert(parquets(s"$workDir/input") == 2)
+    val out = SpanDedupStream.run(spark, s"$workDir/input", workDir, w = 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                 r.getLong(4)))
+    // one appended output file per micro-batch: the two docs really
+    // were processed in separate batches, so d1's trim proves the
+    // persistent store carried d0's packs across batches
+    assert(parquets(s"$workDir/out") == 2)
+    assert(out.toSeq == Seq(
+      (0L, 20L, 0L, 0L, ph(d0)),
+      (1L, 11L, 1L, 8L, ph("z0 z1 z2"))))
+    // the store ends holding exactly the corpus' distinct packs:
+    // d0's 13 all-distinct grams + d1's 3 z-containing ones
+    assert(spark.read.parquet(s"$workDir/gram_store").distinct().count() == 16)
+  }
+
   // ---- physical-plan shape -----------------------------------------------
 
   private def planOf(name: String): String =
