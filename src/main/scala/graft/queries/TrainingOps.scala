@@ -870,7 +870,7 @@ object TrainingOps {
       Some(spanDedupSql(8))),
 
     // ---- Incremental span dedup over a document STREAM -------------------
-    // q100's continuous-ingestion twin: the corpus arrives as 4 files
+    // q100's continuous-ingestion twin: the corpus arrives as 3 files
     // (one micro-batch each), every batch dedups against a persistent
     // gram-pack store plus its own earlier docs, and the store grows by
     // each batch's first-seen packs. Arrival order is staged to match
@@ -884,7 +884,7 @@ object TrainingOps {
         try {
           s.conf.set("spark.sql.shuffle.partitions", "8")
           graft.streaming.SpanDedupStream.runOn(
-            s, Tables.documents(s, d), w = 8, nSplits = 4)
+            s, Tables.documents(s, d), w = 8, nSplits = 3)
         } finally s.conf.set("spark.sql.shuffle.partitions", prev)
       },
       Some(spanDedupSql(8)))

@@ -34,19 +34,24 @@ object SpanDedupStream {
     val bound = docs.agg(max(col("doc_id"))).collect().head.getLong(0) + 1
     val span = math.max(1L, (bound + nSplits - 1) / nSplits)
     new java.io.File(inputDir).mkdirs()
+    // one pass: hive-partition on the split id, then lift each part
+    // file out as an ordered, timestamped arrival
+    val tmp = s"$inputDir/_stage"
+    docs.withColumn("split", (col("doc_id") / span).cast("int"))
+      .repartition(col("split"))
+      .write.mode(SaveMode.Overwrite).partitionBy("split").parquet(tmp)
     for (i <- 0 until nSplits) {
-      val part = docs.where(col("doc_id") >= i * span &&
-                            col("doc_id") < (i + 1) * span)
-      val tmp = s"$inputDir/_stage_$i"
-      part.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
-      val file = new java.io.File(tmp).listFiles()
-        .find(f => f.getName.endsWith(".parquet")).get
-      val dest = new java.io.File(inputDir, f"split_$i%03d.parquet")
-      java.nio.file.Files.move(file.toPath, dest.toPath)
-      // distinct ascending timestamps pin the replay order
-      dest.setLastModified(1000000L + i * 60000L)
-      deleteRecursively(new java.io.File(tmp))
+      val dir = new java.io.File(s"$tmp/split=$i")
+      if (dir.isDirectory) {
+        val file = dir.listFiles().find(_.getName.endsWith(".parquet")).get
+        val dest = new java.io.File(inputDir, f"split_$i%03d.parquet")
+        java.nio.file.Files.move(file.toPath, dest.toPath)
+        // distinct ascending timestamps pin the replay order
+        dest.setLastModified(1000000L + i * 60000L)
+        ()
+      }
     }
+    deleteRecursively(new java.io.File(tmp))
   }
 
   private def deleteRecursively(f: java.io.File): Unit = {
@@ -75,14 +80,11 @@ object SpanDedupStream {
               new java.util.ArrayList[org.apache.spark.sql.Row](), packSchema)
           }
         val (out, fresh) = SpanDedup.dedupBatch(batch, store, w)
-        // materialize the doc output BEFORE appending to the store the
-        // plan reads from, then the store delta (cached so the append
-        // does not re-read the store mid-write)
+        // materialize the doc output, then append the store delta; the
+        // delta job's scan list over the store is fixed at planning, so
+        // appending to the directory it reads is safe
         out.coalesce(1).write.mode(SaveMode.Append).parquet(outDir)
-        val f = fresh.cache()
-        try if (f.count() > 0)
-          f.coalesce(1).write.mode(SaveMode.Append).parquet(storeDir)
-        finally f.unpersist()
+        fresh.coalesce(1).write.mode(SaveMode.Append).parquet(storeDir)
         ()
       }
       .option("checkpointLocation", s"$workDir/ckpt")
