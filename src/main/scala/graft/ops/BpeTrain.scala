@@ -17,6 +17,11 @@ final case class WordSyms(word: String, freq: Long, syms: Seq[String])
 final case class BpeMerge(round: Long, a: String, b: String, pair_n: Long,
                           corpus_syms_after: Long)
 
+/** Encoder input/output rows (top-level for by-name encoder resolution). */
+final case class BpeEncIn(doc_id: Long, text: String)
+final case class BpeEncOut(doc_id: Long, n_words: Long, n_pieces: Long,
+                           pieces_hash: Long)
+
 /** Byte-pair-encoding merge LEARNING (Sennrich et al. 2016) — the
   * tokenizer-training half that q97's greedy inference consumes.
   * Start from per-character symbols over the distinct-word table
@@ -84,5 +89,45 @@ object BpeTrain {
       merges += BpeMerge(r.toLong, a, b, n, after)
     }
     s.createDataFrame(merges.result()).orderBy(col("round"))
+  }
+
+  /** Encode every document with a learned merge list (applied in rank
+    * order per word — standard BPE inference). Row-local work: the
+    * merge table rides along as a tiny task closure and each partition
+    * memoizes word → pieces (the same Zipf argument that makes
+    * training's word-TYPE table small makes the memo hit rate high).
+    * Output pins the full encoding: piece count and the polynomial
+    * hash of the space-joined piece stream in word order.
+    */
+  def encode(s: SparkSession, docs: DataFrame,
+             merges: Seq[(String, String)]): DataFrame = {
+    import s.implicits._
+    docs.select(col("doc_id"), col("text")).as[BpeEncIn]
+      .mapPartitions { it =>
+        val memo = new java.util.HashMap[String, Seq[String]]()
+        def pieces(word: String): Seq[String] = {
+          val hit = memo.get(word)
+          if (hit != null) hit
+          else {
+            var syms: Seq[String] =
+              word.codePoints().toArray.toSeq
+                .map(cp => new String(Character.toChars(cp)))
+            merges.foreach { case (a, b) => syms = applyMerge(a, b, syms) }
+            memo.put(word, syms)
+            syms
+          }
+        }
+        it.map { row =>
+          val words = row.text.split(" ", -1).filter(_.nonEmpty)
+          val enc = words.map(pieces)
+          val stream = enc.iterator.map(_.mkString(" ")).mkString(" ")
+          BpeEncOut(row.doc_id, words.length.toLong,
+            enc.iterator.map(_.length.toLong).sum,
+            graft.functions.TextHash.polyHash(
+              org.apache.spark.unsafe.types.UTF8String.fromString(stream), 31))
+        }
+      }
+      .toDF()
+      .orderBy(col("doc_id"))
   }
 }

@@ -94,7 +94,18 @@ object TrainingOps {
     * (the same left-to-right non-overlap rule as BpeTrain.applyMerge),
     * and a post-merge corpus-size audit.
     */
-  private def bpeOracleSql(k: Int): String = {
+  private def bpeOracleSql(k: Int): String =
+    s"""WITH RECURSIVE
+       |${bpeRoundsCtes(k)}
+       |${(1 to k).map(r =>
+            s"SELECT CAST($r AS BIGINT) AS round, a, b, n AS pair_n, after AS corpus_syms_after FROM stat$r")
+            .mkString("SELECT * FROM (", " UNION ALL ", ")")} ORDER BY round""".stripMargin
+
+  /** Shared CTE chain for q99/q102: word-frequency table, per-char
+    * start state, and k BPE rounds ending in the merged word-type
+    * table `s<k>` plus per-round `stat<r>` audit rows.
+    */
+  private def bpeRoundsCtes(k: Int): String = {
     def round(r: Int): String =
       s"""p$r AS (SELECT syms[i] AS a, syms[i+1] AS b, CAST(sum(freq) AS BIGINT) AS n
          |        FROM s${r - 1}, unnest(range(1, len(syms))) AS u(i)
@@ -117,18 +128,13 @@ object TrainingOps {
          |             (SELECT CAST(sum(freq * len(syms)) AS BIGINT) FROM s$r) AS after
          |           FROM best$r b)""".stripMargin
     val rounds = (1 to k).map(round).mkString(",\n")
-    val union = (1 to k).map(r =>
-      s"SELECT CAST($r AS BIGINT) AS round, a, b, n AS pair_n, after AS corpus_syms_after FROM stat$r")
-      .mkString(" UNION ALL ")
-    s"""WITH RECURSIVE
-       |w0 AS (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+    s"""w0 AS (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
        |       FROM documents),
        |wf AS (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM w0 GROUP BY word),
        |s0 AS (SELECT word, freq,
        |         list_transform(range(1, len(word) + 1), i -> word[i]) AS syms
        |       FROM wf),
-       |$rounds
-       |SELECT * FROM ($union) ORDER BY round""".stripMargin
+       |$rounds""".stripMargin
   }
 
   val defs: Seq[Q] = Seq(
@@ -887,8 +893,57 @@ object TrainingOps {
             s, Tables.documents(s, d), w = 8, nSplits = 3)
         } finally s.conf.set("spark.sql.shuffle.partitions", prev)
       },
-      Some(spanDedupSql(8)))
+      Some(spanDedupSql(8))),
+
+    // ---- BPE encoding with the learned merges (tokenizer INFERENCE) ------
+    // Closes the q99 loop: learn the 6 merges, then encode every
+    // document by applying them in rank order per word. The merge list
+    // is 6 tiny rows in the task closure; encoding is one narrow
+    // memoized mapPartitions pass. pieces_hash pins every piece
+    // boundary of every document in word order, and the oracle
+    // re-learns the same merges (shared CTE chain with q99) and
+    // re-encodes via the word-type table join.
+    Q(
+      "q102_bpe_encode",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val words = docs
+          .select(explode_outer(split(col("text"), " ")).as("w"))
+          .where(col("w").isNotNull && col("w") =!= "")
+        val merges = graft.ops.BpeTrain.learnMerges(s, words, k = 6)
+          .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+        graft.ops.BpeTrain.encode(s, docs, merges)
+      },
+      Some(bpeEncodeSql(6)))
   )
+
+  /** q102's oracle: the q99 round CTEs build the merged word-type
+    * table `s6`; every doc then re-encodes as an ordered join of its
+    * words against that table.
+    */
+  private def bpeEncodeSql(k: Int): String = {
+    def ph(s: String): String =
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |  list_transform(range(1, len($s)+1), j -> CAST(unicode($s[j]) AS BIGINT))),
+         |  (acc,x) -> (acc*31+x)%1000000007)""".stripMargin
+    s"""WITH RECURSIVE
+       |${bpeRoundsCtes(k)},
+       |docw AS (
+       |  SELECT doc_id, i, words[i] AS word
+       |  FROM (SELECT doc_id,
+       |          list_filter(string_split(text, ' '), x -> x <> '') AS words
+       |        FROM documents) w1,
+       |       unnest(range(1, len(words) + 1)) AS u(i)),
+       |enc AS (SELECT d.doc_id, d.i, s.syms
+       |        FROM docw d JOIN s$k s ON d.word = s.word),
+       |per AS (SELECT doc_id,
+       |          CAST(count(*) AS BIGINT) AS n_words,
+       |          CAST(sum(len(syms)) AS BIGINT) AS n_pieces,
+       |          string_agg(array_to_string(syms, ' '), ' ' ORDER BY i) AS stream
+       |        FROM enc GROUP BY doc_id)
+       |SELECT doc_id, n_words, n_pieces, ${ph("stream")} AS pieces_hash
+       |FROM per ORDER BY doc_id""".stripMargin
+  }
 
   /** q100's oracle: replay gram hashing (dual-base polynomial), the
     * first-occurrence election, the covered-position union, and the

@@ -346,6 +346,31 @@ class TrainingOpsSpec extends SparkSpec {
     assert((t.getString(1), t.getString(2), t.getLong(3)) == ("a", "b", 1L))
   }
 
+  // ---- q102 BPE encoding -------------------------------------------------
+
+  test("q102: encode applies merges in rank order; totals equal q99's audit") {
+    import graft.ops.BpeTrain
+    import spark.implicits._
+    // merges learned from ("aaa"×2, "ab") are (a,a) then (aa,a) —
+    // encoding maps aaa→[aaa], ab→[a,b]
+    val m = Seq(("a", "a"), ("aa", "a"))
+    val doc = Seq((7L, "aaa aaa ab")).toDF("doc_id", "text")
+    val r = BpeTrain.encode(spark, doc, m).collect().head
+    val ph = graft.functions.TextHash.polyHash(
+      org.apache.spark.unsafe.types.UTF8String.fromString("aaa aaa a b"), 31)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((7L, 3L, 4L, ph)))
+    // cross-query invariant on the fixture: encoding the SAME corpus
+    // the merges were learned from must produce exactly the piece
+    // count the trainer's corpus_syms_after audit reported
+    val audit = Registry.byName("q99_bpe_merges").run(spark, sfDir)
+      .orderBy(desc("round")).select(col("corpus_syms_after"))
+      .limit(1).collect().head.getLong(0)
+    val total = Registry.byName("q102_bpe_encode").run(spark, sfDir)
+      .agg(sum(col("n_pieces"))).collect().head.getLong(0)
+    assert(total == audit)
+  }
+
   // ---- q100 span dedup ---------------------------------------------------
 
   test("q100: planted cross-doc span removed, first occurrence kept, overlap unions") {
