@@ -206,6 +206,27 @@ class ShuffleVolumeSpec extends SparkSpec {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("q102 encoding adds no shuffle beyond merge learning") {
+    import graft.ops.BpeTrain
+    val docs = Tables.documents(spark, sfDir)
+    val words = docs.select(posexplode(split(col("text"), " ")).as(Seq("p", "w")))
+      .where(col("w") =!= "").select(col("w"))
+    val learnB = shuffleBytes {
+      BpeTrain.learnMerges(spark, words, k = 2).collect()
+    }
+    val fullB = shuffleBytes {
+      val merges = BpeTrain.learnMerges(spark, words, k = 2)
+        .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      BpeTrain.encode(spark, docs, merges).collect()
+    }
+    // encoding itself is a narrow memoized map: every shuffle byte of
+    // learn+encode is already present in learning alone (the final
+    // presentation orderBy is a range exchange of the tiny output)
+    assert(learnB > 0, s"learning should aggregate (got $learnB)")
+    assert(fullB <= learnB + 65536,
+      s"encode added shuffle: full=$fullB vs learn-only=$learnB bytes")
+  }
+
   test("q100's gram election exchanges hashed packs, not gram text") {
     // the dup-start election stage isolated (gram build → first-wins
     // window → per-doc starts), identically shaped in both runs; only

@@ -452,6 +452,22 @@ class TrainingOpsSpec extends SparkSpec {
   private def planOf(name: String): String =
     Registry.byName(name).run(spark, sfDir).queryExecution.executedPlan.toString
 
+  test("plans: q100 prunes the documents scan and keeps keyed exchanges only") {
+    val qe = Registry.byName("q100_span_dedup").run(spark, sfDir).queryExecution
+    val p = qe.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      p.take(800))
+    // gram election + per-doc starts + reconstruction join: every
+    // exchange is hash-keyed (plus the final presentation sort)
+    assert("Exchange hashpartitioning".r.findAllMatchIn(p).size <= 3, p.take(1200))
+    // the scan reads only the two referenced columns — lang/source/
+    // n_chars must not reach a 100 TB documents scan
+    val scans = qe.executedPlan.collectLeaves().map(_.toString).mkString
+    assert(scans.contains("doc_id") && scans.contains("text"))
+    assert(!scans.contains("n_chars") && !scans.contains("source"),
+      scans.take(600))
+  }
+
   test("plans: q86 broadcasts index build and probe, no cartesian product") {
     val p = planOf("q86_ivf_seeded_ann")
     assert(!p.contains("CartesianProduct"), p.take(800))
