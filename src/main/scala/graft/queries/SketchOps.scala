@@ -437,6 +437,32 @@ object SketchOps {
              |  UNION ALL SELECT 'orders.fk_custkey_orphans',
              |    CAST(count(*) AS DOUBLE) FROM orders
              |    WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
-             |ORDER BY cname""".stripMargin))
+             |ORDER BY cname""".stripMargin)),
+
+    // ---- Mergeable approximate quantiles (rows-only; spec-bracketed) -----
+    // Exact per-group percentiles (q26) are a full sort per group —
+    // the one aggregate that cannot partial-aggregate at 100 TB.
+    // approx_percentile is Spark's mergeable bounded-memory quantile
+    // summary (Greenwald-Khanna style): each task ships O(1/eps)
+    // state, rank error <= n/accuracy. The sketch's internal layout is
+    // engine-specific, so this is a rows-only row like q28's HLL;
+    // SketchSpec brackets every returned value's true rank against the
+    // guarantee, and q26 remains the exact twin.
+    Q(
+      "q103_approx_quantiles",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        li.groupBy(col("l_returnflag"))
+          .agg(
+            count(lit(1)).as("n"),
+            expr("approx_percentile(l_extendedprice, array(0.5, 0.95, 0.99), 10000)")
+              .as("qs"))
+          .select(col("l_returnflag"), col("n"),
+            element_at(col("qs"), 1).as("p50"),
+            element_at(col("qs"), 2).as("p95"),
+            element_at(col("qs"), 3).as("p99"))
+          .orderBy(col("l_returnflag"))
+      },
+      None)
   )
 }

@@ -141,4 +141,28 @@ class SketchSpec extends SparkSpec {
       assert(r.getAs[Long]("n_sat") >= 1)
     }
   }
+
+  test("q103 approx quantiles: every value's true rank is inside the GK bound") {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"), col("l_extendedprice")).cache()
+    try {
+      val rows = queries.Registry.byName("q103_approx_quantiles")
+        .run(spark, sfDir).collect()
+      assert(rows.length == 3)
+      rows.foreach { r =>
+        val flag = r.getString(0); val n = r.getLong(1)
+        for ((q, i) <- Seq(0.5, 0.95, 0.99).zipWithIndex) {
+          val v = r.getDouble(2 + i)
+          // rank of the returned value in the group (values <= v)
+          val rank = li.where(col("l_returnflag") === flag &&
+            col("l_extendedprice") <= v).count()
+          // accuracy=10000 guarantees rank error <= n/10000; allow the
+          // floor/ceil slack of discrete ranks on top
+          val eps = n / 10000.0 + 1
+          assert(math.abs(rank - q * n) <= eps + 1,
+            s"$flag p$q: rank=$rank target=${q * n} n=$n v=$v")
+        }
+      }
+    } finally { li.unpersist(); () }
+  }
 }
