@@ -2,7 +2,6 @@ package graft.ops
 
 import graft.functions.PolyHash.polyHash
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Exact duplicated-span removal across documents at w-token-window
@@ -12,14 +11,16 @@ import org.apache.spark.sql.functions._
   * corpus (by (doc_id, pos) order) is removed from the later document,
   * keeping the globally-first occurrence intact.
   *
-  * Distributed shape: one shuffle of the w-gram table keyed on the
-  * dual-base gram hash (the window that elects the first occurrence),
-  * one small aggregate of duplicate starts per doc, and one corpus join
-  * back on doc_id for reconstruction — gram construction and token
-  * filtering are narrow per-row passes. The gram table is ~1 row per
-  * corpus token ((doc_id, pos, pack) = 20 B hashed, never the gram
-  * text), so the exchange is O(corpus tokens), the same scale class as
-  * any tokenizing aggregate.
+  * Distributed shape: the first occurrence per gram is elected with a
+  * partial-aggregable min(struct(doc_id, pos)) keyed on the dual-base
+  * gram hash — map-side combine collapses hot grams (boilerplate
+  * spans), where a row_number window would funnel every occurrence of
+  * a hot gram through one task's sort. A doc's duplicate starts are
+  * then the complement of its first-occurrence starts, so the
+  * per-occurrence gram table never crosses the wire: the exchanges
+  * carry only task-combined (pack, first) rows and tiny per-doc start
+  * lists, plus the corpus join back on doc_id for reconstruction.
+  * Gram construction and token filtering are narrow per-row passes.
   *
   * Dual-base polynomial hashes (31/131, cross-engine-replayable) make
   * gram identity collision-safe AND let DuckDB replay the whole
@@ -88,25 +89,36 @@ object SpanDedup {
     val toked = docs.select(col("doc_id"),
       filter(split(col("text"), " "), t => t =!= "").as("toks"))
     val g = grams(docs, w)
-    // first occurrence per gram wins; every later one is a dup — and in
-    // incremental mode any pack the store has seen is a dup outright
-    val firstWins = Window.partitionBy("pack").orderBy("doc_id", "pos")
-    val ranked = g.withColumn("rn", row_number().over(firstWins))
-    val dups = storePacks match {
-      case None => ranked.where(col("rn") > 1)
-      case Some(store) => ranked
-        .join(store.select(col("pack"), lit(true).as("seen")),
-          Seq("pack"), "left")
-        .where(col("rn") > 1 || col("seen").isNotNull)
+    // Elect the first occurrence per gram with a partial-aggregable
+    // min(struct) — NOT a row_number window: a hot gram (boilerplate
+    // text) would funnel every occurrence through one task's sort,
+    // while map-side combine collapses it to one row per task. The dup
+    // starts of a doc are then the COMPLEMENT of its first-occurrence
+    // starts among all its gram starts, so the per-occurrence gram
+    // table never crosses the wire — the shuffles carry only combined
+    // (pack, first) rows and tiny per-doc lists.
+    val firsts = g.groupBy("pack")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("f"))
+    // incremental mode: a pack the store has seen is a dup outright, so
+    // its in-batch "first" loses too
+    val firstsKept = storePacks match {
+      case None => firsts
+      case Some(store) =>
+        firsts.join(store.select(col("pack")), Seq("pack"), "left_anti")
     }
-    val dupStarts = dups
-      .groupBy("doc_id").agg(sort_array(collect_list(col("pos"))).as("starts"))
-    toked.join(dupStarts, Seq("doc_id"), "left")
-      .withColumn("covered", when(col("starts").isNotNull,
+    val firstStarts = firstsKept
+      .groupBy(col("f.doc_id").as("doc_id"))
+      .agg(collect_list(col("f.pos")).as("first_starts"))
+    toked.join(firstStarts, Seq("doc_id"), "left")
+      .withColumn("all_starts", when(size(col("toks")) >= w,
+        sequence(lit(0), size(col("toks")) - w))
+        .otherwise(array().cast("array<int>")))
+      .withColumn("starts", sort_array(array_except(col("all_starts"),
+        coalesce(col("first_starts"), array().cast("array<int>")))))
+      .withColumn("covered",
         array_sort(array_distinct(flatten(transform(col("starts"),
-          s => sequence(s, s + lit(w - 1))))))))
-      .withColumn("kept", when(col("covered").isNotNull,
+          s => sequence(s, s + lit(w - 1)))))))
+      .withColumn("kept",
         filter(col("toks"), (t, i) => !array_contains(col("covered"), i)))
-        .otherwise(col("toks")))
   }
 }

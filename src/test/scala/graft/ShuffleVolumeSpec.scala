@@ -227,40 +227,46 @@ class ShuffleVolumeSpec extends SparkSpec {
       s"encode added shuffle: full=$fullB vs learn-only=$learnB bytes")
   }
 
-  test("q100's gram election exchanges hashed packs, not gram text") {
-    // the dup-start election stage isolated (gram build → first-wins
-    // window → per-doc starts), identically shaped in both runs; only
-    // the shuffle KEY differs: 8 B pack vs the w-token gram string
-    def election(grams: DataFrame, key: String): Unit = {
-      val firstWins = Window.partitionBy(key).orderBy("doc_id", "pos")
-      grams.withColumn("rn", row_number().over(firstWins))
-        .where(col("rn") > 1)
-        .groupBy("doc_id").agg(sort_array(collect_list(col("pos"))).as("starts"))
-        .collect()
+  test("q100 never shuffles the per-occurrence gram table") {
+    // registered: hashed packs, min(struct) election with map-side
+    // combine, dup starts derived as the complement per doc — the
+    // exchanges carry task-combined (pack, first) rows only
+    val registeredB = shuffleBytes {
+      graft.queries.Registry.byName("q100_span_dedup").run(spark, sfDir).collect()
     }
-    val w = 8
-    val docs = Tables.documents(spark, sfDir)
-    val packB = shuffleBytes {
-      election(docs.select(col("doc_id"),
-          posexplode_outer(ShingleKernel.gramPacks(col("text"), w))
-            .as(Seq("pos", "pack")))
-        .where(col("pack").isNotNull), "pack")
-    }
-    val stringB = shuffleBytes {
-      val toked = docs.select(col("doc_id"),
+    // the direct translation: gram STRINGS through a row_number window
+    // (every occurrence row crosses the wire, keyed on the gram text)
+    val naiveB = shuffleBytes {
+      val w = 8
+      val toked = Tables.documents(spark, sfDir).select(col("doc_id"),
         filter(split(col("text"), " "), t => t =!= "").as("toks"))
-      election(toked.select(col("doc_id"),
+      val grams = toked.select(col("doc_id"),
           posexplode_outer(when(size(col("toks")) >= w,
             transform(sequence(lit(0), size(col("toks")) - w),
               i => array_join(slice(col("toks"), i + 1, lit(w)), " "))))
             .as(Seq("pos", "gram")))
-        .where(col("gram").isNotNull), "gram")
+        .where(col("gram").isNotNull)
+      val firstWins = Window.partitionBy("gram").orderBy("doc_id", "pos")
+      val dupStarts = grams
+        .withColumn("rn", row_number().over(firstWins))
+        .where(col("rn") > 1)
+        .groupBy("doc_id").agg(sort_array(collect_list(col("pos"))).as("starts"))
+      toked.join(dupStarts, Seq("doc_id"), "left")
+        .withColumn("covered", when(col("starts").isNotNull,
+          array_sort(array_distinct(flatten(transform(col("starts"),
+            s => sequence(s, s + lit(w - 1))))))))
+        .select(col("doc_id"),
+          coalesce(size(col("covered")), lit(0)).cast("long").as("n_removed"))
+        .collect()
     }
-    // raw key width is ~45 B vs 8 B, but this fixture's ~40-word
-    // vocabulary lets lz4 compress gram STRINGS unrealistically well —
-    // production text has far higher entropy, widening the gap toward
-    // the raw ratio. Even here the pack run must win by a clear margin.
-    assert(packB > 0 && packB < (stringB * 3) / 4,
-      s"pack-keyed=$packB bytes vs gram-string=$stringB bytes")
+    // this fixture is the agg formulation's WORST case — nearly every
+    // pack is unique, so map-side combine collapses nothing and the
+    // mins exchange is as large as the occurrence table; the measured
+    // win here is from 8 B packs vs gram strings alone. On production
+    // corpora both effects compound: Zipf gram frequencies are exactly
+    // what partial aggregation collapses, and higher-entropy text
+    // compresses far worse than this ~40-word vocabulary.
+    assert(registeredB > 0 && registeredB < (naiveB * 3) / 4,
+      s"registered=$registeredB bytes vs gram-string-window=$naiveB bytes")
   }
 }

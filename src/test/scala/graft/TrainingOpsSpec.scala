@@ -460,6 +460,10 @@ class TrainingOpsSpec extends SparkSpec {
     // gram election + per-doc starts + reconstruction join: every
     // exchange is hash-keyed (plus the final presentation sort)
     assert("Exchange hashpartitioning".r.findAllMatchIn(p).size <= 3, p.take(1200))
+    // the election must partial-aggregate map-side (skew safety: a hot
+    // gram collapses to one row per task before the exchange)
+    assert(p.contains("partial_min"), p.take(1200))
+    assert(!p.toLowerCase.contains("window"), p.take(1200))
     // the scan reads only the two referenced columns — lang/source/
     // n_chars must not reach a 100 TB documents scan
     val scans = qe.executedPlan.collectLeaves().map(_.toString).mkString
