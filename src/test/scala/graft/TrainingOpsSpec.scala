@@ -445,6 +445,15 @@ class TrainingOpsSpec extends SparkSpec {
     // the store ends holding exactly the corpus' distinct packs:
     // d0's 13 all-distinct grams + d1's 3 z-containing ones
     assert(spark.read.parquet(s"$workDir/gram_store").distinct().count() == 16)
+    // exactly-once replay: re-running against the same checkpoint finds
+    // no new files, so neither the output nor the store moves
+    val again = SpanDedupStream.run(spark, s"$workDir/input", workDir, w = 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                 r.getLong(4)))
+    assert(again.toSeq == out.toSeq)
+    assert(parquets(s"$workDir/out") == 2)
+    assert(spark.read.parquet(s"$workDir/gram_store").distinct().count() == 16)
   }
 
   // ---- physical-plan shape -----------------------------------------------
