@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{DotProduct, KMVMins, MinhashSig, PolyHash, ShinglePacks, SquaredNorm, TitleCase}
+import graft.functions.{DotProduct, GramPacks, KMVMins, MinhashSig, PolyHash, ShinglePacks, SquaredNorm, TitleCase}
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -31,6 +31,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("poly_hash", exprs => PolyHash(exprs.head)))
     ext.injectFunction(fn("shingle_packs", exprs => ShinglePacks(exprs.head)))
     ext.injectFunction(fn("minhash_sig", exprs => MinhashSig(exprs.head)))
+    // gram_packs(text, w): w must be a literal int (gram width is fixed
+    // at plan time; the kernel loop is specialized on it)
+    ext.injectFunction(fn("gram_packs", exprs =>
+      GramPacks(exprs(0), exprs(1) match {
+        case Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"gram_packs w must be an integer literal, got $other")
+      })))
     // kmv_mins(hash, k): k must be a literal int (sketch width is fixed
     // at plan time, like every bounded-state aggregate)
     ext.injectFunction(fn("kmv_mins", exprs =>

@@ -151,6 +151,13 @@ class StreamingSpec extends SparkSpec {
       "SELECT kmv_mins(h, 4) AS mins FROM " +
       "(SELECT CAST(id % 1000 AS BIGINT) AS h FROM range(10000))").collect()(0)
     assert(r3.getSeq[Long](0) == Seq(0L, 1L, 2L, 3L))
+    // gram_packs shares shingle_packs' identity contract: the single
+    // 3-gram of a 3-token doc packs identically in both kernels
+    val r4 = spark.sql(
+      "SELECT size(gram_packs('a b c d e', 2)) AS n, " +
+      "gram_packs('a b c', 3)[0] = shingle_packs('a b c')[0] AS same").collect()(0)
+    assert(r4.getInt(0) == 4)
+    assert(r4.getBoolean(1))
   }
 
   test("checkpointed foreachBatch ingestion is exactly-once across restarts") {
