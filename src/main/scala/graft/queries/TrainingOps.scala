@@ -89,6 +89,77 @@ object TrainingOps {
     }
   }
 
+  /** q98/q104 shared tail: 32/24 sliding-window chunking, hash split,
+    * per-(split, lang) stats. Distributive over doc sets with disjoint
+    * doc_ids (n_docs counts each doc's chunks once), so summing these
+    * partials across stream batches equals the global aggregate.
+    */
+  private[graft] def chunkSplitStats(deduped: DataFrame): DataFrame = {
+    val cs = 32; val stride = 24
+    val chunks = deduped.withColumn("toks", split(col("text"), " "))
+      .withColumn("nw",
+        (ceil(greatest(size(col("toks")) - cs, lit(0)) / lit(stride.toDouble))
+          + 1).cast("long"))
+      .select(col("doc_id"), col("lang"), col("toks"),
+              explode(sequence(lit(0L), col("nw") - 1)).as("chunk_ix"))
+      .withColumn("n_ctoks",
+        size(slice(col("toks"), (col("chunk_ix") * stride + 1).cast("int"),
+          lit(cs))).cast("long"))
+    chunks
+      .withColumn("h", (lit(HashA) * col("doc_id") + lit(HashB)) % P % 100)
+      .withColumn("split",
+        when(col("h") < 80, "train").when(col("h") < 90, "val")
+          .otherwise("test"))
+      .groupBy(col("split"), col("lang"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+           count(lit(1)).as("n_chunks"),
+           sum(col("n_ctoks")).as("sum_ctoks"))
+  }
+
+  /** The corpus-prep oracle shared by q98 (batch) and q104 (streaming):
+    * gate → prefix-dedup keep-lowest-doc_id → chunk → split → stats.
+    */
+  private[graft] def corpusPrepSql: String =
+    s"""WITH d AS (SELECT doc_id, lang, text,
+       |         list_filter(string_split(text, ' '), x -> x <> '') AS ftoks
+       |       FROM documents),
+       |m AS (SELECT doc_id, lang, text,
+       |        CAST(len(ftoks) AS BIGINT) AS n_words,
+       |        round(list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |            list_transform(ftoks, x -> CAST(len(x) AS BIGINT))),
+       |            (a, x) -> a + x) / len(ftoks), 4) AS mwl,
+       |        CAST(len(list_intersect(list_distinct(ftoks),
+       |            ['the', 'a', 'of', 'and', 'to', 'in'])) AS BIGINT) AS nsd
+       |      FROM d),
+       |g AS (SELECT doc_id, lang, text,
+       |        array_to_string(list_slice(string_split(text, ' '), 1, 16), ' ') AS pfx
+       |      FROM m
+       |      WHERE n_words >= 30 AND mwl >= 3 AND mwl <= 5 AND nsd >= 2),
+       |dd AS (SELECT doc_id, lang, text FROM (
+       |         SELECT doc_id, lang, text,
+       |           row_number() OVER (PARTITION BY pfx ORDER BY doc_id) AS rn
+       |         FROM g) WHERE rn = 1),
+       |t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM dd),
+       |w2 AS (SELECT doc_id, lang, toks,
+       |         1 + CAST(ceil(greatest(len(toks) - 32, 0) / 24.0) AS BIGINT) AS nw
+       |       FROM t),
+       |c AS (SELECT doc_id, lang, unnest(range(0, nw)) AS chunk_ix, toks FROM w2),
+       |ch AS (SELECT doc_id, lang, chunk_ix,
+       |         CAST(len(list_slice(toks, chunk_ix * 24 + 1,
+       |                             chunk_ix * 24 + 32)) AS BIGINT) AS n_ctoks
+       |       FROM c),
+       |sp AS (SELECT doc_id, lang, n_ctoks,
+       |         CASE WHEN ($HashA::BIGINT * doc_id + $HashB) % $P % 100 < 80 THEN 'train'
+       |              WHEN ($HashA::BIGINT * doc_id + $HashB) % $P % 100 < 90 THEN 'val'
+       |              ELSE 'test' END AS split
+       |       FROM ch)
+       |SELECT split, lang,
+       |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |       CAST(count(*) AS BIGINT) AS n_chunks,
+       |       CAST(sum(n_ctoks) AS BIGINT) AS sum_ctoks
+       |FROM sp GROUP BY split, lang
+       |ORDER BY split, lang""".stripMargin
+
   /** q99's oracle, generated per round like `ladderSql`: each BPE round
     * is a pair-count aggregate, a 1-row argmax, a recursive merge walk
     * (the same left-to-right non-overlap rule as BpeTrain.applyMerge),
@@ -780,68 +851,12 @@ object TrainingOps {
             Window.partitionBy(col("pfx")).orderBy(col("doc_id"))))
           .where(col("rn") === 1)
           .select(col("doc_id"), col("lang"), col("text"))
-        val cs = 32; val stride = 24
-        val chunks = deduped.withColumn("toks", split(col("text"), " "))
-          .withColumn("nw",
-            (ceil(greatest(size(col("toks")) - cs, lit(0)) / lit(stride.toDouble))
-              + 1).cast("long"))
-          .select(col("doc_id"), col("lang"), col("toks"),
-                  explode(sequence(lit(0L), col("nw") - 1)).as("chunk_ix"))
-          .withColumn("n_ctoks",
-            size(slice(col("toks"), (col("chunk_ix") * stride + 1).cast("int"),
-              lit(cs))).cast("long"))
-        chunks
-          .withColumn("h", (lit(HashA) * col("doc_id") + lit(HashB)) % P % 100)
-          .withColumn("split",
-            when(col("h") < 80, "train").when(col("h") < 90, "val")
-              .otherwise("test"))
-          .groupBy(col("split"), col("lang"))
-          .agg(countDistinct(col("doc_id")).as("n_docs"),
-               count(lit(1)).as("n_chunks"),
-               sum(col("n_ctoks")).as("sum_ctoks"))
-          .orderBy(col("split"), col("lang"))
+        chunkSplitStats(deduped).orderBy(col("split"), col("lang"))
       },
-      Some(s"""WITH d AS (SELECT doc_id, lang, text,
-             |         list_filter(string_split(text, ' '), x -> x <> '') AS ftoks
-             |       FROM documents),
-             |m AS (SELECT doc_id, lang, text,
-             |        CAST(len(ftoks) AS BIGINT) AS n_words,
-             |        round(list_reduce(list_prepend(CAST(0 AS BIGINT),
-             |            list_transform(ftoks, x -> CAST(len(x) AS BIGINT))),
-             |            (a, x) -> a + x) / len(ftoks), 4) AS mwl,
-             |        CAST(len(list_intersect(list_distinct(ftoks),
-             |            ['the', 'a', 'of', 'and', 'to', 'in'])) AS BIGINT) AS nsd
-             |      FROM d),
-             |g AS (SELECT doc_id, lang, text,
-             |        array_to_string(list_slice(string_split(text, ' '), 1, 16), ' ') AS pfx
-             |      FROM m
-             |      WHERE n_words >= 30 AND mwl >= 3 AND mwl <= 5 AND nsd >= 2),
-             |dd AS (SELECT doc_id, lang, text FROM (
-             |         SELECT doc_id, lang, text,
-             |           row_number() OVER (PARTITION BY pfx ORDER BY doc_id) AS rn
-             |         FROM g) WHERE rn = 1),
-             |t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM dd),
-             |w2 AS (SELECT doc_id, lang, toks,
-             |         1 + CAST(ceil(greatest(len(toks) - 32, 0) / 24.0) AS BIGINT) AS nw
-             |       FROM t),
-             |c AS (SELECT doc_id, lang, unnest(range(0, nw)) AS chunk_ix, toks FROM w2),
-             |ch AS (SELECT doc_id, lang, chunk_ix,
-             |         CAST(len(list_slice(toks, chunk_ix * 24 + 1,
-             |                             chunk_ix * 24 + 32)) AS BIGINT) AS n_ctoks
-             |       FROM c),
-             |sp AS (SELECT doc_id, lang, n_ctoks,
-             |         CASE WHEN ($HashA::BIGINT * doc_id + $HashB) % $P % 100 < 80 THEN 'train'
-             |              WHEN ($HashA::BIGINT * doc_id + $HashB) % $P % 100 < 90 THEN 'val'
-             |              ELSE 'test' END AS split
-             |       FROM ch)
-             |SELECT split, lang,
-             |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
-             |       CAST(count(*) AS BIGINT) AS n_chunks,
-             |       CAST(sum(n_ctoks) AS BIGINT) AS sum_ctoks
-             |FROM sp GROUP BY split, lang
-             |ORDER BY split, lang""".stripMargin)),
+      Some(corpusPrepSql)),
 
     // ---- BPE merge learning (tokenizer TRAINING) -------------------------
+
     // q97 is tokenizer inference over a frequency-derived vocab; this is
     // the training half: 6 rounds of byte-pair-encoding merge learning
     // (count adjacent symbol pairs over the frequency-weighted word-TYPE
@@ -894,6 +909,27 @@ object TrainingOps {
         } finally s.conf.set("spark.sql.shuffle.partitions", prev)
       },
       Some(spanDedupSql(8))),
+
+    // ---- Incremental corpus-prep composition over a document STREAM ------
+    // q98's continuous-ingestion twin (the q101 pattern applied to the
+    // whole composition): per micro-batch, the stateless quality gate,
+    // a prefix-dedup against a persistent seen-prefix store, chunking
+    // and hash split run once, appending per-(split, lang) PARTIAL
+    // stats; the registered result folds the partials with plain sums.
+    // Arrival order staged to doc_id order makes first-arrival dedup
+    // equal keep-lowest-doc_id, so q104 shares q98's full oracle —
+    // which therefore checks the store handoff AND the partial-fold.
+    Q(
+      "q104_corpus_prep_stream",
+      (s, d) => {
+        val prev = s.conf.get("spark.sql.shuffle.partitions")
+        try {
+          s.conf.set("spark.sql.shuffle.partitions", "8")
+          graft.streaming.CorpusPrepStream.runOn(
+            s, Tables.documents(s, d), nSplits = 3)
+        } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      },
+      Some(corpusPrepSql)),
 
     // ---- BPE encoding with the learned merges (tokenizer INFERENCE) ------
     // Closes the q99 loop: learn the 6 merges, then encode every

@@ -456,6 +456,37 @@ class TrainingOpsSpec extends SparkSpec {
     assert(spark.read.parquet(s"$workDir/gram_store").distinct().count() == 16)
   }
 
+  // ---- q104 incremental corpus prep --------------------------------------
+
+  test("q104: earlier batch's prefix store drops a later near-dup; partials fold") {
+    import graft.streaming.{CorpusPrepStream, SpanDedupStream}
+    import spark.implicits._
+    // all three docs pass the gate (32 words, mean len ~3.8, stopwords)
+    val pfxA = "the quick brown fox and lion of the wood ran far into dark deep cold cave"
+    val pfxC = "a small green bird and crow of a tall tree sat low upon thin long twig"
+    def tail(tag: String) = (1 to 16).map(i => f"$tag$i%02d").mkString(" ")
+    val a = s"$pfxA ${tail("aa")}"
+    val b = s"$pfxA ${tail("bb")}" // same 16-token prefix, different tail
+    val c = s"$pfxC ${tail("cc")}"
+    val docs = Seq((0L, "en", a), (2L, "en", b), (3L, "de", c))
+      .toDF("doc_id", "lang", "text")
+    // every doc genuinely passes the quality gate
+    assert(TrainingOps.withRowQuality(docs)
+      .agg(sum(col("quality_pass"))).collect().head.getLong(0) == 3L)
+    // splits: {0} then {2, 3} — b's only dup source sits in batch 1
+    val workDir = java.nio.file.Files.createTempDirectory("q104_spec").toString
+    SpanDedupStream.stageSplits(spark, docs, s"$workDir/input", 2)
+    val streamed = CorpusPrepStream.run(spark, s"$workDir/input", workDir)
+      .collect().map(_.toSeq)
+    // b is gone purely through the cross-batch prefix store
+    assert(streamed.map(_(2).asInstanceOf[Long]).sum == 2L)
+    // and the folded partials equal the batch composition over {a, c}
+    val expected = TrainingOps.chunkSplitStats(
+        Seq((0L, "en", a), (3L, "de", c)).toDF("doc_id", "lang", "text"))
+      .orderBy(col("split"), col("lang")).collect().map(_.toSeq)
+    assert(streamed.toSeq == expected.toSeq)
+  }
+
   // ---- physical-plan shape -----------------------------------------------
 
   private def planOf(name: String): String =
