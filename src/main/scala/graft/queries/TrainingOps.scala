@@ -950,7 +950,54 @@ object TrainingOps {
           .collect().map(r => (r.getString(1), r.getString(2))).toSeq
         graft.ops.BpeTrain.encode(s, docs, merges)
       },
-      Some(bpeEncodeSql(6)))
+      Some(bpeEncodeSql(6))),
+
+    // ---- Model-based quality gate (unigram-LM "perplexity" filter) -------
+    // The CCNet/LLaMA-pipeline filter family: score each document under
+    // a language model TRAINED ON THE CORPUS and gate on the score.
+    // The LM is a unigram model and the score integer bits — token cost
+    // = floor(log2(N div freq)) via the shared log2 ladder (never libm
+    // log, q88's rule) — so the whole operator is integer-exact and
+    // fully oracle-checked, unlike a float NLL. Scale shape is CCNet's:
+    // one vocab-count shuffle trains the LM, the LM broadcasts to the
+    // scoring pass, one per-doc aggregate. Gate: mean bits <= 4.04
+    // as the integer cross-multiplication sum_bits*100 <= n_tok*404.
+    Q(
+      "q105_unigram_ppl_gate",
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), explode_outer(split(col("text"), " ")).as("tok"))
+          .where(col("tok").isNotNull && col("tok") =!= "")
+        val freqs = toks.groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+        val nTot = toks.agg(count(lit(1)).as("nt"))
+        val r = expr("nt div freq")
+        val lm = freqs.crossJoin(nTot)
+          .withColumn("bits", TextOps.log2Ladder.foldLeft(lit(0L)) {
+            case (acc, p) => when(r >= (1L << p), lit(p.toLong)).otherwise(acc)
+          })
+          .select(col("tok"), col("bits"))
+        toks.join(broadcast(lm), Seq("tok"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tok"), sum(col("bits")).as("sum_bits"))
+          .withColumn("ppl_pass",
+            (col("sum_bits") * 100 <= col("n_tok") * 404).cast("long"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH w AS (SELECT doc_id,
+             |         unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+             |       FROM documents),
+             |f AS (SELECT tok, CAST(count(*) AS BIGINT) AS freq FROM w GROUP BY tok),
+             |n AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM w),
+             |b AS (SELECT tok, CAST(CASE ${TextOps.log2Ladder.reverse.map(p =>
+                      s"WHEN nt // freq >= ${1L << p} THEN $p").mkString(" ")}
+             |        ELSE 0 END AS BIGINT) AS bits FROM f, n),
+             |s AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+             |        CAST(sum(bits) AS BIGINT) AS sum_bits
+             |      FROM w JOIN b USING (tok) GROUP BY doc_id)
+             |SELECT doc_id, n_tok, sum_bits,
+             |  CAST(CASE WHEN sum_bits * 100 <= n_tok * 404 THEN 1 ELSE 0 END
+             |       AS BIGINT) AS ppl_pass
+             |FROM s ORDER BY doc_id""".stripMargin))
   )
 
   /** q102's oracle: the q99 round CTEs build the merged word-type

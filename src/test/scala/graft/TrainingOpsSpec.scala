@@ -487,6 +487,36 @@ class TrainingOpsSpec extends SparkSpec {
     assert(streamed.toSeq == expected.toSeq)
   }
 
+  // ---- q105 unigram-LM perplexity gate -----------------------------------
+
+  test("q105: integer bit costs match floor(log2), gate splits the corpus") {
+    val out = Registry.byName("q105_unigram_ppl_gate").run(spark, sfDir)
+      .collect()
+    assert(out.length == 500)
+    // both outcomes occur — the gate carries signal
+    assert(out.count(_.getLong(3) == 1L) > 0 && out.count(_.getLong(3) == 0L) > 0)
+    // recompute one doc's score from scratch on the driver
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val allToks = docs.values.flatMap(_.split(" ").filter(_.nonEmpty)).toSeq
+    val n = allToks.size.toLong
+    val freq = allToks.groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+    def bits(t: String): Long = {
+      val r = n / freq(t)
+      (40 to 1 by -1).find(p => r >= (1L << p)).map(_.toLong).getOrElse(0L)
+    }
+    val d0 = docs(0L).split(" ").filter(_.nonEmpty)
+    val row0 = out.find(_.getLong(0) == 0L).get
+    assert(row0.getLong(1) == d0.length.toLong)
+    assert(row0.getLong(2) == d0.map(bits).sum)
+    // the trained LM rides a broadcast join — the corpus never shuffles
+    // for scoring, only the vocab-count and per-doc aggregates do
+    val p = Registry.byName("q105_unigram_ppl_gate").run(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+  }
+
   // ---- physical-plan shape -----------------------------------------------
 
   private def planOf(name: String): String =
