@@ -905,7 +905,7 @@ object TrainingOps {
         try {
           s.conf.set("spark.sql.shuffle.partitions", "8")
           graft.streaming.SpanDedupStream.runOn(
-            s, Tables.documents(s, d), w = 8, nSplits = 3)
+            s, Tables.documents(s, d), w = 8, nSplits = 2)
         } finally s.conf.set("spark.sql.shuffle.partitions", prev)
       },
       Some(spanDedupSql(8))),
@@ -926,7 +926,7 @@ object TrainingOps {
         try {
           s.conf.set("spark.sql.shuffle.partitions", "8")
           graft.streaming.CorpusPrepStream.runOn(
-            s, Tables.documents(s, d), nSplits = 3)
+            s, Tables.documents(s, d), nSplits = 2)
         } finally s.conf.set("spark.sql.shuffle.partitions", prev)
       },
       Some(corpusPrepSql)),
