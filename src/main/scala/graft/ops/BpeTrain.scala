@@ -69,7 +69,9 @@ object BpeTrain {
       .as[WordSyms]
       .localCheckpoint()
     val merges = Seq.newBuilder[BpeMerge]
-    for (r <- 1 to k) {
+    var r = 1
+    var exhausted = false
+    while (r <= k && !exhausted) {
       val pairs = syms.toDF()
         .select(col("freq"), explode_outer(zip_with(
           slice(col("syms"), lit(1), size(col("syms")) - 1),
@@ -80,13 +82,21 @@ object BpeTrain {
         .agg(sum(col("freq")).as("n"))
         .orderBy(desc("n"), col("a"), col("b"))
         .limit(1).collect()
-      val best = pairs.head
-      val (a, b, n) = (best.getString(0), best.getString(1), best.getLong(2))
-      syms = syms.map(ws => ws.copy(syms = applyMerge(a, b, ws.syms)))
-        .localCheckpoint()
-      val after = syms.toDF()
-        .agg(sum(col("freq") * size(col("syms")))).collect().head.getLong(0)
-      merges += BpeMerge(r.toLong, a, b, n, after)
+      if (pairs.isEmpty) {
+        // no adjacent pairs left (every word is a single symbol, or the
+        // corpus started as single-character words): standard BPE
+        // termination — return the merges learned so far
+        exhausted = true
+      } else {
+        val best = pairs.head
+        val (a, b, n) = (best.getString(0), best.getString(1), best.getLong(2))
+        syms = syms.map(ws => ws.copy(syms = applyMerge(a, b, ws.syms)))
+          .localCheckpoint()
+        val after = syms.toDF()
+          .agg(sum(col("freq") * size(col("syms")))).collect().head.getLong(0)
+        merges += BpeMerge(r.toLong, a, b, n, after)
+        r += 1
+      }
     }
     s.createDataFrame(merges.result()).orderBy(col("round"))
   }

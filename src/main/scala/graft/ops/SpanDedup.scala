@@ -38,7 +38,7 @@ object SpanDedup {
       .select(col("doc_id"),
         size(col("toks")).cast("long").as("n_tok"),
         coalesce(size(col("starts")), lit(0)).cast("long").as("n_dup_spans"),
-        coalesce(size(col("covered")), lit(0)).cast("long").as("n_removed"),
+        col("n_removed"),
         polyHash(array_join(col("kept"), " ")).as("kept_hash"))
       .orderBy("doc_id")
 
@@ -66,7 +66,7 @@ object SpanDedup {
       .select(col("doc_id"),
         size(col("toks")).cast("long").as("n_tok"),
         coalesce(size(col("starts")), lit(0)).cast("long").as("n_dup_spans"),
-        coalesce(size(col("covered")), lit(0)).cast("long").as("n_removed"),
+        col("n_removed"),
         polyHash(array_join(col("kept"), " ")).as("kept_hash"))
     val fresh = grams(batch, w)
       .join(storePacks.select(col("pack")), Seq("pack"), "left_anti")
@@ -109,16 +109,40 @@ object SpanDedup {
     val firstStarts = firstsKept
       .groupBy(col("f.doc_id").as("doc_id"))
       .agg(collect_list(col("f.pos")).as("first_starts"))
+    // Reconstruction is linear in the doc, not quadratic: the sorted dup
+    // starts fold into merged disjoint covered intervals [lo, hi] (one
+    // O(n_starts) pass — each start either extends the last interval or
+    // opens a new one), n_removed is the interval-length sum, and the
+    // kept tokens are the gap SLICES between intervals. The old form
+    // probed array_contains(covered, i) per token — O(n_tok * n_removed)
+    // row-local work, pathological for long heavily-duplicated docs.
+    val ivs = col("intervals")
     toked.join(firstStarts, Seq("doc_id"), "left")
       .withColumn("all_starts", when(size(col("toks")) >= w,
         sequence(lit(0), size(col("toks")) - w))
         .otherwise(array().cast("array<int>")))
       .withColumn("starts", sort_array(array_except(col("all_starts"),
         coalesce(col("first_starts"), array().cast("array<int>")))))
-      .withColumn("covered",
-        array_sort(array_distinct(flatten(transform(col("starts"),
-          s => sequence(s, s + lit(w - 1)))))))
-      .withColumn("kept",
-        filter(col("toks"), (t, i) => !array_contains(col("covered"), i)))
+      .withColumn("intervals", aggregate(
+        col("starts"),
+        array().cast("array<struct<lo:int,hi:int>>"),
+        (acc, s) => when(
+          size(acc) === 0 || s > element_at(acc, -1)("hi") + 1,
+          concat(acc, array(struct(s.as("lo"), (s + lit(w - 1)).as("hi")))))
+          .otherwise(concat(slice(acc, lit(1), size(acc) - 1),
+            array(struct(element_at(acc, -1)("lo").as("lo"),
+              (s + lit(w - 1)).as("hi")))))))
+      .withColumn("n_removed", aggregate(ivs, lit(0L),
+        (a, iv) => a + iv("hi") - iv("lo") + 1))
+      .withColumn("kept", flatten(transform(
+        sequence(lit(0), size(ivs)),
+        i => {
+          val gapStart = when(i === 0, lit(0))
+            .otherwise(element_at(ivs, i)("hi") + 1)
+          val gapEndExcl = when(i === size(ivs), size(col("toks")))
+            .otherwise(element_at(ivs, i + 1)("lo"))
+          slice(col("toks"), gapStart + 1,
+            greatest(gapEndExcl - gapStart, lit(0)))
+        })))
   }
 }

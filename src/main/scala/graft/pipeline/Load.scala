@@ -166,6 +166,18 @@ object Load {
       .sorted
   }
 
+  /** Read a parquet store only if its directory exists. Incremental
+    * operators treat a MISSING store as "first run" — but a store that
+    * exists and fails to read must propagate: swallowing a transient or
+    * corrupt-store read error as "empty store" would silently disable
+    * the dedup guarantee and re-append the whole batch as duplicates.
+    */
+  def readStoreIfExists(spark: SparkSession, path: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(spark.read.parquet(path)) else None
+  }
+
   /** Record-level incremental dedup against the store: append only rows
     * whose dedup key is absent from what's already written — the batch
     * twin of streaming dropDuplicates state, for pipelines where the
@@ -180,12 +192,13 @@ object Load {
   def appendDeduped(spark: SparkSession, df: DataFrame, storePath: String,
                     keys: Seq[String], orderCol: String): Long = {
     val batch = Clean.dedupKeepFirst(df, keys, orderCol)
-    val fresh =
-      try {
-        val existing = spark.read.parquet(storePath)
+    val fresh = readStoreIfExists(spark, storePath) match {
+      case Some(store) =>
+        val existing = store
           .select(keys.map(org.apache.spark.sql.functions.col): _*).distinct()
         batch.join(existing, keys, "left_anti")
-      } catch { case _: Exception => batch } // first write: empty store
+      case None => batch // first write: store not yet created
+    }
     val out = fresh.cache()
     val n = out.count()
     if (n > 0) out.write.mode(SaveMode.Append).parquet(storePath)
@@ -207,9 +220,8 @@ object Load {
       sink: DataFrame => Unit): Seq[String] = {
     import spark.implicits._
     val candidates = candidateFiles.toDF("file_name")
-    val tracker =
-      try spark.read.parquet(trackerPath)
-      catch { case _: Exception => Seq.empty[String].toDF("file_name") }
+    val tracker = readStoreIfExists(spark, trackerPath)
+      .getOrElse(Seq.empty[String].toDF("file_name"))
     val todo = candidates
       .join(tracker, Seq("file_name"), "left_anti")
       .as[String].collect().toSeq.sorted

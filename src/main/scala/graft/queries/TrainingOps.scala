@@ -61,7 +61,11 @@ object TrainingOps {
       .withColumn("n_words", size(col("toks")).cast("long"))
       .withColumn("sum_len",
         aggregate(col("toks"), lit(0L), (acc, t) => acc + length(t)))
-      .withColumn("mean_word_len", round(col("sum_len") / col("n_words"), 4))
+      // empty/whitespace-only doc: mean is NULL (guarded — ANSI mode
+      // would otherwise raise on 0/0), and quality_pass stays 0 below
+      // because n_words >= 30 is already false
+      .withColumn("mean_word_len",
+        when(col("n_words") > 0, round(col("sum_len") / col("n_words"), 4)))
       .withColumn("n_stop_distinct",
         size(array_intersect(array_distinct(col("toks")),
           array(stops.map(lit): _*))).cast("long"))
@@ -125,9 +129,10 @@ object TrainingOps {
        |       FROM documents),
        |m AS (SELECT doc_id, lang, text,
        |        CAST(len(ftoks) AS BIGINT) AS n_words,
-       |        round(list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |        CASE WHEN len(ftoks) > 0 THEN
+       |          round(list_reduce(list_prepend(CAST(0 AS BIGINT),
        |            list_transform(ftoks, x -> CAST(len(x) AS BIGINT))),
-       |            (a, x) -> a + x) / len(ftoks), 4) AS mwl,
+       |            (a, x) -> a + x) / len(ftoks), 4) END AS mwl,
        |        CAST(len(list_intersect(list_distinct(ftoks),
        |            ['the', 'a', 'of', 'and', 'to', 'in'])) AS BIGINT) AS nsd
        |      FROM d),
@@ -724,9 +729,10 @@ object TrainingOps {
              |       FROM documents),
              |m AS (SELECT doc_id,
              |        CAST(len(toks) AS BIGINT) AS n_words,
-             |        round(list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |        CASE WHEN len(toks) > 0 THEN
+             |          round(list_reduce(list_prepend(CAST(0 AS BIGINT),
              |            list_transform(toks, x -> CAST(len(x) AS BIGINT))),
-             |            (a, x) -> a + x) / len(toks), 4) AS mean_word_len,
+             |            (a, x) -> a + x) / len(toks), 4) END AS mean_word_len,
              |        CAST(len(list_intersect(list_distinct(toks),
              |            ['the', 'a', 'of', 'and', 'to', 'in'])) AS BIGINT)
              |          AS n_stop_distinct

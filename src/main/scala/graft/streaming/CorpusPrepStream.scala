@@ -50,12 +50,11 @@ object CorpusPrepStream {
           .select(col("doc_id"), col("lang"), col("text"))
           .withColumn("pfx",
             concat_ws(" ", slice(split(col("text"), " "), 1, 16)))
-        val store =
-          try spark.read.parquet(storeDir)
-          catch { case _: Exception =>
-            spark.createDataFrame(
-              new java.util.ArrayList[org.apache.spark.sql.Row](), pfxSchema)
-          }
+        // missing store = first batch; a read error on an EXISTING store
+        // must fail the batch, not dedup against nothing
+        val store = graft.pipeline.Load.readStoreIfExists(spark, storeDir)
+          .getOrElse(spark.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](), pfxSchema))
         // a prefix seen in an earlier batch loses outright; within the
         // batch the lowest doc_id keeps (arrival order = doc_id order)
         val kept = gated

@@ -46,9 +46,13 @@ object SpanDedupStream {
         val file = dir.listFiles().find(_.getName.endsWith(".parquet")).get
         val dest = new java.io.File(inputDir, f"split_$i%03d.parquet")
         java.nio.file.Files.move(file.toPath, dest.toPath)
-        // distinct ascending timestamps pin the replay order
-        dest.setLastModified(1000000L + i * 60000L)
-        ()
+        // distinct ascending timestamps pin the replay order (the file
+        // source sorts by mod time); correctness of the stream=batch
+        // guarantee depends on it, so a failed/coarse-grained mtime set
+        // must be loud, not a silent reorder
+        require(dest.setLastModified(1000000L + i * 60000L),
+          s"setLastModified failed on $dest: file-source replay order " +
+            "would be undefined")
       }
     }
     deleteRecursively(new java.io.File(tmp))
@@ -73,12 +77,11 @@ object SpanDedupStream {
       .parquet(s"$inputDir/split_*.parquet")
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val store =
-          try spark.read.parquet(storeDir)
-          catch { case _: Exception =>
-            spark.createDataFrame(
-              new java.util.ArrayList[org.apache.spark.sql.Row](), packSchema)
-          }
+        // missing store = first batch; a read error on an EXISTING store
+        // must fail the batch, not dedup against nothing
+        val store = graft.pipeline.Load.readStoreIfExists(spark, storeDir)
+          .getOrElse(spark.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](), packSchema))
         val (out, fresh) = SpanDedup.dedupBatch(batch, store, w)
         // materialize the doc output, then append the store delta; the
         // delta job's scan list over the store is fixed at planning, so

@@ -577,4 +577,74 @@ class TrainingOpsSpec extends SparkSpec {
     assert("Exchange rangepartitioning".r.findAllMatchIn(p92).size == 1,
       p92.take(1000))
   }
+
+  // ---- round-4 advisory regressions ---------------------------------------
+
+  test("q99: learnMerges terminates early when no pairs remain") {
+    import graft.ops.BpeTrain
+    import spark.implicits._
+    // single-character word types: round 1 has no adjacent pairs at all
+    val singles = Seq("a", "b", "a", "c").toDF("w")
+    assert(BpeTrain.learnMerges(spark, singles, k = 3).count() == 0L)
+    // k beyond the learnable horizon: "ab" exhausts after one merge
+    // (every word is then a single symbol) — returns the 1 learned merge
+    val tiny = Seq("ab", "ab").toDF("w")
+    val m = BpeTrain.learnMerges(spark, tiny, k = 5).collect()
+    assert(m.length == 1)
+    assert((m.head.getString(1), m.head.getString(2)) == (("a", "b")))
+  }
+
+  test("q95: empty and whitespace-only docs gate to 0 without error") {
+    import spark.implicits._
+    val docs = Seq((1L, ""), (2L, "   "), (3L, "one two")).toDF("doc_id", "text")
+    val out = TrainingOps.withRowQuality(docs)
+      .select(col("doc_id"), col("n_words"), col("mean_word_len"),
+        col("quality_pass"))
+      .orderBy(col("doc_id")).collect()
+    assert(out(0).getLong(1) == 0L && out(0).isNullAt(2) &&
+      out(0).getLong(3) == 0L)
+    assert(out(1).getLong(1) == 0L && out(1).isNullAt(2) &&
+      out(1).getLong(3) == 0L)
+    assert(out(2).getLong(1) == 2L && !out(2).isNullAt(2))
+  }
+
+  test("q100: spans at doc edges and adjacent intervals reconstruct exactly") {
+    import graft.ops.SpanDedup
+    import spark.implicits._
+    def ph(s: String): Long =
+      graft.functions.TextHash.polyHash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s), 31)
+    val w = 4
+    val a = (0 until 8).map(i => s"a$i").mkString(" ")   // owns a0..a7
+    // b starts with a0..a3 (dup span at POSITION 0: first gap is empty)
+    // and ends with a4..a7 (dup span flush against the end), with the
+    // two covered intervals exactly adjacent — they merge into one
+    val b = (0 until 8).map(i => s"a$i").mkString(" ")
+    // c: dup span strictly interior, surrounded by unique tokens
+    val c = "u0 u1 " + (2 to 5).map(i => s"a$i").mkString(" ") + " u2 u3"
+    val docs = Seq((0L, a), (1L, b), (2L, c)).toDF("doc_id", "text")
+    val out = SpanDedup.dedupSpans(docs, w).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                 r.getLong(4)))
+    assert(out(0) == ((0L, 8L, 0L, 0L, ph(a))))
+    // b: every 4-gram start (0..4) is a dup; covered = 0..7, kept empty
+    assert(out(1) == ((1L, 8L, 5L, 8L, ph(""))))
+    // c: one dup start at 2; covered 2..5; kept drops the middle block
+    assert(out(2) == ((2L, 8L, 1L, 4L, ph("u0 u1 u2 u3"))))
+  }
+
+  test("appendDeduped raises on an unreadable EXISTING store (no silent dup)") {
+    import spark.implicits._
+    val store = java.nio.file.Files
+      .createTempDirectory("t_corrupt_store").toString
+    // an existing store directory whose data is unreadable as parquet
+    val f = new java.io.File(store, "part-00000.parquet")
+    java.nio.file.Files.write(f.toPath, "not parquet".getBytes)
+    val batch = Seq((1L, 1L)).toDF("k", "ord")
+    intercept[Exception] {
+      graft.pipeline.Load.appendDeduped(spark, batch, store, Seq("k"), "ord")
+    }
+    // and the failed call appended nothing
+    assert(new java.io.File(store).listFiles().length == 1)
+  }
 }
