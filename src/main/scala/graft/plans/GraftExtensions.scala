@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{DotProduct, GramPacks, KMVMins, MinhashSig, PolyHash, ShinglePacks, SquaredNorm, TitleCase}
+import graft.functions.{CmsCounters, DotProduct, GramPacks, KMVMins, MinhashSig, PolyHash, ShinglePacks, SquaredNorm, TitleCase}
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -47,5 +47,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case other => throw new IllegalArgumentException(
           s"kmv_mins k must be an integer literal, got $other")
       }).toAggregateExpression()))
+    // cms_counters(hash, d, w): d and w must be literal ints (the
+    // counter-matrix shape is fixed at plan time)
+    ext.injectFunction(fn("cms_counters", exprs => {
+      def litInt(e: Expression, what: String): Int = e match {
+        case Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"cms_counters $what must be an integer literal, got $other")
+      }
+      CmsCounters(exprs(0), litInt(exprs(1), "d"), litInt(exprs(2), "w"))
+        .toAggregateExpression()
+    }))
   }
 }

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import graft.functions.CmsSketch
 import org.apache.spark.sql.functions._
 
 /** Sketch / sampling operators for corpus-scale statistics (SURVEY.md
@@ -463,6 +464,69 @@ object SketchOps {
             element_at(col("qs"), 3).as("p99"))
           .orderBy(col("l_returnflag"))
       },
-      None)
+      None),
+
+    // ---- Count-min sketch frequency estimation (fully oracle-checked) ----
+    // The bounded-state frequency twin of q74's KMV: a d=4 x w=16
+    // counter matrix built by one mergeable TypedImperativeAggregate
+    // (graft.functions.CmsCounters) — each task ships exactly d*w longs
+    // no matter the input size, vs q75's Misra-Gries which needs a
+    // second exact-recount pass for true counts. Point estimates read
+    // the MIN over a token's d cells: never an underestimate, over by
+    // at most the colliding mass (w=16 is deliberately small so the
+    // fixture EXERCISES collisions — at 100 TB w is thousands and the
+    // matrix still fits in one task buffer). Row hashes are affine
+    // transforms of the portable polynomial token hash, so DuckDB
+    // replays the entire matrix cell for cell.
+    Q(
+      "q108_cms_counts",
+      (s, d) => {
+        import graft.functions.PolyHash.polyHash
+        val dR = 4; val w = 16
+        val toks = Tables.documents(s, d)
+          .select(explode_outer(split(col("text"), " ")).as("tok"))
+          .where(col("tok").isNotNull && col("tok") =!= "")
+          .withColumn("h", polyHash(col("tok")))
+        val sketch = toks.agg(CmsSketch.cmsCounters(col("h"), dR, w).as("cms"))
+        val exact = toks.groupBy(col("tok"))
+          .agg(count(lit(1)).as("n_exact"))
+          .withColumn("h", polyHash(col("tok")))
+        val est = (0 until dR).map { j =>
+          element_at(col("cms"),
+            (lit(j * w) + (lit(CmsSketch.rowA(j)) * col("h") +
+              lit(CmsSketch.RowB)) % CmsSketch.P % w + 1).cast("int"))
+        }.reduce(least(_, _))
+        exact.crossJoin(broadcast(sketch))
+          .withColumn("est", est)
+          .select(col("tok"), col("n_exact"), col("est"),
+            (col("est") - col("n_exact")).as("overcount"))
+          .orderBy(col("tok"))
+      },
+      Some(s"""WITH w0 AS (SELECT unnest(list_filter(string_split(text, ' '),
+             |                          x -> x <> '')) AS tok
+             |            FROM documents),
+             |tf AS (SELECT tok, CAST(count(*) AS BIGINT) AS n_exact
+             |       FROM w0 GROUP BY tok),
+             |th AS (SELECT tok, n_exact,
+             |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |           list_transform(range(1, len(tok)+1),
+             |             j -> CAST(unicode(tok[j]) AS BIGINT))),
+             |           (acc,x) -> (acc*31+x)%${CmsSketch.P}) AS h
+             |       FROM tf),
+             |grid AS (SELECT u.j,
+             |           (((${CmsSketch.RowA} + u.j*${CmsSketch.RowStep}) * h
+             |             + ${CmsSketch.RowB}) % ${CmsSketch.P}) % 16 AS cell,
+             |           CAST(sum(n_exact) AS BIGINT) AS cnt
+             |         FROM th, unnest([0,1,2,3]) AS u(j) GROUP BY 1, 2),
+             |probe AS (SELECT t.tok, t.n_exact, u.j,
+             |            (((${CmsSketch.RowA} + u.j*${CmsSketch.RowStep}) * t.h
+             |              + ${CmsSketch.RowB}) % ${CmsSketch.P}) % 16 AS cell
+             |          FROM th t, unnest([0,1,2,3]) AS u(j)),
+             |e AS (SELECT p.tok, any_value(p.n_exact) AS n_exact,
+             |        min(g.cnt) AS est
+             |      FROM probe p JOIN grid g ON g.j = p.j AND g.cell = p.cell
+             |      GROUP BY p.tok)
+             |SELECT tok, n_exact, est, est - n_exact AS overcount
+             |FROM e ORDER BY tok""".stripMargin))
   )
 }

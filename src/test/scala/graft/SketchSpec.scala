@@ -165,4 +165,53 @@ class SketchSpec extends SparkSpec {
       }
     } finally { li.unpersist(); () }
   }
+
+  test("q108 CMS: never underestimates; both exact and overcounted occur") {
+    val out = queries.Registry.byName("q108_cms_counts").run(spark, sfDir)
+      .cache()
+    try {
+      assert(out.where(col("overcount") < 0).count() == 0,
+        "CMS underestimated a count — impossible for correct counters")
+      assert(out.where(col("overcount") === 0).count() > 0)
+      // w=16 is sized so the fixture exercises collisions
+      assert(out.where(col("overcount") > 0).count() > 0)
+      // total mass conservation per row: every row of the matrix sums
+      // to the token count, so overcount <= N trivially; the CMS bound
+      // is overcount <= colliding mass < N - n_exact
+      val n = Tables.documents(spark, sfDir)
+        .select(explode(split(col("text"), " ")).as("t"))
+        .where(col("t") =!= "").count()
+      assert(out.where(col("est") > n).count() == 0)
+    } finally { out.unpersist(); () }
+  }
+
+  test("cms_counters aggregate equals groupBy-built matrix; partition-invariant") {
+    import graft.functions.CmsSketch
+    import graft.functions.PolyHash.polyHash
+    val dR = 4; val w = 16
+    val toks = Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .where(col("tok") =!= "")
+      .withColumn("h", polyHash(col("tok")))
+    def viaAgg(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.agg(CmsSketch.cmsCounters(col("h"), dR, w).as("cms"))
+        .collect().head.getAs[scala.collection.Seq[Long]]("cms").toSeq
+    val a = viaAgg(toks)
+    // mergeability: a different partitioning merges to the same matrix
+    assert(viaAgg(toks.repartition(7)) == a)
+    // ground truth: build each row's cells with a plain groupBy sum
+    val cells = toks.select(
+        (0 until dR).map(j =>
+          ((lit(CmsSketch.rowA(j)) * col("h") + lit(CmsSketch.RowB))
+            % CmsSketch.P % w).cast("int").as(s"c$j")): _*)
+      .collect()
+    val truth = new Array[Long](dR * w)
+    cells.foreach(r => (0 until dR).foreach(j => truth(j * w + r.getInt(j)) += 1))
+    assert(a == truth.toSeq)
+    // SQL surface: the extensions-registered function plans the same agg
+    toks.createOrReplaceTempView("t_cms_toks")
+    val sql = spark.sql(s"SELECT cms_counters(h, 4, 16) AS cms FROM t_cms_toks")
+      .collect().head.getAs[scala.collection.Seq[Long]]("cms").toSeq
+    assert(sql == a)
+  }
 }
