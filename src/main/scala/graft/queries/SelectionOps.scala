@@ -23,6 +23,13 @@ import org.apache.spark.sql.functions._
   * costs q105, hash split q91, per-doc aggregate) is all present; the
   * operator is one extra vocab join if a real target corpus exists.
   */
+/** One MMR pick: selection order, the picked vector, its query
+  * relevance, and the round's winning score (rank 1's score is its
+  * relevance — the first pick has no redundancy term).
+  */
+final case class MmrPick(sel_rank: Long, vec_id: Long, rel: Double,
+                         score: Double)
+
 object SelectionOps {
 
   /** q86's oracle-able seeded coarse quantizer, shared by q106 and its
@@ -195,6 +202,90 @@ object SelectionOps {
              |                      <= coalesce(sc.n_big, 0) * 432
              |                 THEN 1 ELSE 0 END AS BIGINT) AS ppl2_pass
              |FROM t LEFT JOIN sc ON t.doc_id = sc.doc_id
-             |ORDER BY t.doc_id""".stripMargin))
+             |ORDER BY t.doc_id""".stripMargin)),
+
+    // ---- MMR diverse selection (relevance with a redundancy penalty) -----
+    // Maximal marginal relevance (Carbonell & Goldstein 1998): pick k
+    // exemplars that are relevant to a query vector AND mutually
+    // diverse — round r's pick maximizes 0.7*rel - 0.3*max_sim_to_
+    // selected (first pick: pure relevance). The selection stage behind
+    // diverse few-shot exemplars and dedup-aware RAG reranking.
+    //
+    // Iterative by nature, so the shape is the q99/q60 driver-step
+    // pattern: k tiny rounds, each one distributed argmax over the
+    // candidates plus a broadcast of the single picked vector to update
+    // every candidate's running max-similarity (localCheckpoint'd so
+    // round r doesn't replay rounds 1..r-1). At scale MMR reranks a
+    // bounded ANN top-N per query, so k and the candidate set are both
+    // small constants — the loop never touches the corpus. All scores
+    // are rounded-cosine arithmetic with vec_id tie-breaks; the oracle
+    // replays every round with generated CTEs (argmax + running-max
+    // update per round, the q99 pattern).
+    Q(
+      "q110_mmr_select",
+      (s, d) => {
+        val k = 10
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+          .withColumn("n2", squaredNorm(col("v")))
+        val qv = e.where(col("vec_id") === 0)
+          .select(col("v").as("qv"), col("n2").as("qn2"))
+        var cand = e.where(col("vec_id") >= 1).crossJoin(broadcast(qv))
+          .withColumn("rel",
+            round(dotProduct(col("v"), col("qv")) / sqrt(col("n2") * col("qn2")), 4))
+          .select(col("vec_id"), col("v"), col("n2"), col("rel"))
+          .withColumn("ms", lit(null).cast("double"))
+          .localCheckpoint()
+        val picks = Seq.newBuilder[MmrPick]
+        for (r <- 1 to k) {
+          val scoreCol =
+            if (r == 1) col("rel")
+            else round(lit(0.7) * col("rel") - lit(0.3) * col("ms"), 4)
+          val best = cand.withColumn("score", scoreCol)
+            .orderBy(desc("score"), col("vec_id")).limit(1)
+            .select(col("vec_id"), col("rel"), col("score")).collect().head
+          picks += MmrPick(r.toLong, best.getLong(0), best.getDouble(1),
+            best.getDouble(2))
+          val pv = e.where(col("vec_id") === best.getLong(0))
+            .select(col("v").as("pv"), col("n2").as("pn2"))
+          cand = cand.where(col("vec_id") =!= best.getLong(0))
+            .crossJoin(broadcast(pv))
+            .withColumn("ms", greatest(coalesce(col("ms"), lit(-1.0d)),
+              round(dotProduct(col("v"), col("pv")) /
+                sqrt(col("n2") * col("pn2")), 4)))
+            .select(col("vec_id"), col("v"), col("n2"), col("rel"), col("ms"))
+            .localCheckpoint()
+        }
+        s.createDataFrame(picks.result()).orderBy(col("sel_rank"))
+      },
+      Some(mmrSql(10)))
   )
+
+  /** q110's oracle, generated per round like q99's: p<r> is round r's
+    * argmax, m<r> the candidates' running max-similarity after it.
+    */
+  private def mmrSql(k: Int): String = {
+    def round(r: Int): String =
+      s"""p$r AS (SELECT vec_id, v, rel, round(0.7*rel - 0.3*ms, 4) AS score
+         |        FROM m${r - 1} ORDER BY score DESC, vec_id LIMIT 1),
+         |m$r AS (SELECT m.vec_id, m.v, m.rel,
+         |          greatest(m.ms, round(list_cosine_similarity(m.v, p.v), 4)) AS ms
+         |        FROM m${r - 1} m, p$r p WHERE m.vec_id <> p.vec_id)""".stripMargin
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |cand AS (SELECT vec_id, v,
+       |           round(list_cosine_similarity(v,
+       |             (SELECT v FROM e WHERE vec_id = 0)), 4) AS rel
+       |         FROM e WHERE vec_id >= 1),
+       |p1 AS (SELECT vec_id, v, rel, rel AS score
+       |       FROM cand ORDER BY rel DESC, vec_id LIMIT 1),
+       |m1 AS (SELECT c.vec_id, c.v, c.rel,
+       |         round(list_cosine_similarity(c.v, p.v), 4) AS ms
+       |       FROM cand c, p1 p WHERE c.vec_id <> p.vec_id),
+       |${(2 to k).map(round).mkString(",\n")}
+       |SELECT * FROM (
+       |${(1 to k).map(r =>
+            s"SELECT CAST($r AS BIGINT) AS sel_rank, vec_id, rel, score FROM p$r")
+            .mkString(" UNION ALL ")}
+       |) ORDER BY sel_rank""".stripMargin
+  }
 }

@@ -502,31 +502,58 @@ object SketchOps {
             (col("est") - col("n_exact")).as("overcount"))
           .orderBy(col("tok"))
       },
-      Some(s"""WITH w0 AS (SELECT unnest(list_filter(string_split(text, ' '),
-             |                          x -> x <> '')) AS tok
-             |            FROM documents),
-             |tf AS (SELECT tok, CAST(count(*) AS BIGINT) AS n_exact
-             |       FROM w0 GROUP BY tok),
-             |th AS (SELECT tok, n_exact,
-             |         list_reduce(list_prepend(CAST(0 AS BIGINT),
-             |           list_transform(range(1, len(tok)+1),
-             |             j -> CAST(unicode(tok[j]) AS BIGINT))),
-             |           (acc,x) -> (acc*31+x)%${CmsSketch.P}) AS h
-             |       FROM tf),
-             |grid AS (SELECT u.j,
-             |           (((${CmsSketch.RowA} + u.j*${CmsSketch.RowStep}) * h
-             |             + ${CmsSketch.RowB}) % ${CmsSketch.P}) % 16 AS cell,
-             |           CAST(sum(n_exact) AS BIGINT) AS cnt
-             |         FROM th, unnest([0,1,2,3]) AS u(j) GROUP BY 1, 2),
-             |probe AS (SELECT t.tok, t.n_exact, u.j,
-             |            (((${CmsSketch.RowA} + u.j*${CmsSketch.RowStep}) * t.h
-             |              + ${CmsSketch.RowB}) % ${CmsSketch.P}) % 16 AS cell
-             |          FROM th t, unnest([0,1,2,3]) AS u(j)),
-             |e AS (SELECT p.tok, any_value(p.n_exact) AS n_exact,
-             |        min(g.cnt) AS est
-             |      FROM probe p JOIN grid g ON g.j = p.j AND g.cell = p.cell
-             |      GROUP BY p.tok)
-             |SELECT tok, n_exact, est, est - n_exact AS overcount
-             |FROM e ORDER BY tok""".stripMargin))
+      Some(cmsSql)),
+
+    // ---- CMS over a document stream (q108's continuous-ingestion twin) ---
+    // Counter matrices are entrywise-additive, so the streaming state is
+    // ONE appended partial matrix per micro-batch (d*w longs — bounded,
+    // vs the unbounded per-key state of a streaming groupBy(token)) and
+    // the accumulated sketch equals the batch-built matrix BIT FOR BIT:
+    // streaming adds no approximation on top of the sketch's own. q109
+    // therefore shares q108's oracle end to end — the same per-token
+    // point estimates from state that arrived file by file.
+    Q(
+      "q109_cms_stream",
+      (s, d) => {
+        val prev = s.conf.get("spark.sql.shuffle.partitions")
+        try {
+          s.conf.set("spark.sql.shuffle.partitions", "8")
+          graft.streaming.CmsStream.runOn(
+            s, Tables.documents(s, d), nSplits = 2)
+        } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      },
+      Some(cmsSql))
   )
+
+  /** q108/q109 shared oracle: rebuild the counter matrix cell for cell
+    * (GROUP BY per row over the portable token hashes), then replay
+    * every point query as the min over the token's d cells.
+    */
+  private def cmsSql: String =
+    s"""WITH w0 AS (SELECT unnest(list_filter(string_split(text, ' '),
+       |                          x -> x <> '')) AS tok
+       |            FROM documents),
+       |tf AS (SELECT tok, CAST(count(*) AS BIGINT) AS n_exact
+       |       FROM w0 GROUP BY tok),
+       |th AS (SELECT tok, n_exact,
+       |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |           list_transform(range(1, len(tok)+1),
+       |             j -> CAST(unicode(tok[j]) AS BIGINT))),
+       |           (acc,x) -> (acc*31+x)%${CmsSketch.P}) AS h
+       |       FROM tf),
+       |grid AS (SELECT u.j,
+       |           (((${CmsSketch.RowA} + u.j*${CmsSketch.RowStep}) * h
+       |             + ${CmsSketch.RowB}) % ${CmsSketch.P}) % 16 AS cell,
+       |           CAST(sum(n_exact) AS BIGINT) AS cnt
+       |         FROM th, unnest([0,1,2,3]) AS u(j) GROUP BY 1, 2),
+       |probe AS (SELECT t.tok, t.n_exact, u.j,
+       |            (((${CmsSketch.RowA} + u.j*${CmsSketch.RowStep}) * t.h
+       |              + ${CmsSketch.RowB}) % ${CmsSketch.P}) % 16 AS cell
+       |          FROM th t, unnest([0,1,2,3]) AS u(j)),
+       |e AS (SELECT p.tok, any_value(p.n_exact) AS n_exact,
+       |        min(g.cnt) AS est
+       |      FROM probe p JOIN grid g ON g.j = p.j AND g.cell = p.cell
+       |      GROUP BY p.tok)
+       |SELECT tok, n_exact, est, est - n_exact AS overcount
+       |FROM e ORDER BY tok""".stripMargin
 }

@@ -102,4 +102,34 @@ class SelectionOpsSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan.take(800))
     assert(!plan.contains("Window"), plan.take(800))
   }
+
+  test("q110: MMR picks are valid, start at argmax rel, and beat top-k diversity") {
+    val out = Registry.byName("q110_mmr_select").run(spark, sfDir).collect()
+    assert(out.map(_.getLong(0)).toSeq == (1L to 10L))
+    val ids = out.map(_.getLong(1))
+    assert(ids.distinct.length == 10 && !ids.contains(0L))
+    // rank 1 is the pure-relevance argmax (rel == score, global max)
+    val e = embFrame
+    val qv = e.where(col("vec_id") === 0)
+      .select(col("v").as("qv"), col("n2").as("qn2"))
+    val rel = e.where(col("vec_id") >= 1).crossJoin(broadcast(qv))
+      .withColumn("rel",
+        round(dotProduct(col("v"), col("qv")) / sqrt(col("n2") * col("qn2")), 4))
+    val top = rel.orderBy(desc("rel"), col("vec_id")).limit(10)
+      .select(col("vec_id")).collect().map(_.getLong(0))
+    assert(out.head.getLong(1) == top.head)
+    assert(out.head.getDouble(2) == out.head.getDouble(3))
+    // the redundancy penalty buys measurable diversity: max pairwise
+    // cosine within the MMR set is strictly below the pure top-k set's
+    def maxPairSim(idSet: Seq[Long]): Double = {
+      val sub = e.where(col("vec_id").isin(idSet: _*))
+      val b = sub.select(col("vec_id").as("b_id"), col("v").as("bv"),
+        col("n2").as("bn2"))
+      sub.crossJoin(b).where(col("vec_id") < col("b_id"))
+        .select(max(round(dotProduct(col("v"), col("bv")) /
+          sqrt(col("n2") * col("bn2")), 4)).as("m"))
+        .collect().head.getDouble(0)
+    }
+    assert(maxPairSim(ids.toSeq) < maxPairSim(top.toSeq))
+  }
 }

@@ -214,4 +214,15 @@ class SketchSpec extends SparkSpec {
       .collect().head.getAs[scala.collection.Seq[Long]]("cms").toSeq
     assert(sql == a)
   }
+
+  test("q109 streaming CMS equals the batch q108 result row for row") {
+    // counter matrices are entrywise-additive, so accumulating one
+    // partial per micro-batch reproduces the batch matrix exactly —
+    // streaming adds zero approximation on top of the sketch's own
+    val batch = queries.Registry.byName("q108_cms_counts").run(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    val streamed = queries.Registry.byName("q109_cms_stream").run(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed == batch && batch.nonEmpty)
+  }
 }
