@@ -38,9 +38,22 @@ object SelectionOps {
     * (vec_id, v, n2); output adds `bucket`.
     */
   private[graft] def assignSeeded(e: org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame = {
-    val cent = e.where(col("vec_id") < 8)
+      : org.apache.spark.sql.DataFrame =
+    assignWith(e, seedCentroids(e))
+
+  /** The seed rows (first 8 corpus vectors) in centroid layout. */
+  private[graft] def seedCentroids(e: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    e.where(col("vec_id") < 8)
       .select(col("vec_id").as("c_id"), col("v").as("cv"), col("n2").as("cn2"))
+
+  /** Assign against an explicit centroid frame — the form a streaming
+    * ingest uses, where the centroids were pinned by an earlier batch
+    * and later batches no longer contain them.
+    */
+  private[graft] def assignWith(e: org.apache.spark.sql.DataFrame,
+                                cent: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
     e.crossJoin(broadcast(cent))
       .withColumn("cos_c",
         round(dotProduct(col("v"), col("cv")) / sqrt(col("n2") * col("cn2")), 4))
@@ -48,7 +61,6 @@ object SelectionOps {
         Window.partitionBy(col("vec_id")).orderBy(col("cos_c").desc, col("c_id"))))
       .where(col("rn") === 1)
       .select(col("vec_id"), col("v"), col("n2"), col("c_id").as("bucket"))
-  }
 
   /** The q107 operator body, exposed for hand-checked spec inputs:
     * bigram-LM training + integer-surprisal scoring over any
@@ -258,7 +270,27 @@ object SelectionOps {
         }
         s.createDataFrame(picks.result()).orderBy(col("sel_rank"))
       },
-      Some(mmrSql(10)))
+      Some(mmrSql(10))),
+
+    // ---- Streaming ANN index maintenance (q86's ingestion twin) ----------
+    // Vectors arrive as files; the first batch pins the seeded coarse
+    // quantizer, every batch assigns its vectors against the persisted
+    // centroids and appends to the bucket store — the index grows
+    // incrementally, no rebuild. Assignment is a pure per-vector
+    // function of the pinned centroids, so the accumulated store equals
+    // the batch-built index and the q86 probe over it reproduces the
+    // batch output row for row: q111 shares q86's oracle end to end.
+    Q(
+      "q111_ivf_stream",
+      (s, d) => {
+        val prev = s.conf.get("spark.sql.shuffle.partitions")
+        try {
+          s.conf.set("spark.sql.shuffle.partitions", "8")
+          graft.streaming.IvfStream.runOn(
+            s, Tables.embeddings(s, d), nSplits = 2)
+        } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      },
+      Some(TrainingOps.ivfSeededSql))
   )
 
   /** q110's oracle, generated per round like q99's: p<r> is round r's

@@ -213,6 +213,32 @@ object TrainingOps {
        |$rounds""".stripMargin
   }
 
+  /** q86's oracle, shared with its streaming twin q111: DuckDB replays
+    * the seeded index build (assignment) and the bucket probe row for
+    * row. Valid for q111 because the incremental store accumulates the
+    * SAME assignment function applied batch by batch.
+    */
+  private[graft] val ivfSeededSql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |cent AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 8),
+      |asg AS (SELECT vec_id, v, c_id AS bucket FROM (
+      |          SELECT e.vec_id, e.v, c.c_id,
+      |                 row_number() OVER (PARTITION BY e.vec_id
+      |                   ORDER BY round(list_cosine_similarity(e.v, c.cv), 4) DESC, c.c_id) AS rn
+      |          FROM e, cent c)
+      |        WHERE rn = 1),
+      |q AS (SELECT vec_id AS q_id, v AS qv, bucket
+      |      FROM asg WHERE vec_id >= 8 AND vec_id < 18),
+      |sc AS (SELECT q.q_id, q.bucket, a.vec_id AS n_id,
+      |              round(list_cosine_similarity(a.v, q.qv), 4) AS cos_r,
+      |              row_number() OVER (PARTITION BY q.q_id
+      |                ORDER BY round(list_cosine_similarity(a.v, q.qv), 4) DESC, a.vec_id) AS rn
+      |       FROM q JOIN asg a ON a.bucket = q.bucket
+      |       WHERE a.vec_id <> q.q_id)
+      |SELECT q_id, CAST(bucket AS BIGINT) AS bucket, n_id, cos_r
+      |FROM sc WHERE rn <= 3
+      |ORDER BY q_id, cos_r DESC, n_id""".stripMargin
+
   val defs: Seq[Q] = Seq(
 
     // ---- Seeded IVF ANN, fully oracle-checked ----------------------------
@@ -253,25 +279,7 @@ object TrainingOps {
                   col("vec_id").as("n_id"), col("cos_r"))
           .orderBy(col("q_id"), col("cos_r").desc, col("n_id"))
       },
-      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-             |cent AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 8),
-             |asg AS (SELECT vec_id, v, c_id AS bucket FROM (
-             |          SELECT e.vec_id, e.v, c.c_id,
-             |                 row_number() OVER (PARTITION BY e.vec_id
-             |                   ORDER BY round(list_cosine_similarity(e.v, c.cv), 4) DESC, c.c_id) AS rn
-             |          FROM e, cent c)
-             |        WHERE rn = 1),
-             |q AS (SELECT vec_id AS q_id, v AS qv, bucket
-             |      FROM asg WHERE vec_id >= 8 AND vec_id < 18),
-             |sc AS (SELECT q.q_id, q.bucket, a.vec_id AS n_id,
-             |              round(list_cosine_similarity(a.v, q.qv), 4) AS cos_r,
-             |              row_number() OVER (PARTITION BY q.q_id
-             |                ORDER BY round(list_cosine_similarity(a.v, q.qv), 4) DESC, a.vec_id) AS rn
-             |       FROM q JOIN asg a ON a.bucket = q.bucket
-             |       WHERE a.vec_id <> q.q_id)
-             |SELECT q_id, CAST(bucket AS BIGINT) AS bucket, n_id, cos_r
-             |FROM sc WHERE rn <= 3
-             |ORDER BY q_id, cos_r DESC, n_id""".stripMargin)),
+      Some(ivfSeededSql)),
 
     // ---- Greedy sequence packing (pretraining batch assembly) ------------
     // Packs documents into <=128-token training sequences, greedy

@@ -132,4 +132,16 @@ class SelectionOpsSpec extends SparkSpec {
     }
     assert(maxPairSim(ids.toSeq) < maxPairSim(top.toSeq))
   }
+
+  test("q111 streaming IVF ingest equals the batch q86 index probe") {
+    // the second batch's vectors are assigned against centroids pinned
+    // by the first batch (they never co-exist in one micro-batch), so
+    // row-for-row equality with the batch index proves the store
+    // handoff, not just the assignment function
+    val batch = Registry.byName("q86_ivf_seeded_ann").run(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    val streamed = Registry.byName("q111_ivf_stream").run(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed == batch && batch.nonEmpty)
+  }
 }
