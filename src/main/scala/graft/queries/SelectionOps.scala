@@ -290,7 +290,82 @@ object SelectionOps {
             s, Tables.embeddings(s, d), nSplits = 2)
         } finally s.conf.set("spark.sql.shuffle.partitions", prev)
       },
-      Some(TrainingOps.ivfSeededSql))
+      Some(TrainingOps.ivfSeededSql)),
+
+    // ---- ANN recall report (index quality as a first-class query) --------
+    // The measurement loop every production ANN deployment runs: for
+    // each query vector, how much of the EXACT top-k does the
+    // bucket-scoped probe recover? Exact side: brute-force rounded
+    // cosine over the corpus (the verification path — at 100 TB this
+    // side runs on a sampled query panel, not every query). Approx
+    // side: q86's seeded-IVF probe. Output is integer recall per query
+    // (n_common*100 div 3), so the report is hash-stable and the
+    // oracle replays both rankings and their intersection. On this
+    // isotropic fixture the single-probe recall is LOW (10/30 exact
+    // neighbors recovered at sf0.001) — precisely the honest signal
+    // the report exists to surface: nprobe=1 over 8 random-seeded
+    // cells loses cross-cell neighbors, and the T20 multi-probe
+    // ladder (VectorOps.ivfTopK) is the recovery lever.
+    Q(
+      "q112_ann_recall_report",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+          .withColumn("n2", squaredNorm(col("v")))
+        val probes = e.where(col("vec_id") >= 8 && col("vec_id") < 18)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"),
+            col("n2").as("qn2"))
+        val exact = e.crossJoin(broadcast(probes))
+          .where(col("vec_id") =!= col("q_id"))
+          .withColumn("cos_r",
+            round(dotProduct(col("v"), col("qv")) / sqrt(col("n2") * col("qn2")), 4))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("q_id"))
+              .orderBy(col("cos_r").desc, col("vec_id"))))
+          .where(col("rn") <= 3)
+          .select(col("q_id"), col("vec_id").as("n_id"))
+        val approx = Registry.byName("q86_ivf_seeded_ann").run(s, d)
+          .select(col("q_id"), col("n_id"))
+        val common = exact.join(approx, Seq("q_id", "n_id"))
+          .groupBy(col("q_id")).agg(count(lit(1)).as("n_common"))
+        probes.select(col("q_id"))
+          .join(common, Seq("q_id"), "left")
+          .select(col("q_id"),
+            coalesce(col("n_common"), lit(0L)).as("n_common"))
+          .withColumn("recall_pct", expr("(n_common * 100) div 3"))
+          .orderBy(col("q_id"))
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |cent AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 8),
+             |asg AS (SELECT vec_id, v, c_id AS bucket FROM (
+             |          SELECT e.vec_id, e.v, c.c_id,
+             |                 row_number() OVER (PARTITION BY e.vec_id
+             |                   ORDER BY round(list_cosine_similarity(e.v, c.cv), 4) DESC, c.c_id) AS rn
+             |          FROM e, cent c)
+             |        WHERE rn = 1),
+             |q AS (SELECT vec_id AS q_id, v AS qv, bucket
+             |      FROM asg WHERE vec_id >= 8 AND vec_id < 18),
+             |appr AS (SELECT q_id, n_id FROM (
+             |           SELECT q.q_id, a.vec_id AS n_id,
+             |                  row_number() OVER (PARTITION BY q.q_id
+             |                    ORDER BY round(list_cosine_similarity(a.v, q.qv), 4) DESC, a.vec_id) AS rn
+             |           FROM q JOIN asg a ON a.bucket = q.bucket
+             |           WHERE a.vec_id <> q.q_id)
+             |         WHERE rn <= 3),
+             |ex AS (SELECT q_id, n_id FROM (
+             |         SELECT q.q_id, e.vec_id AS n_id,
+             |                row_number() OVER (PARTITION BY q.q_id
+             |                  ORDER BY round(list_cosine_similarity(e.v, q.qv), 4) DESC, e.vec_id) AS rn
+             |         FROM q, e
+             |         WHERE e.vec_id <> q.q_id)
+             |       WHERE rn <= 3),
+             |c AS (SELECT ex.q_id, CAST(count(*) AS BIGINT) AS n_common
+             |      FROM ex JOIN appr ON ex.q_id = appr.q_id AND ex.n_id = appr.n_id
+             |      GROUP BY ex.q_id)
+             |SELECT q.q_id, coalesce(c.n_common, 0) AS n_common,
+             |       coalesce(c.n_common, 0) * 100 // 3 AS recall_pct
+             |FROM q LEFT JOIN c ON q.q_id = c.q_id
+             |ORDER BY q.q_id""".stripMargin))
   )
 
   /** q110's oracle, generated per round like q99's: p<r> is round r's

@@ -144,4 +144,21 @@ class SelectionOpsSpec extends SparkSpec {
       .collect().map(_.toSeq).toSeq
     assert(streamed == batch && batch.nonEmpty)
   }
+
+  test("q112: recall report is in range and detects real single-probe loss") {
+    val out = Registry.byName("q112_ann_recall_report").run(spark, sfDir)
+      .collect()
+    assert(out.length == 10)
+    out.foreach { r =>
+      val c = r.getLong(1)
+      assert(c >= 0 && c <= 3)
+      assert(r.getLong(2) == c * 100 / 3)
+    }
+    val total = out.map(_.getLong(1)).sum
+    // the report must carry signal in both directions: some exact
+    // neighbors recovered, and genuine loss visible (nprobe=1 over 8
+    // random-seeded cells cannot recover cross-cell neighbors on an
+    // isotropic corpus — the measurement this query exists to surface)
+    assert(total > 0 && total < 30, s"total common $total")
+  }
 }
