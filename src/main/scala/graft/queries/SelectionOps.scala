@@ -365,7 +365,134 @@ object SelectionOps {
              |SELECT q.q_id, coalesce(c.n_common, 0) AS n_common,
              |       coalesce(c.n_common, 0) * 100 // 3 AS recall_pct
              |FROM q LEFT JOIN c ON q.q_id = c.q_id
-             |ORDER BY q.q_id""".stripMargin))
+             |ORDER BY q.q_id""".stripMargin)),
+
+    // ---- Multi-probe recall report (the q112 recovery lever) -------------
+    // Same report at nprobe=2: each query searches its TWO nearest
+    // cells instead of one. Per-query recall is monotone in nprobe by
+    // construction (the probed set only grows), and on this fixture the
+    // recovery is material — the oracle-checked output that justifies
+    // the multi-probe ladder as the knob you turn before giving up
+    // bucket pruning. Probe cost doubles; still cells, never corpus.
+    Q(
+      "q113_ann_recall_nprobe2",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+          .withColumn("n2", squaredNorm(col("v")))
+        val assigned = assignSeeded(e)
+        val cent = seedCentroids(e)
+        val probes = e.where(col("vec_id") >= 8 && col("vec_id") < 18)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"),
+            col("n2").as("qn2"))
+        // each query's two nearest cells (same rounded-cosine ranking
+        // as assignment, kept to rn <= 2)
+        val probed = probes.crossJoin(broadcast(cent))
+          .withColumn("cos_c",
+            round(dotProduct(col("qv"), col("cv")) / sqrt(col("qn2") * col("cn2")), 4))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("q_id")).orderBy(col("cos_c").desc, col("c_id"))))
+          .where(col("rn") <= 2)
+          .select(col("q_id"), col("qv"), col("qn2"), col("c_id").as("bucket"))
+        val approx = assigned.join(broadcast(probed), Seq("bucket"))
+          .where(col("vec_id") =!= col("q_id"))
+          .withColumn("cos_r",
+            round(dotProduct(col("v"), col("qv")) / sqrt(col("n2") * col("qn2")), 4))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("q_id")).orderBy(col("cos_r").desc, col("vec_id"))))
+          .where(col("rn") <= 3)
+          .select(col("q_id"), col("vec_id").as("n_id"))
+        val exact = e.crossJoin(broadcast(probes))
+          .where(col("vec_id") =!= col("q_id"))
+          .withColumn("cos_r",
+            round(dotProduct(col("v"), col("qv")) / sqrt(col("n2") * col("qn2")), 4))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("q_id"))
+              .orderBy(col("cos_r").desc, col("vec_id"))))
+          .where(col("rn") <= 3)
+          .select(col("q_id"), col("vec_id").as("n_id"))
+        val common = exact.join(approx, Seq("q_id", "n_id"))
+          .groupBy(col("q_id")).agg(count(lit(1)).as("n_common"))
+        probes.select(col("q_id"))
+          .join(common, Seq("q_id"), "left")
+          .select(col("q_id"),
+            coalesce(col("n_common"), lit(0L)).as("n_common"))
+          .withColumn("recall_pct", expr("(n_common * 100) div 3"))
+          .orderBy(col("q_id"))
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |cent AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 8),
+             |asg AS (SELECT vec_id, v, c_id AS bucket FROM (
+             |          SELECT e.vec_id, e.v, c.c_id,
+             |                 row_number() OVER (PARTITION BY e.vec_id
+             |                   ORDER BY round(list_cosine_similarity(e.v, c.cv), 4) DESC, c.c_id) AS rn
+             |          FROM e, cent c)
+             |        WHERE rn = 1),
+             |q AS (SELECT vec_id AS q_id, v AS qv
+             |      FROM e WHERE vec_id >= 8 AND vec_id < 18),
+             |pb AS (SELECT q_id, qv, c_id AS bucket FROM (
+             |         SELECT q.q_id, q.qv, c.c_id,
+             |                row_number() OVER (PARTITION BY q.q_id
+             |                  ORDER BY round(list_cosine_similarity(q.qv, c.cv), 4) DESC, c.c_id) AS rn
+             |         FROM q, cent c)
+             |       WHERE rn <= 2),
+             |appr AS (SELECT q_id, n_id FROM (
+             |           SELECT p.q_id, a.vec_id AS n_id,
+             |                  row_number() OVER (PARTITION BY p.q_id
+             |                    ORDER BY round(list_cosine_similarity(a.v, p.qv), 4) DESC, a.vec_id) AS rn
+             |           FROM pb p JOIN asg a ON a.bucket = p.bucket
+             |           WHERE a.vec_id <> p.q_id)
+             |         WHERE rn <= 3),
+             |ex AS (SELECT q_id, n_id FROM (
+             |         SELECT q.q_id, e.vec_id AS n_id,
+             |                row_number() OVER (PARTITION BY q.q_id
+             |                  ORDER BY round(list_cosine_similarity(e.v, q.qv), 4) DESC, e.vec_id) AS rn
+             |         FROM q, e
+             |         WHERE e.vec_id <> q.q_id)
+             |       WHERE rn <= 3),
+             |c AS (SELECT ex.q_id, CAST(count(*) AS BIGINT) AS n_common
+             |      FROM ex JOIN appr ON ex.q_id = appr.q_id AND ex.n_id = appr.n_id
+             |      GROUP BY ex.q_id)
+             |SELECT q.q_id, coalesce(c.n_common, 0) AS n_common,
+             |       coalesce(c.n_common, 0) * 100 // 3 AS recall_pct
+             |FROM q LEFT JOIN c ON q.q_id = c.q_id
+             |ORDER BY q.q_id""".stripMargin)),
+
+    // ---- Per-dimension embedding moments (one bounded aggregate) ---------
+    // Mean and std per embedding dimension — the normalization /
+    // whitening statistics a feature pipeline computes before training.
+    // Scale shape: ONE vec_sum aggregate pass (graft.functions.VecSum,
+    // the dense-vector sibling of KMV/CMS bounded mergeable state) —
+    // each task ships 2 x 64 doubles (entrywise sums + sums of
+    // squares), where the naive posexplode + groupBy(dim) shape
+    // shuffles 64x the corpus row count. The 64-row moment table then
+    // unpacks with one posexplode over the single result row.
+    Q(
+      "q114_embed_dim_stats",
+      (s, d) => {
+        import graft.functions.VectorAgg.vecSum
+        val dim = 64
+        val e = Tables.embeddings(s, d)
+          .select(col("embedding").cast("array<double>").as("v"))
+        e.agg(
+            vecSum(col("v"), dim).as("s1"),
+            vecSum(transform(col("v"), x => x * x), dim).as("s2"),
+            count(lit(1)).as("n"))
+          .select(col("n"), posexplode(zip_with(col("s1"), col("s2"),
+            (a, b) => struct(a.as("s1"), b.as("s2")))).as(Seq("dim", "p")))
+          .select(col("dim").cast("long").as("dim"),
+            round(col("p.s1") / col("n"), 4).as("mean"),
+            round(sqrt(col("p.s2") / col("n") -
+              pow(col("p.s1") / col("n"), 2)), 4).as("std"))
+          .orderBy(col("dim"))
+      },
+      Some("""WITH v AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+             |x AS (SELECT CAST(u.i - 1 AS BIGINT) AS dim, v[u.i] AS x
+             |      FROM v, unnest(range(1, 65)) AS u(i))
+             |SELECT dim, round(sum(x) / count(*), 4) AS mean,
+             |       round(sqrt(sum(x*x) / count(*)
+             |             - power(sum(x) / count(*), 2)), 4) AS std
+             |FROM x GROUP BY dim ORDER BY dim""".stripMargin))
   )
 
   /** q110's oracle, generated per round like q99's: p<r> is round r's

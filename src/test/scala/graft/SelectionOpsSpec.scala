@@ -161,4 +161,35 @@ class SelectionOpsSpec extends SparkSpec {
     // isotropic corpus — the measurement this query exists to surface)
     assert(total > 0 && total < 30, s"total common $total")
   }
+
+  test("q113: recall at nprobe=2 dominates nprobe=1 per query and in total") {
+    val r1 = Registry.byName("q112_ann_recall_report").run(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val r2 = Registry.byName("q113_ann_recall_nprobe2").run(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r1.keySet == r2.keySet)
+    // monotone: the probed set only grows, so the ladder cannot lose
+    r1.keySet.foreach(q => assert(r2(q) >= r1(q), s"q$q: ${r2(q)} < ${r1(q)}"))
+    // and the recovery is material on the fixture
+    assert(r2.values.sum > r1.values.sum)
+  }
+
+  test("vec_sum equals posexplode ground truth and is partition-invariant") {
+    import graft.functions.VectorAgg.vecSum
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("embedding").cast("array<double>").as("v"))
+    def viaAgg(df: org.apache.spark.sql.DataFrame): Seq[Double] =
+      df.agg(vecSum(col("v"), 64).as("s"))
+        .select(transform(col("s"), x => round(x, 6)).as("s"))
+        .collect().head.getAs[scala.collection.Seq[Double]]("s").toSeq
+    val a = viaAgg(e)
+    assert(a.length == 64)
+    assert(viaAgg(e.repartition(13)) == a)
+    // ground truth: the 64x-row-inflation shape this aggregate replaces
+    val truth = e
+      .select(posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(col("dim")).agg(round(sum(col("x")), 6).as("s"))
+      .orderBy(col("dim")).collect().map(_.getDouble(1)).toSeq
+    assert(a == truth)
+  }
 }
