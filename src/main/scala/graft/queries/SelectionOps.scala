@@ -492,7 +492,164 @@ object SelectionOps {
              |SELECT dim, round(sum(x) / count(*), 4) AS mean,
              |       round(sqrt(sum(x*x) / count(*)
              |             - power(sum(x) / count(*), 2)), 4) AS std
-             |FROM x GROUP BY dim ORDER BY dim""".stripMargin))
+             |FROM x GROUP BY dim ORDER BY dim""".stripMargin)),
+
+    // ---- Contrastive pair mining (positives + hard negatives) ------------
+    // The data-prep stage behind contrastive embedding training: for
+    // each query vector, its most similar SAME-label neighbor (the
+    // positive) and its most similar DIFFERENT-label neighbor (the
+    // hard negative — the pair that actually moves the loss, vs a
+    // random negative that is already far). Candidates come from the
+    // query's IVF cell (the q86 probe), so mining cost stays
+    // cluster-scoped; one window ranks both roles at once, partitioned
+    // on (query, same-label?). Left joins keep queries whose cell
+    // lacks one role (schema-stable; both roles exist on the fixture).
+    Q(
+      "q115_hard_negatives",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
+            col("label").cast("long").as("label"))
+          .withColumn("n2", squaredNorm(col("v")))
+        val assigned = assignSeeded(e.select(col("vec_id"), col("v"), col("n2")))
+          .join(e.select(col("vec_id"), col("label")), Seq("vec_id"))
+        val probes = assigned.where(col("vec_id") >= 8 && col("vec_id") < 18)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"),
+            col("n2").as("qn2"), col("label").as("q_label"), col("bucket"))
+        val ranked = assigned.join(broadcast(probes), Seq("bucket"))
+          .where(col("vec_id") =!= col("q_id"))
+          .withColumn("cos_r",
+            round(dotProduct(col("v"), col("qv")) / sqrt(col("n2") * col("qn2")), 4))
+          .withColumn("is_pos", (col("label") === col("q_label")).cast("int"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("q_id"), col("is_pos"))
+              .orderBy(col("cos_r").desc, col("vec_id"))))
+          .where(col("rn") === 1)
+        probes.select(col("q_id"), col("q_label"))
+          .join(ranked.where(col("is_pos") === 1)
+            .select(col("q_id"), col("vec_id").as("pos_id"),
+              col("cos_r").as("pos_cos")), Seq("q_id"), "left")
+          .join(ranked.where(col("is_pos") === 0)
+            .select(col("q_id"), col("vec_id").as("neg_id"),
+              col("cos_r").as("neg_cos")), Seq("q_id"), "left")
+          .orderBy(col("q_id"))
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+             |              CAST(label AS BIGINT) AS label FROM embeddings),
+             |cent AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 8),
+             |asg AS (SELECT vec_id, v, label, c_id AS bucket FROM (
+             |          SELECT e.vec_id, e.v, e.label, c.c_id,
+             |                 row_number() OVER (PARTITION BY e.vec_id
+             |                   ORDER BY round(list_cosine_similarity(e.v, c.cv), 4) DESC, c.c_id) AS rn
+             |          FROM e, cent c)
+             |        WHERE rn = 1),
+             |q AS (SELECT vec_id AS q_id, v AS qv, label AS q_label, bucket
+             |      FROM asg WHERE vec_id >= 8 AND vec_id < 18),
+             |r AS (SELECT q.q_id, a.vec_id, a.label = q.q_label AS is_pos,
+             |             round(list_cosine_similarity(a.v, q.qv), 4) AS cos_r,
+             |             row_number() OVER (
+             |               PARTITION BY q.q_id, a.label = q.q_label
+             |               ORDER BY round(list_cosine_similarity(a.v, q.qv), 4) DESC, a.vec_id) AS rn
+             |      FROM q JOIN asg a ON a.bucket = q.bucket
+             |      WHERE a.vec_id <> q.q_id),
+             |p AS (SELECT q_id, vec_id AS pos_id, cos_r AS pos_cos
+             |      FROM r WHERE is_pos AND rn = 1),
+             |n AS (SELECT q_id, vec_id AS neg_id, cos_r AS neg_cos
+             |      FROM r WHERE NOT is_pos AND rn = 1)
+             |SELECT q.q_id, q.q_label, p.pos_id, p.pos_cos, n.neg_id, n.neg_cos
+             |FROM q LEFT JOIN p ON q.q_id = p.q_id
+             |       LEFT JOIN n ON q.q_id = n.q_id
+             |ORDER BY q.q_id""".stripMargin)),
+
+    // ---- Exact-proportion stratified split (q91's deterministic twin) ----
+    // q91's hash split gives STATISTICAL 80/10/10 with zero shuffle —
+    // the default at 100 TB. When a small stratum must hit its
+    // proportions exactly (per-lang eval sets, low-resource langs), the
+    // exact form ranks each stratum and cuts at floor(0.8n)/floor(0.9n):
+    // one shuffle + sort per stratum (a window, honestly priced), which
+    // is affordable precisely because strata needing exactness are
+    // small. Output is per-(lang, split) accounting; the per-doc
+    // assignment is the same frame before the rollup.
+    Q(
+      "q116_stratified_split",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id").cast("long").as("doc_id"), col("lang"))
+        val n = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+        val ranked = docs
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("lang")).orderBy(col("doc_id"))))
+          .join(broadcast(n), Seq("lang"))
+          .withColumn("split",
+            when(col("rk") <= expr("(n * 8) div 10"), "train")
+              .when(col("rk") <= expr("(n * 9) div 10"), "val")
+              .otherwise("test"))
+        ranked.groupBy(col("lang"), col("split"))
+          .agg(count(lit(1)).as("n_docs"),
+            min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+          .orderBy(col("lang"), col("split"))
+      },
+      Some("""WITH d AS (SELECT doc_id, lang,
+             |         row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rk,
+             |         count(*) OVER (PARTITION BY lang) AS n
+             |       FROM documents),
+             |a AS (SELECT doc_id, lang,
+             |        CASE WHEN rk <= (n * 8) // 10 THEN 'train'
+             |             WHEN rk <= (n * 9) // 10 THEN 'val'
+             |             ELSE 'test' END AS split
+             |      FROM d)
+             |SELECT lang, split, CAST(count(*) AS BIGINT) AS n_docs,
+             |       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+             |FROM a GROUP BY lang, split
+             |ORDER BY lang, split""".stripMargin)),
+
+    // ---- Z-score embedding normalization (applies the q114 moments) ------
+    // The whitening step a feature pipeline runs before training or
+    // indexing: every dimension recentred and rescaled by the corpus
+    // moments. The 64-pair moment table broadcasts (computed by the
+    // same one-pass vec_sum aggregate as q114) and the normalization
+    // itself is a narrow zip_with map — no second shuffle. Output pins
+    // every normalized vector with a rounded component-sum checksum
+    // plus its min/max component, so the oracle certifies the whole
+    // transformed matrix without hashing 64 floats per row.
+    Q(
+      "q117_embed_zscore",
+      (s, d) => {
+        import graft.functions.VectorAgg.vecSum
+        val dim = 64
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        val stats = e.agg(
+            vecSum(col("v"), dim).as("s1"),
+            vecSum(transform(col("v"), x => x * x), dim).as("s2"),
+            count(lit(1)).as("n"))
+          .select(
+            transform(col("s1"), x => x / col("n")).as("mu"),
+            zip_with(col("s1"), col("s2"),
+              (a, b) => sqrt(b / col("n") - pow(a / col("n"), 2))).as("sd"))
+        e.crossJoin(broadcast(stats))
+          .withColumn("z", zip_with(
+            zip_with(col("v"), col("mu"), (x, m) => x - m), col("sd"),
+            (c, sdv) => c / sdv))
+          .select(col("vec_id"),
+            round(aggregate(col("z"), lit(0.0d), (acc, x) => acc + x), 4)
+              .as("z_sum"),
+            round(array_min(col("z")), 4).as("z_min"),
+            round(array_max(col("z")), 4).as("z_max"))
+          .orderBy(col("vec_id"))
+      },
+      Some("""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |x AS (SELECT vec_id, u.i AS i, v[u.i] AS x
+             |      FROM v, unnest(range(1, 65)) AS u(i)),
+             |m AS (SELECT i, sum(x) / count(*) AS mu,
+             |        sqrt(sum(x*x) / count(*) - power(sum(x) / count(*), 2)) AS sd
+             |      FROM x GROUP BY i),
+             |z AS (SELECT x.vec_id, (x.x - m.mu) / m.sd AS z
+             |      FROM x JOIN m ON x.i = m.i)
+             |SELECT vec_id, round(sum(z), 4) AS z_sum,
+             |       round(min(z), 4) AS z_min, round(max(z), 4) AS z_max
+             |FROM z GROUP BY vec_id
+             |ORDER BY vec_id""".stripMargin))
   )
 
   /** q110's oracle, generated per round like q99's: p<r> is round r's

@@ -192,4 +192,50 @@ class SelectionOpsSpec extends SparkSpec {
       .orderBy(col("dim")).collect().map(_.getDouble(1)).toSeq
     assert(a == truth)
   }
+
+  test("q115: mined pairs carry the right labels and full coverage") {
+    val labels = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label").cast("long").as("label"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val out = Registry.byName("q115_hard_negatives").run(spark, sfDir).collect()
+    assert(out.length == 10)
+    out.foreach { r =>
+      val qLabel = r.getLong(1)
+      assert(qLabel == labels(r.getLong(0)))
+      // positive: same label as the query; hard negative: different
+      assert(!r.isNullAt(2) && labels(r.getLong(2)) == qLabel)
+      assert(!r.isNullAt(4) && labels(r.getLong(4)) != qLabel)
+      // neither role is the query itself; cosines are valid
+      assert(r.getLong(2) != r.getLong(0) && r.getLong(4) != r.getLong(0))
+      assert(math.abs(r.getDouble(3)) <= 1.0 && math.abs(r.getDouble(5)) <= 1.0)
+    }
+  }
+
+  test("q116: every stratum hits its proportions exactly") {
+    val out = Registry.byName("q116_stratified_split").run(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val perLang = Tables.documents(spark, sfDir)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    perLang.foreach { case (lang, n) =>
+      val train = out((lang, "train")); val v = out((lang, "val"))
+      val test = out((lang, "test"))
+      assert(train == n * 8 / 10, s"$lang train $train of $n")
+      assert(v == n * 9 / 10 - n * 8 / 10, s"$lang val $v of $n")
+      assert(train + v + test == n)
+    }
+  }
+
+  test("q117: z-scored corpus recentres to zero") {
+    val out = Registry.byName("q117_embed_zscore").run(spark, sfDir)
+    // per dimension the z-scores sum to 0, so the corpus-wide sum of
+    // per-vector checksums must vanish (up to the 4-dp rounding dust)
+    val total = out.agg(sum(col("z_sum"))).collect().head.getDouble(0)
+    assert(math.abs(total) < 0.5, s"total $total")
+    // and the transform really spread the components: min < 0 < max
+    val row = out.agg(min(col("z_min")).as("a"), max(col("z_max")).as("b"))
+      .collect().head
+    assert(row.getDouble(0) < -1 && row.getDouble(1) > 1)
+  }
 }
