@@ -649,7 +649,67 @@ object SelectionOps {
              |SELECT vec_id, round(sum(z), 4) AS z_sum,
              |       round(min(z), 4) AS z_min, round(max(z), 4) AS z_max
              |FROM z GROUP BY vec_id
-             |ORDER BY vec_id""".stripMargin))
+             |ORDER BY vec_id""".stripMargin)),
+
+    // ---- Per-label scatter report (embedding-quality monitoring) ---------
+    // The separation diagnostics an embedding pipeline tracks across
+    // retrains: per label, member count, the label centroid's norm, and
+    // the members' mean cosine to their OWN centroid vs to the GLOBAL
+    // centroid — within-class cohesion against corpus-wide pull (the
+    // Fisher-scatter intuition as auditable output). Centroids come
+    // from vec_sum UNDER groupBy (each task ships 64 doubles per label
+    // — the q85-vs-q74 pattern for dense vectors), broadcast back, and
+    // the scoring pass is narrow.
+    Q(
+      "q118_label_scatter",
+      (s, d) => {
+        import graft.functions.VectorAgg.vecSum
+        val dim = 64
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
+            col("label").cast("long").as("label"))
+          .withColumn("n2", squaredNorm(col("v")))
+        val byLabel = e.groupBy(col("label"))
+          .agg(vecSum(col("v"), dim).as("s"), count(lit(1)).as("n"))
+          .select(col("label"), col("n"),
+            transform(col("s"), x => x / col("n")).as("c"))
+          .withColumn("cn2", squaredNorm(col("c")))
+        val glob = e.agg(vecSum(col("v"), dim).as("gs"), count(lit(1)).as("gn"))
+          .select(transform(col("gs"), x => x / col("gn")).as("g"))
+          .withColumn("gn2", squaredNorm(col("g")))
+        e.join(broadcast(byLabel), Seq("label"))
+          .crossJoin(broadcast(glob))
+          .withColumn("cos_own",
+            round(dotProduct(col("v"), col("c")) / sqrt(col("n2") * col("cn2")), 4))
+          .withColumn("cos_glob",
+            round(dotProduct(col("v"), col("g")) / sqrt(col("n2") * col("gn2")), 4))
+          .groupBy(col("label"))
+          .agg(count(lit(1)).as("n"),
+            round(first(sqrt(col("cn2"))), 4).as("centroid_norm"),
+            round(avg(col("cos_own")), 4).as("mean_cos_own"),
+            round(avg(col("cos_glob")), 4).as("mean_cos_glob"))
+          .orderBy(col("label"))
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+             |              CAST(label AS BIGINT) AS label FROM embeddings),
+             |x AS (SELECT vec_id, label, u.i AS i, v[u.i] AS x
+             |      FROM e, unnest(range(1, 65)) AS u(i)),
+             |lc AS (SELECT label, i, sum(x) / count(*) AS mu FROM x GROUP BY label, i),
+             |lcv AS (SELECT label, array_agg(mu ORDER BY i) AS c FROM lc GROUP BY label),
+             |gc AS (SELECT i, sum(x) / count(*) AS mu FROM x GROUP BY i),
+             |gcv AS (SELECT array_agg(mu ORDER BY i) AS g FROM gc),
+             |sc AS (SELECT e.label,
+             |         round(list_cosine_similarity(e.v, l.c), 4) AS cos_own,
+             |         round(list_cosine_similarity(e.v, (SELECT g FROM gcv)), 4) AS cos_glob,
+             |         sqrt(list_reduce(list_prepend(0.0,
+             |           list_transform(l.c, y -> y * y)), (a, b) -> a + b)) AS cnorm
+             |       FROM e JOIN lcv l USING (label))
+             |SELECT label, CAST(count(*) AS BIGINT) AS n,
+             |       round(any_value(cnorm), 4) AS centroid_norm,
+             |       round(avg(cos_own), 4) AS mean_cos_own,
+             |       round(avg(cos_glob), 4) AS mean_cos_glob
+             |FROM sc GROUP BY label
+             |ORDER BY label""".stripMargin))
   )
 
   /** q110's oracle, generated per round like q99's: p<r> is round r's

@@ -48,8 +48,20 @@ object IvfStream {
         // pin the quantizer from the batch that carries the seed ids;
         // id-ordered arrival puts all 8 in batch 0
         if (graft.pipeline.Load.readStoreIfExists(spark, centDir).isEmpty) {
-          val seeds = SelectionOps.seedCentroids(e)
-          seeds.coalesce(1).write.mode(SaveMode.ErrorIfExists).parquet(centDir)
+          val seeds = SelectionOps.seedCentroids(e).cache()
+          val k = seeds.count()
+          // a batch either carries ALL seed vectors or none: a partial
+          // seed set would silently build a different index than the
+          // batch twin, so it must be loud (id-ordered staging puts
+          // ids 0..7 in one batch; any other arrival order is a bug)
+          require(k == 0L || k == 8L,
+            s"seed vectors split across micro-batches ($k of 8 arrived)")
+          if (k == 8L) {
+            seeds.coalesce(1).write.mode(SaveMode.ErrorIfExists).parquet(centDir)
+          }
+          seeds.unpersist()
+          if (k == 0L) throw new IllegalStateException(
+            "first micro-batch carries no seed vectors: cannot pin the quantizer")
         }
         val cent = graft.pipeline.Load.readStoreIfExists(spark, centDir)
           .getOrElse(throw new IllegalStateException(

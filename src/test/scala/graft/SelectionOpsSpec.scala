@@ -238,4 +238,18 @@ class SelectionOpsSpec extends SparkSpec {
       .collect().head
     assert(row.getDouble(0) < -1 && row.getDouble(1) > 1)
   }
+
+  test("q118: members cohere to their own centroid more than the global one") {
+    val out = Registry.byName("q118_label_scatter").run(spark, sfDir).collect()
+    assert(out.length == 10)
+    assert(out.map(_.getLong(1)).sum == 500L)
+    out.foreach { r =>
+      // own-centroid cohesion must dominate the global pull — the
+      // separation signal the report exists to monitor (labels are
+      // real clusters in the fixture)
+      assert(r.getDouble(3) > r.getDouble(4),
+        s"label ${r.getLong(0)}: own ${r.getDouble(3)} <= glob ${r.getDouble(4)}")
+      assert(r.getDouble(2) > 0)
+    }
+  }
 }
