@@ -235,41 +235,11 @@ object SelectionOps {
     // update per round, the q99 pattern).
     Q(
       "q110_mmr_select",
-      (s, d) => {
-        val k = 10
-        val e = Tables.embeddings(s, d)
+      (s, d) => mmrSelect(s,
+        Tables.embeddings(s, d)
           .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-          .withColumn("n2", squaredNorm(col("v")))
-        val qv = e.where(col("vec_id") === 0)
-          .select(col("v").as("qv"), col("n2").as("qn2"))
-        var cand = e.where(col("vec_id") >= 1).crossJoin(broadcast(qv))
-          .withColumn("rel",
-            round(dotProduct(col("v"), col("qv")) / sqrt(col("n2") * col("qn2")), 4))
-          .select(col("vec_id"), col("v"), col("n2"), col("rel"))
-          .withColumn("ms", lit(null).cast("double"))
-          .localCheckpoint()
-        val picks = Seq.newBuilder[MmrPick]
-        for (r <- 1 to k) {
-          val scoreCol =
-            if (r == 1) col("rel")
-            else round(lit(0.7) * col("rel") - lit(0.3) * col("ms"), 4)
-          val best = cand.withColumn("score", scoreCol)
-            .orderBy(desc("score"), col("vec_id")).limit(1)
-            .select(col("vec_id"), col("rel"), col("score")).collect().head
-          picks += MmrPick(r.toLong, best.getLong(0), best.getDouble(1),
-            best.getDouble(2))
-          val pv = e.where(col("vec_id") === best.getLong(0))
-            .select(col("v").as("pv"), col("n2").as("pn2"))
-          cand = cand.where(col("vec_id") =!= best.getLong(0))
-            .crossJoin(broadcast(pv))
-            .withColumn("ms", greatest(coalesce(col("ms"), lit(-1.0d)),
-              round(dotProduct(col("v"), col("pv")) /
-                sqrt(col("n2") * col("pn2")), 4)))
-            .select(col("vec_id"), col("v"), col("n2"), col("rel"), col("ms"))
-            .localCheckpoint()
-        }
-        s.createDataFrame(picks.result()).orderBy(col("sel_rank"))
-      },
+          .withColumn("n2", squaredNorm(col("v"))),
+        k = 10),
       Some(mmrSql(10))),
 
     // ---- Streaming ANN index maintenance (q86's ingestion twin) ----------
@@ -482,16 +452,19 @@ object SelectionOps {
             (a, b) => struct(a.as("s1"), b.as("s2")))).as(Seq("dim", "p")))
           .select(col("dim").cast("long").as("dim"),
             round(col("p.s1") / col("n"), 4).as("mean"),
-            round(sqrt(col("p.s2") / col("n") -
-              pow(col("p.s1") / col("n"), 2)), 4).as("std"))
+            // greatest(.,0) guards the numerically-tiny-negative
+            // variance a constant dimension would produce (sqrt of a
+            // negative is NaN, and NaN never hash-matches)
+            round(sqrt(greatest(col("p.s2") / col("n") -
+              pow(col("p.s1") / col("n"), 2), lit(0.0d))), 4).as("std"))
           .orderBy(col("dim"))
       },
       Some("""WITH v AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
              |x AS (SELECT CAST(u.i - 1 AS BIGINT) AS dim, v[u.i] AS x
              |      FROM v, unnest(range(1, 65)) AS u(i))
              |SELECT dim, round(sum(x) / count(*), 4) AS mean,
-             |       round(sqrt(sum(x*x) / count(*)
-             |             - power(sum(x) / count(*), 2)), 4) AS std
+             |       round(sqrt(greatest(sum(x*x) / count(*)
+             |             - power(sum(x) / count(*), 2), 0)), 4) AS std
              |FROM x GROUP BY dim ORDER BY dim""".stripMargin)),
 
     // ---- Contrastive pair mining (positives + hard negatives) ------------
@@ -625,12 +598,17 @@ object SelectionOps {
             count(lit(1)).as("n"))
           .select(
             transform(col("s1"), x => x / col("n")).as("mu"),
+            // variance clamped at 0 (tiny negatives from float
+            // cancellation on a constant dim would NaN the sqrt)
             zip_with(col("s1"), col("s2"),
-              (a, b) => sqrt(b / col("n") - pow(a / col("n"), 2))).as("sd"))
+              (a, b) => sqrt(greatest(b / col("n") - pow(a / col("n"), 2),
+                lit(0.0d)))).as("sd"))
         e.crossJoin(broadcast(stats))
+          // a zero-variance dimension carries no information: its
+          // z-score is defined as 0 (also dodges ANSI divide-by-zero)
           .withColumn("z", zip_with(
             zip_with(col("v"), col("mu"), (x, m) => x - m), col("sd"),
-            (c, sdv) => c / sdv))
+            (c, sdv) => when(sdv > 0, c / sdv).otherwise(lit(0.0d))))
           .select(col("vec_id"),
             round(aggregate(col("z"), lit(0.0d), (acc, x) => acc + x), 4)
               .as("z_sum"),
@@ -642,9 +620,12 @@ object SelectionOps {
              |x AS (SELECT vec_id, u.i AS i, v[u.i] AS x
              |      FROM v, unnest(range(1, 65)) AS u(i)),
              |m AS (SELECT i, sum(x) / count(*) AS mu,
-             |        sqrt(sum(x*x) / count(*) - power(sum(x) / count(*), 2)) AS sd
+             |        sqrt(greatest(sum(x*x) / count(*)
+             |          - power(sum(x) / count(*), 2), 0)) AS sd
              |      FROM x GROUP BY i),
-             |z AS (SELECT x.vec_id, (x.x - m.mu) / m.sd AS z
+             |z AS (SELECT x.vec_id,
+             |        CASE WHEN m.sd > 0 THEN (x.x - m.mu) / m.sd
+             |             ELSE 0.0 END AS z
              |      FROM x JOIN m ON x.i = m.i)
              |SELECT vec_id, round(sum(z), 4) AS z_sum,
              |       round(min(z), 4) AS z_min, round(max(z), 4) AS z_max
@@ -711,6 +692,54 @@ object SelectionOps {
              |FROM sc GROUP BY label
              |ORDER BY label""".stripMargin))
   )
+
+  /** The q110 operator body, exposed for spec inputs: MMR over an
+    * embedding frame (vec_id, v, n2) — query = vec_id 0, candidates =
+    * the rest. Terminates early when k exceeds the candidate pool
+    * (same rule as BPE's merge learning).
+    */
+  private[graft] def mmrSelect(s: org.apache.spark.sql.SparkSession,
+                               e: org.apache.spark.sql.DataFrame,
+                               k: Int): org.apache.spark.sql.DataFrame = {
+    val qv = e.where(col("vec_id") === 0)
+      .select(col("v").as("qv"), col("n2").as("qn2"))
+    var cand = e.where(col("vec_id") >= 1).crossJoin(broadcast(qv))
+      .withColumn("rel",
+        round(dotProduct(col("v"), col("qv")) / sqrt(col("n2") * col("qn2")), 4))
+      .select(col("vec_id"), col("v"), col("n2"), col("rel"))
+      .withColumn("ms", lit(null).cast("double"))
+      .localCheckpoint()
+    val picks = Seq.newBuilder[MmrPick]
+    var r = 1
+    var exhausted = false
+    while (r <= k && !exhausted) {
+      val scoreCol =
+        if (r == 1) col("rel")
+        else round(lit(0.7) * col("rel") - lit(0.3) * col("ms"), 4)
+      val top = cand.withColumn("score", scoreCol)
+        .orderBy(desc("score"), col("vec_id")).limit(1)
+        .select(col("vec_id"), col("rel"), col("score")).collect()
+      if (top.isEmpty) {
+        // k exceeded the candidate pool: return the picks made so far
+        exhausted = true
+      } else {
+        val best = top.head
+        picks += MmrPick(r.toLong, best.getLong(0), best.getDouble(1),
+          best.getDouble(2))
+        val pv = e.where(col("vec_id") === best.getLong(0))
+          .select(col("v").as("pv"), col("n2").as("pn2"))
+        cand = cand.where(col("vec_id") =!= best.getLong(0))
+          .crossJoin(broadcast(pv))
+          .withColumn("ms", greatest(coalesce(col("ms"), lit(-1.0d)),
+            round(dotProduct(col("v"), col("pv")) /
+              sqrt(col("n2") * col("pn2")), 4)))
+          .select(col("vec_id"), col("v"), col("n2"), col("rel"), col("ms"))
+          .localCheckpoint()
+        r += 1
+      }
+    }
+    s.createDataFrame(picks.result()).orderBy(col("sel_rank"))
+  }
 
   /** q110's oracle, generated per round like q99's: p<r> is round r's
     * argmax, m<r> the candidates' running max-similarity after it.

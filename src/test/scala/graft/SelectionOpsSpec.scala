@@ -133,6 +133,19 @@ class SelectionOpsSpec extends SparkSpec {
     assert(maxPairSim(ids.toSeq) < maxPairSim(top.toSeq))
   }
 
+  test("q110: k beyond the candidate pool terminates with the picks made") {
+    import spark.implicits._
+    // 1 query (vec_id 0) + 3 candidates, k = 10: returns 3 ranks
+    val tiny = Seq(
+      (0L, Array(1.0, 0.0)), (1L, Array(0.9, 0.1)),
+      (2L, Array(0.0, 1.0)), (3L, Array(0.5, 0.5)))
+      .toDF("vec_id", "v")
+      .withColumn("n2", graft.functions.VectorFunctions.squaredNorm(col("v")))
+    val out = SelectionOps.mmrSelect(spark, tiny, k = 10).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(out.map(_.getLong(1)).distinct.length == 3)
+  }
+
   test("q111 streaming IVF ingest equals the batch q86 index probe") {
     // the second batch's vectors are assigned against centroids pinned
     // by the first batch (they never co-exist in one micro-batch), so

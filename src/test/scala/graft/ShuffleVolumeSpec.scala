@@ -269,4 +269,38 @@ class ShuffleVolumeSpec extends SparkSpec {
     assert(registeredB > 0 && registeredB < (naiveB * 3) / 4,
       s"registered=$registeredB bytes vs gram-string-window=$naiveB bytes")
   }
+
+  test("vec_sum moves a fraction of the posexplode dimension-stats bytes") {
+    import graft.functions.VectorAgg.vecSum
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("embedding").cast("array<double>").as("v"))
+      // spread over several partitions so both plans genuinely exchange
+      .repartition(8)
+      .localCheckpoint()
+    // one aggregate: each task ships 2x64 doubles of partial sums
+    val aggB = shuffleBytes {
+      e.agg(vecSum(col("v"), 64).as("s1"),
+          vecSum(transform(col("v"), x => x * x), 64).as("s2"),
+          count(lit(1)).as("n"))
+        .collect()
+      ()
+    }
+    // the naive shape: 64x the corpus row count through the exchange
+    val explodeB = shuffleBytes {
+      e.select(posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy(col("dim"))
+        .agg(sum(col("x")).as("s1"), sum(col("x") * col("x")).as("s2"),
+          count(lit(1)).as("n"))
+        .collect()
+      ()
+    }
+    // partial aggregation bounds both exchanges at O(tasks * dim), so
+    // the shuffle delta here is packing (2 arrays + count per task vs
+    // 64 keyed rows per task, each with per-row overhead) — the bigger
+    // 100 TB win is the 64x per-row explode the naive shape pays
+    // BEFORE its partial agg, which is CPU/memory, not shuffle; this
+    // cert pins the byte half of the claim
+    assert(aggB > 0 && aggB < explodeB,
+      s"vec_sum=$aggB bytes vs posexplode=$explodeB bytes")
+  }
 }
