@@ -690,7 +690,70 @@ object SelectionOps {
              |       round(avg(cos_own), 4) AS mean_cos_own,
              |       round(avg(cos_glob), 4) AS mean_cos_glob
              |FROM sc GROUP BY label
-             |ORDER BY label""".stripMargin))
+             |ORDER BY label""".stripMargin)),
+
+    // ---- Feature-hash text embedding (hashing trick, integer-exact) ------
+    // The text-to-vector bridge when no learned encoder exists
+    // (Weinberger et al. 2009): every token adds sign(h2) * 1 at
+    // dimension h1 mod 64, so a document folds to a fixed 64-int
+    // vector of signed hashed term frequencies. Both hashes are the
+    // portable polynomial, and every vector entry is an INTEGER — the
+    // whole embedding, nnz, L1 norm, and index-weighted checksum are
+    // exact in both engines with zero float drift.
+    //
+    // Scale shape: feature hashing is embarrassingly row-local — one
+    // narrow pass, NO shuffle at all (the oracle's groupBy formulation
+    // is the replay path; the registered plan folds per row). Each
+    // token costs one O(64) fold step; a codegen kernel in the
+    // ShinglePacks family is the drop-in if profiles demand O(1).
+    Q(
+      "q119_feature_hash_embed",
+      (s, d) => {
+        import graft.functions.PolyHash.polyHash
+        val dim = 64
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id").cast("long").as("doc_id"),
+            filter(split(col("text"), " "), t => t =!= "").as("toks"))
+        docs
+          .withColumn("hs", transform(col("toks"), t =>
+            struct((polyHash(t) % dim).cast("int").as("dim"),
+              ((polyHash(t, 131) % 2) * 2 - 1).as("sign"))))
+          .withColumn("v", aggregate(
+            col("hs"),
+            array_repeat(lit(0L), dim),
+            (acc, h) => transform(acc,
+              (x, i) => x + when(h("dim") === i, h("sign")).otherwise(0L))))
+          .select(col("doc_id"),
+            size(filter(col("v"), x => x =!= 0)).cast("long").as("nnz"),
+            aggregate(col("v"), lit(0L), (a, x) => a + abs(x)).as("l1"),
+            aggregate(zip_with(col("v"),
+              sequence(lit(1L), lit(dim.toLong)), (x, w) => x * w),
+              lit(0L), (a, x) => a + x).as("checksum"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH w AS (SELECT doc_id,
+             |         unnest(list_filter(string_split(text, ' '),
+             |                x -> x <> '')) AS tok
+             |       FROM documents),
+             |hx AS (SELECT doc_id,
+             |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |           list_transform(range(1, len(tok)+1),
+             |             j -> CAST(unicode(tok[j]) AS BIGINT))),
+             |           (acc,x) -> (acc*31+x)%1000000007) % 64 AS dim,
+             |         (list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |           list_transform(range(1, len(tok)+1),
+             |             j -> CAST(unicode(tok[j]) AS BIGINT))),
+             |           (acc,x) -> (acc*131+x)%1000000007) % 2) * 2 - 1 AS sign
+             |       FROM w),
+             |vec AS (SELECT doc_id, dim, CAST(sum(sign) AS BIGINT) AS x
+             |        FROM hx GROUP BY doc_id, dim),
+             |o AS (SELECT doc_id,
+             |        CAST(count(*) FILTER (x <> 0) AS BIGINT) AS nnz,
+             |        CAST(sum(abs(x)) AS BIGINT) AS l1,
+             |        CAST(sum(x * (dim + 1)) AS BIGINT) AS checksum
+             |      FROM vec GROUP BY doc_id)
+             |SELECT doc_id, nnz, l1, checksum FROM o
+             |ORDER BY doc_id""".stripMargin))
   )
 
   /** The q110 operator body, exposed for spec inputs: MMR over an

@@ -252,6 +252,24 @@ class SelectionOpsSpec extends SparkSpec {
     assert(row.getDouble(0) < -1 && row.getDouble(1) > 1)
   }
 
+  test("q119: hand-checked hashed vector; plan is exchange-free") {
+    // "a" -> codepoint 97: dim 97%64=33, sign (97%2)*2-1=+1
+    // "b" -> codepoint 98: dim 34, sign (98%2)*2-1=-1
+    // doc "a a b": v[33]=+2, v[34]=-1 -> nnz 2, l1 3,
+    // checksum 2*(33+1) - 1*(34+1) = 33
+    val out = Registry.byName("q119_feature_hash_embed").run(spark, sfDir)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"), plan.take(600))
+    import spark.implicits._
+    val docsDir = java.nio.file.Files.createTempDirectory("t_q119").toString
+    Seq((1L, "a a b")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$docsDir/documents.parquet")
+    val tiny = Registry.byName("q119_feature_hash_embed").run(spark, docsDir)
+      .collect().head
+    assert((tiny.getLong(0), tiny.getLong(1), tiny.getLong(2),
+      tiny.getLong(3)) == ((1L, 2L, 3L, 33L)))
+  }
+
   test("q118: members cohere to their own centroid more than the global one") {
     val out = Registry.byName("q118_label_scatter").run(spark, sfDir).collect()
     assert(out.length == 10)
