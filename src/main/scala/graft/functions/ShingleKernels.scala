@@ -148,12 +148,38 @@ object ShingleKernel {
     new GenericArrayData(out)
   }
 
+  /** Signed hashed-term-frequency vector of one document (q119 feature
+    * hashing): every non-empty space-separated token adds
+    * `(polyhash(tok,131) % 2) * 2 - 1` at index `polyhash(tok,31) % dim`.
+    * One pass over the string — no token array, no per-token allocation
+    * — where the pure-column fold pays O(dim) array copies per token.
+    * Identity contract matches the DuckDB oracle's per-token replay.
+    */
+  def featureHashVec(s: UTF8String, dim: Int): ArrayData = {
+    val acc = new Array[Long](dim)
+    var a = 0L; var b = 0L; var len = 0
+    def flush(): Unit = if (len > 0) {
+      acc((a % dim).toInt) += (b % 2) * 2 - 1
+      a = 0L; b = 0L; len = 0
+    }
+    val it = s.toString.codePoints().iterator()
+    while (it.hasNext) {
+      val cp = it.nextInt()
+      if (cp == 32) flush()
+      else { a = (a * 31 + cp) % P; b = (b * 131 + cp) % P; len += 1 }
+    }
+    flush()
+    new GenericArrayData(acc)
+  }
+
   def shinglePacks(c: Column): Column =
     ColumnBridge.column(ShinglePacks(ColumnBridge.expression(c)))
   def minhashSig(c: Column): Column =
     ColumnBridge.column(MinhashSig(ColumnBridge.expression(c)))
   def gramPacks(c: Column, w: Int): Column =
     ColumnBridge.column(GramPacks(ColumnBridge.expression(c), w))
+  def featureHashVec(c: Column, dim: Int): Column =
+    ColumnBridge.column(FeatureHashVec(ColumnBridge.expression(c), dim))
 }
 
 /** 32 affine minhash transforms drawn once from a fixed seed; shared
@@ -190,6 +216,17 @@ case class GramPacks(child: Expression, w: Int) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): GramPacks =
     copy(child = c)
   override def prettyName: String = "gram_packs"
+}
+
+case class FeatureHashVec(child: Expression, dim: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    ShingleKernel.featureHashVec(v.asInstanceOf[UTF8String], dim)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleKernel.featureHashVec($c, $dim)")
+  override protected def withNewChildInternal(c: Expression): FeatureHashVec =
+    copy(child = c)
+  override def prettyName: String = "feature_hash_vec"
 }
 
 case class MinhashSig(child: Expression) extends UnaryExpression {

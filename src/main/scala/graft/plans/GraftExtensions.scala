@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{CmsCounters, DotProduct, GramPacks, KMVMins, MinhashSig, PolyHash, ShinglePacks, SquaredNorm, TitleCase}
+import graft.functions.{CmsCounters, DotProduct, FeatureHashVec, GramPacks, KMVMins, MinhashSig, PolyHash, ShinglePacks, SquaredNorm, TitleCase}
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -47,6 +47,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case other => throw new IllegalArgumentException(
           s"kmv_mins k must be an integer literal, got $other")
       }).toAggregateExpression()))
+    // feature_hash_vec(text, dim): dim must be a literal int (vector
+    // width is fixed at plan time, like gram_packs' w)
+    ext.injectFunction(fn("feature_hash_vec", exprs =>
+      FeatureHashVec(exprs(0), exprs(1) match {
+        case Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"feature_hash_vec dim must be an integer literal, got $other")
+      })))
     // cms_counters(hash, d, w): d and w must be literal ints (the
     // counter-matrix shape is fixed at plan time)
     ext.injectFunction(fn("cms_counters", exprs => {

@@ -703,26 +703,18 @@ object SelectionOps {
     //
     // Scale shape: feature hashing is embarrassingly row-local — one
     // narrow pass, NO shuffle at all (the oracle's groupBy formulation
-    // is the replay path; the registered plan folds per row). Each
-    // token costs one O(64) fold step; a codegen kernel in the
-    // ShinglePacks family is the drop-in if profiles demand O(1).
+    // is the replay path). The vector is built by the codegen'd
+    // FeatureHashVec kernel (ShinglePacks family): one walk over the
+    // string, O(1) per token — the pure-column fold twin (kept in the
+    // spec as ground truth) pays an O(64) array copy per token.
     Q(
       "q119_feature_hash_embed",
       (s, d) => {
-        import graft.functions.PolyHash.polyHash
         val dim = 64
-        val docs = Tables.documents(s, d)
+        Tables.documents(s, d)
           .select(col("doc_id").cast("long").as("doc_id"),
-            filter(split(col("text"), " "), t => t =!= "").as("toks"))
-        docs
-          .withColumn("hs", transform(col("toks"), t =>
-            struct((polyHash(t) % dim).cast("int").as("dim"),
-              ((polyHash(t, 131) % 2) * 2 - 1).as("sign"))))
-          .withColumn("v", aggregate(
-            col("hs"),
-            array_repeat(lit(0L), dim),
-            (acc, h) => transform(acc,
-              (x, i) => x + when(h("dim") === i, h("sign")).otherwise(0L))))
+            graft.functions.ShingleKernel
+              .featureHashVec(col("text"), dim).as("v"))
           .select(col("doc_id"),
             size(filter(col("v"), x => x =!= 0)).cast("long").as("nnz"),
             aggregate(col("v"), lit(0L), (a, x) => a + abs(x)).as("l1"),

@@ -252,6 +252,30 @@ class SelectionOpsSpec extends SparkSpec {
     assert(row.getDouble(0) < -1 && row.getDouble(1) > 1)
   }
 
+  test("q119 kernel equals the pure-column fold formulation") {
+    import graft.functions.PolyHash.polyHash
+    val dim = 64
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val kernel = docs.select(col("doc_id"),
+      graft.functions.ShingleKernel.featureHashVec(col("text"), dim).as("v"))
+    // the O(dim)-per-token fold the kernel replaces — ground truth
+    val fold = docs
+      .select(col("doc_id"),
+        filter(split(col("text"), " "), t => t =!= "").as("toks"))
+      .withColumn("hs", transform(col("toks"), t =>
+        struct((polyHash(t) % dim).cast("int").as("dim"),
+          ((polyHash(t, 131) % 2) * 2 - 1).as("sign"))))
+      .select(col("doc_id"), aggregate(
+        col("hs"),
+        array_repeat(lit(0L), dim),
+        (acc, h) => transform(acc,
+          (x, i) => x + when(h("dim") === i, h("sign")).otherwise(0L))).as("v"))
+    assert(kernel.join(fold.withColumnRenamed("v", "w"), Seq("doc_id"))
+      .where(col("v") =!= col("w")).count() == 0)
+    assert(kernel.count() == 500)
+  }
+
   test("q119: hand-checked hashed vector; plan is exchange-free") {
     // "a" -> codepoint 97: dim 97%64=33, sign (97%2)*2-1=+1
     // "b" -> codepoint 98: dim 34, sign (98%2)*2-1=-1
