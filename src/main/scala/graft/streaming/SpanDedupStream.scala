@@ -43,7 +43,9 @@ object SpanDedupStream {
     for (i <- 0 until nSplits) {
       val dir = new java.io.File(s"$tmp/split=$i")
       if (dir.isDirectory) {
-        val file = dir.listFiles().find(_.getName.endsWith(".parquet")).get
+        val file = dir.listFiles().find(_.getName.endsWith(".parquet"))
+          .getOrElse(throw new IllegalStateException(
+            s"staging wrote no parquet part file under $dir"))
         val dest = new java.io.File(inputDir, f"split_$i%03d.parquet")
         java.nio.file.Files.move(file.toPath, dest.toPath)
         // distinct ascending timestamps pin the replay order (the file

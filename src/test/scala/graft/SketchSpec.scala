@@ -225,4 +225,20 @@ class SketchSpec extends SparkSpec {
       .collect().map(_.toSeq).toSeq
     assert(streamed == batch && batch.nonEmpty)
   }
+
+  test("q120 KMV set-operation estimate lands near the exact intersection") {
+    val r = queries.Registry.byName("q120_kmv_join_card").run(spark, sfDir)
+      .collect().head
+    val (nU, nBoth) = (r.getLong(0), r.getLong(2))
+    val (estU, estI) = (r.getDouble(3), r.getDouble(4))
+    val exact = r.getLong(5)
+    // structure: the union minima can't disagree with their definition
+    assert(nBoth >= 0 && nBoth <= nU && nU <= 256)
+    assert(estI <= estU + 1e-9)
+    // estimate quality: k=256 gives ~6% standard error on the union and
+    // the rho fraction compounds it — 25% is a loose deterministic
+    // bound the fixture sits well inside (measured ~1-6%)
+    assert(exact > 0 && math.abs(estI - exact) / exact < 0.25,
+      s"est=$estI exact=$exact")
+  }
 }
