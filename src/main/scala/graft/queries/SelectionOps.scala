@@ -131,7 +131,11 @@ object SelectionOps {
         val e = Tables.embeddings(s, d)
           .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
           .withColumn("n2", squaredNorm(col("v")))
-        val assigned = assignSeeded(e)
+        // materialize the assignment once: it feeds three consumers
+        // (both pair-join sides + the output spine), and without the
+        // checkpoint each would re-scan and re-assign the corpus —
+        // the q111 bucket store is the durable form of the same idea
+        val assigned = assignSeeded(e).localCheckpoint()
         val a = assigned.select(col("bucket"), col("vec_id").as("a_id"),
           col("v").as("av"), col("n2").as("an2"))
         val drops = assigned.join(a, Seq("bucket"))
