@@ -25,6 +25,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    ext.injectOptimizerRule(_ => DotSelfToNorm)
     ext.injectFunction(fn("title_case", exprs => TitleCase(exprs.head)))
     ext.injectFunction(fn("dot_product", exprs => DotProduct(exprs(0), exprs(1))))
     ext.injectFunction(fn("squared_norm", exprs => SquaredNorm(exprs.head)))

@@ -72,6 +72,28 @@ class AsOfJoinSpec extends SparkSpec {
     assert(df.collect()(0).getDouble(5) == 9.5)
   }
 
+  test("injected optimizer rule rewrites dot_product(x, x) to squared_norm(x)") {
+    // the rule comes from the same extensions class as the strategy —
+    // no imperative registration anywhere (non-literal input: constant
+    // folding would otherwise collapse the whole expression first)
+    Tables.embeddings(spark, sfDir)
+      .selectExpr("embedding::array<double> AS v")
+      .createOrReplaceTempView("t_rule_vec")
+    val df = spark.sql(
+      "SELECT dot_product(v, v) AS d, squared_norm(v) AS n FROM t_rule_vec")
+    val optimized = df.asInstanceOf[classic.Dataset[_]]
+      .queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("dot_product"), optimized)
+    assert(optimized.contains("squared_norm"), optimized)
+    assert(df.where(col("d") =!= col("n")).count() == 0)
+    assert(df.count() == 500)
+    // distinct operands are untouched
+    val keep = spark.sql(
+      "SELECT dot_product(v, slice(v, 1, 2)) AS d FROM t_rule_vec")
+    assert(keep.asInstanceOf[classic.Dataset[_]]
+      .queryExecution.optimizedPlan.toString.contains("dot_product"))
+  }
+
   test("matches the window-function as-of encoding on the events fixture") {
     val e = Tables.events(spark, sfDir)
       .select(col("event_id"), col("user_id"), col("event_type"),
