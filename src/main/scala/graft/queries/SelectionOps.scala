@@ -30,6 +30,10 @@ import org.apache.spark.sql.functions._
 final case class MmrPick(sel_rank: Long, vec_id: Long, rel: Double,
                          score: Double)
 
+/** Prefix-sum rows for q121 (top-level for by-name encoder resolution). */
+final case class PsIn(doc_id: Long, n_tok: Long)
+final case class PsOut(doc_id: Long, n_tok: Long, cum_tok: Long, shard: Long)
+
 object SelectionOps {
 
   /** q86's oracle-able seeded coarse quantizer, shared by q106 and its
@@ -749,8 +753,82 @@ object SelectionOps {
              |        CAST(sum(x * (dim + 1)) AS BIGINT) AS checksum
              |      FROM vec GROUP BY doc_id)
              |SELECT doc_id, nnz, l1, checksum FROM o
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ---- Token-budget sharding via distributed prefix sum ----------------
+    // Trainers shard by TOKEN budget, not row count (a shard feeds a
+    // data-loader worker for a fixed step budget) — which needs the
+    // global running token total in doc_id order. A global window would
+    // sort the corpus through one task; the scale shape is the classic
+    // TWO-PHASE PREFIX SUM: range-partition on doc_id (contiguous
+    // ranges per partition, pinned by localCheckpoint), pass 1 collects
+    // each partition's token subtotal (one tiny row per partition),
+    // the driver scan-folds them into per-partition offsets, and pass 2
+    // streams each partition once adding its broadcast offset. Doc d's
+    // shard is (cum_tok(d) - 1) div budget — every shard holds a
+    // contiguous run of docs whose token sum is the budget (the doc
+    // straddling a boundary lands in the shard its last token closes).
+    Q(
+      "q121_token_budget_shards",
+      (s, d) => tokenBudgetShards(s,
+        Tables.documents(s, d)
+          .select(col("doc_id").cast("long").as("doc_id"),
+            size(filter(split(col("text"), " "), t => t =!= ""))
+              .cast("long").as("n_tok")),
+        budget = 2000L, nParts = 8),
+      Some("""WITH d AS (SELECT doc_id,
+             |         CAST(len(list_filter(string_split(text, ' '),
+             |              x -> x <> '')) AS BIGINT) AS n_tok
+             |       FROM documents),
+             |c AS (SELECT doc_id, n_tok,
+             |        CAST(sum(n_tok) OVER (ORDER BY doc_id) AS BIGINT) AS cum_tok
+             |      FROM d)
+             |SELECT doc_id, n_tok, cum_tok,
+             |       CAST(CASE WHEN cum_tok = 0 THEN 0
+             |                 ELSE (cum_tok - 1) // 2000 END AS BIGINT) AS shard
+             |FROM c ORDER BY doc_id""".stripMargin))
   )
+
+  /** The q121 operator body, exposed for spec inputs: two-phase
+    * distributed prefix sum over (doc_id, n_tok) rows. The output is a
+    * pure function of the doc_id ORDER — partition count only changes
+    * where the phase boundary falls, never the sums (spec-asserted).
+    */
+  private[graft] def tokenBudgetShards(s: org.apache.spark.sql.SparkSession,
+                                       docFrame: org.apache.spark.sql.DataFrame,
+                                       budget: Long,
+                                       nParts: Int): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val docs = docFrame.as[PsIn]
+    // pin the range partitioning: both passes MUST see identical
+    // partition boundaries (range sampling is not deterministic
+    // across separate jobs)
+    val parts = docs.repartitionByRange(nParts, col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
+      .localCheckpoint()
+    // pass 1: per-partition subtotals (one 16-byte row each)
+    val totals = parts.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var sum = 0L
+      it.foreach { r => sum += r.n_tok }
+      Iterator.single((pid, sum))
+    }.collect().sortBy(_._1)
+    // driver scan-fold: offset of partition i = sum of subtotals
+    // before it (the partition list is tiny — one row per task)
+    val offsets = totals.map(_._1)
+      .zip(totals.scanLeft(0L)(_ + _._2).dropRight(1)).toMap
+    val offB = s.sparkContext.broadcast(offsets)
+    // pass 2: one streaming pass per partition with its offset
+    parts.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var run = offB.value.getOrElse(pid, 0L)
+      it.map { r =>
+        run += r.n_tok
+        PsOut(r.doc_id, r.n_tok, run,
+          if (run == 0L) 0L else (run - 1) / budget)
+      }
+    }.toDF().orderBy(col("doc_id"))
+  }
 
   /** The q110 operator body, exposed for spec inputs: MMR over an
     * embedding frame (vec_id, v, n2) — query = vec_id 0, candidates =

@@ -294,6 +294,30 @@ class SelectionOpsSpec extends SparkSpec {
       tiny.getLong(3)) == ((1L, 2L, 3L, 33L)))
   }
 
+  test("q121: prefix sums are partition-count invariant and exact") {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id").cast("long").as("doc_id"),
+        size(filter(split(col("text"), " "), t => t =!= ""))
+          .cast("long").as("n_tok"))
+    def run(p: Int) = SelectionOps
+      .tokenBudgetShards(spark, docs, budget = 2000L, nParts = p)
+      .collect().map(_.toSeq).toSeq
+    val a = run(8)
+    // the result is a function of doc_id order alone: 1, 3, and 13
+    // partitions place the phase boundary differently but must agree
+    assert(run(1) == a && run(3) == a && run(13) == a)
+    // exactness: the window formulation is the ground truth
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("doc_id")).rowsBetween(Long.MinValue, 0)
+    val truth = docs.withColumn("cum_tok", sum(col("n_tok")).over(w))
+      .orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(a.map(r => (r(0), r(2))) == truth)
+    // shards are non-decreasing and each closes at the token budget
+    val shards = a.map(_(3).asInstanceOf[Long])
+    assert(shards.zip(shards.tail).forall { case (x, y) => y >= x })
+  }
+
   test("q118: members cohere to their own centroid more than the global one") {
     val out = Registry.byName("q118_label_scatter").run(spark, sfDir).collect()
     assert(out.length == 10)
