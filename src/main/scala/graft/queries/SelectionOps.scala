@@ -66,16 +66,16 @@ object SelectionOps {
       .where(col("rn") === 1)
       .select(col("vec_id"), col("v"), col("n2"), col("c_id").as("bucket"))
 
-  /** The q107 operator body, exposed for hand-checked spec inputs:
-    * bigram-LM training + integer-surprisal scoring over any
-    * (doc_id, text) frame.
-    */
-  private[graft] def bigramGate(docs: org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame = {
-    val toked = docs
-      .select(col("doc_id"),
-        filter(split(col("text"), " "), t => t =!= "").as("toks"))
-    val bg = toked
+  /** q107's tokenized form: (doc_id, toks) with empty tokens dropped. */
+  private[graft] def tokedDocs(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs.select(col("doc_id"),
+      filter(split(col("text"), " "), t => t =!= "").as("toks"))
+
+  /** One (doc_id, prev, tok) row per adjacent token pair. */
+  private[graft] def docBigrams(toked: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    toked
       .select(col("doc_id"), posexplode_outer(
         when(size(col("toks")) >= 2, zip_with(
           slice(col("toks"), lit(1), size(col("toks")) - 1),
@@ -85,14 +85,29 @@ object SelectionOps {
         .as(Seq("pos", "p")))
       .where(col("p").isNotNull)
       .select(col("doc_id"), col("p.prev").as("prev"), col("p.tok").as("tok"))
-    val c2 = bg.groupBy(col("prev"), col("tok")).agg(count(lit(1)).as("c2"))
-    val c1 = bg.groupBy(col("prev")).agg(count(lit(1)).as("c1"))
+
+  /** The LM from a (prev, tok, c2) bigram-count table: conditional bit
+    * costs via the shared ladder. c1 (context count) is DERIVED as the
+    * sum of c2 over the row's prev — which is what makes the counts the
+    * complete streaming state: partial per-batch counts fold with plain
+    * sums and the LM rebuilds from the fold (q122).
+    */
+  private[graft] def bigramBits(c2f: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val c1 = c2f.groupBy(col("prev")).agg(sum(col("c2")).as("c1"))
     val r = expr("c1 div c2")
-    val lm = c2.join(c1, Seq("prev"))
+    c2f.join(c1, Seq("prev"))
       .withColumn("bits", TextOps.log2Ladder.foldLeft(lit(0L)) {
         case (acc, p) => when(r >= (1L << p), lit(p.toLong)).otherwise(acc)
       })
       .select(col("prev"), col("tok"), col("bits"))
+  }
+
+  /** Score every doc under the LM and gate; q107's output tail. */
+  private[graft] def scoreWithLm(toked: org.apache.spark.sql.DataFrame,
+                                 bg: org.apache.spark.sql.DataFrame,
+                                 lm: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     val scored = bg.join(broadcast(lm), Seq("prev", "tok"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_big"), sum(col("bits")).as("sum_bits2"))
@@ -104,6 +119,18 @@ object SelectionOps {
       .withColumn("ppl2_pass",
         (col("sum_bits2") * 100 <= col("n_big") * 432).cast("long"))
       .orderBy(col("doc_id"))
+  }
+
+  /** The q107 operator body, exposed for hand-checked spec inputs:
+    * bigram-LM training + integer-surprisal scoring over any
+    * (doc_id, text) frame.
+    */
+  private[graft] def bigramGate(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val toked = tokedDocs(docs)
+    val bg = docBigrams(toked)
+    val c2 = bg.groupBy(col("prev"), col("tok")).agg(count(lit(1)).as("c2"))
+    scoreWithLm(toked, bg, bigramBits(c2))
   }
 
   val defs: Seq[Q] = Seq(
@@ -197,32 +224,7 @@ object SelectionOps {
       "q107_bigram_ppl_gate",
       (s, d) => bigramGate(Tables.documents(s, d)
         .select(col("doc_id").cast("long").as("doc_id"), col("text"))),
-      Some(s"""WITH t AS (SELECT doc_id,
-             |         list_filter(string_split(text, ' '), x -> x <> '') AS toks
-             |       FROM documents),
-             |bg AS (SELECT doc_id, toks[i] AS prev, toks[i+1] AS tok
-             |       FROM t, unnest(range(1, len(toks))) AS u(i)
-             |       WHERE len(toks) >= 2),
-             |c2 AS (SELECT prev, tok, CAST(count(*) AS BIGINT) AS c2
-             |       FROM bg GROUP BY prev, tok),
-             |c1 AS (SELECT prev, CAST(count(*) AS BIGINT) AS c1
-             |       FROM bg GROUP BY prev),
-             |b AS (SELECT c2.prev, c2.tok,
-             |        CAST(CASE ${TextOps.log2Ladder.reverse.map(p =>
-                        s"WHEN c1 // c2 >= ${1L << p} THEN $p").mkString(" ")}
-             |          ELSE 0 END AS BIGINT) AS bits
-             |      FROM c2 JOIN c1 USING (prev)),
-             |sc AS (SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_big,
-             |         CAST(sum(b.bits) AS BIGINT) AS sum_bits2
-             |       FROM bg JOIN b ON bg.prev = b.prev AND bg.tok = b.tok
-             |       GROUP BY bg.doc_id)
-             |SELECT t.doc_id, coalesce(sc.n_big, 0) AS n_big,
-             |       coalesce(sc.sum_bits2, 0) AS sum_bits2,
-             |       CAST(CASE WHEN coalesce(sc.sum_bits2, 0) * 100
-             |                      <= coalesce(sc.n_big, 0) * 432
-             |                 THEN 1 ELSE 0 END AS BIGINT) AS ppl2_pass
-             |FROM t LEFT JOIN sc ON t.doc_id = sc.doc_id
-             |ORDER BY t.doc_id""".stripMargin)),
+      Some(bigramSql)),
 
     // ---- MMR diverse selection (relevance with a redundancy penalty) -----
     // Maximal marginal relevance (Carbonell & Goldstein 1998): pick k
@@ -786,8 +788,63 @@ object SelectionOps {
              |SELECT doc_id, n_tok, cum_tok,
              |       CAST(CASE WHEN cum_tok = 0 THEN 0
              |                 ELSE (cum_tok - 1) // 2000 END AS BIGINT) AS shard
-             |FROM c ORDER BY doc_id""".stripMargin))
+             |FROM c ORDER BY doc_id""".stripMargin)),
+
+    // ---- Bigram-LM training over a document stream (q107's twin) ---------
+    // The MODEL-training half made incremental: every micro-batch
+    // appends its partial (prev, tok, n) counts, the fold equals the
+    // batch corpus counts exactly (counts are additive), the context
+    // totals derive from the folded table, and the rebuilt LM scores
+    // the arrived corpus — identical to batch q107, shared oracle.
+    // Keyed-state sibling of q109's fixed matrix: state is the
+    // Zipf²-bounded bigram-TYPE table, appended as tiny partials, vs
+    // per-key streaming state that would checkpoint the bigram
+    // universe every batch.
+    Q(
+      "q122_bigram_lm_stream",
+      (s, d) => {
+        val prev = s.conf.get("spark.sql.shuffle.partitions")
+        try {
+          s.conf.set("spark.sql.shuffle.partitions", "8")
+          graft.streaming.BigramLmStream.runOn(
+            s, Tables.documents(s, d), nSplits = 2)
+        } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      },
+      Some(bigramSql))
   )
+
+  /** q107's oracle, shared with its streaming twin q122: DuckDB
+    * re-trains the bigram LM and re-scores every document. Valid for
+    * q122 because bigram counts are additive — the folded per-batch
+    * partials equal the batch corpus counts exactly.
+    */
+  private[graft] def bigramSql: String =
+    s"""WITH t AS (SELECT doc_id,
+       |         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+       |       FROM documents),
+       |bg AS (SELECT doc_id, toks[i] AS prev, toks[i+1] AS tok
+       |       FROM t, unnest(range(1, len(toks))) AS u(i)
+       |       WHERE len(toks) >= 2),
+       |c2 AS (SELECT prev, tok, CAST(count(*) AS BIGINT) AS c2
+       |       FROM bg GROUP BY prev, tok),
+       |c1 AS (SELECT prev, CAST(count(*) AS BIGINT) AS c1
+       |       FROM bg GROUP BY prev),
+       |b AS (SELECT c2.prev, c2.tok,
+       |        CAST(CASE ${TextOps.log2Ladder.reverse.map(p =>
+                  s"WHEN c1 // c2 >= ${1L << p} THEN $p").mkString(" ")}
+       |          ELSE 0 END AS BIGINT) AS bits
+       |      FROM c2 JOIN c1 USING (prev)),
+       |sc AS (SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_big,
+       |         CAST(sum(b.bits) AS BIGINT) AS sum_bits2
+       |       FROM bg JOIN b ON bg.prev = b.prev AND bg.tok = b.tok
+       |       GROUP BY bg.doc_id)
+       |SELECT t.doc_id, coalesce(sc.n_big, 0) AS n_big,
+       |       coalesce(sc.sum_bits2, 0) AS sum_bits2,
+       |       CAST(CASE WHEN coalesce(sc.sum_bits2, 0) * 100
+       |                      <= coalesce(sc.n_big, 0) * 432
+       |                 THEN 1 ELSE 0 END AS BIGINT) AS ppl2_pass
+       |FROM t LEFT JOIN sc ON t.doc_id = sc.doc_id
+       |ORDER BY t.doc_id""".stripMargin
 
   /** The q121 operator body, exposed for spec inputs: two-phase
     * distributed prefix sum over (doc_id, n_tok) rows. The output is a

@@ -133,4 +133,45 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("span-dedup interval reconstruction equals the brute-force membership filter") {
+    // random corpora with heavy token reuse (so cross-doc dup spans,
+    // overlapping/adjacent covered intervals, and doc-edge spans all
+    // occur): the merged-interval gap-slice reconstruction must equal
+    // the O(n_tok * n_removed) per-token membership filter it replaced
+    val w = 3
+    val corpusGen = Gen.listOfN(6, Gen.listOfN(12,
+      Gen.oneOf("a", "b", "c", "d")).map(_.mkString(" ")))
+    forAllSeeded(corpusGen, n = 15) { texts =>
+      val docs = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val out = graft.ops.SpanDedup.dedupSpans(docs, w).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4))))
+        .toMap
+      // brute force in plain Scala: same first-occurrence election on
+      // the literal gram STRING (collision-free here), then the naive
+      // covered-set filter
+      val toks = texts.map(_.split(" ").filter(_.nonEmpty))
+      val firsts = scala.collection.mutable.Map[String, (Int, Int)]()
+      for (d <- toks.indices; p <- 0 to toks(d).length - w) {
+        val g = toks(d).slice(p, p + w).mkString(" ")
+        if (!firsts.contains(g)) firsts(g) = (d, p)
+      }
+      for (d <- toks.indices) {
+        val starts = (0 to toks(d).length - w)
+          .filter(p => firsts(toks(d).slice(p, p + w).mkString(" ")) != ((d, p)))
+        val covered = starts.flatMap(p => p until p + w).toSet
+        val kept = toks(d).zipWithIndex.collect {
+          case (t, i) if !covered.contains(i) => t
+        }
+        val ph = graft.functions.TextHash.polyHash(
+          org.apache.spark.unsafe.types.UTF8String.fromString(
+            kept.mkString(" ")), 31)
+        assert(out(d.toLong) == ((starts.length.toLong,
+          covered.size.toLong, ph)),
+          s"doc $d: got ${out(d.toLong)}, want " +
+            s"(${starts.length}, ${covered.size}, $ph) text='${texts(d)}'")
+      }
+    }
+  }
 }

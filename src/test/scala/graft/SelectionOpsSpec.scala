@@ -294,6 +294,17 @@ class SelectionOpsSpec extends SparkSpec {
       tiny.getLong(3)) == ((1L, 2L, 3L, 33L)))
   }
 
+  test("q122 streaming LM training equals the batch q107 gate row for row") {
+    // the LM is trained from per-batch partial counts folded at read
+    // time; equality with the batch gate proves the count handoff AND
+    // that deriving c1 from the folded c2 loses nothing
+    val batch = Registry.byName("q107_bigram_ppl_gate").run(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    val streamed = Registry.byName("q122_bigram_lm_stream").run(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
   test("q121: prefix sums are partition-count invariant and exact") {
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id").cast("long").as("doc_id"),
