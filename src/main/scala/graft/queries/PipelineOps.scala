@@ -214,6 +214,48 @@ object PipelineOps {
              |GROUP BY h, event_type
              |ORDER BY h, event_type""".stripMargin)),
 
+    // ---- E6 x T2: sketch-state streaming aggregate, DuckDB-checked -------
+    // Distinct users per hourly window with the KMV aggregate as the
+    // STREAMING window function: state per open window is <= 8 longs,
+    // where a streaming countDistinct holds every user id until the
+    // watermark closes the window. k=8 sits below busy hours' true
+    // cardinality (4..28 on the fixture), so saturated windows carry
+    // real estimates and unsaturated ones are exact — and because the
+    // minima are a deterministic function of each window's user set,
+    // DuckDB replays the whole approximate result.
+    Q(
+      "q123_kmv_users_stream",
+      (s, d) => {
+        val stream = EventStreams.readEventStream(s, s"$d/events.parquet")
+        val agg = EventStreams.hourlyDistinctUsers(stream)
+        val name = "graft_stream_kmv_users"
+        s.catalog.dropTempView(name)
+        // state partitions sized to state volume — see q57
+        val prev = s.conf.get("spark.sql.shuffle.partitions")
+        val out =
+          try {
+            s.conf.set("spark.sql.shuffle.partitions", "8")
+            EventStreams.runToMemory(s, agg, name, OutputMode.Update())
+          } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+        out
+          .select(date_format(col("h"), "yyyy-MM-dd HH:00:00").as("h"),
+                  col("n_min"), col("kth_hash"), col("est_users"))
+          .orderBy(col("h"))
+      },
+      Some("""WITH hu AS (SELECT DISTINCT date_trunc('hour', ts) AS hh,
+             |              (982451653::BIGINT * user_id + 12345) % 1000000007 AS hsh
+             |            FROM events),
+             |r AS (SELECT hh, hsh,
+             |        row_number() OVER (PARTITION BY hh ORDER BY hsh) AS rn
+             |      FROM hu),
+             |m AS (SELECT hh, CAST(count(*) AS BIGINT) AS n_min,
+             |        max(hsh) AS kth_hash
+             |      FROM r WHERE rn <= 8 GROUP BY hh)
+             |SELECT strftime(hh, '%Y-%m-%d %H:00:00') AS h, n_min, kth_hash,
+             |       CASE WHEN n_min < 8 THEN CAST(n_min AS DOUBLE)
+             |            ELSE round(7 * 1000000007.0 / kth_hash, 4) END AS est_users
+             |FROM m ORDER BY h""".stripMargin)),
+
     // ---- E6: stream-static dimension join, DuckDB-checked -----------------
     // The event stream enriched with the static customer dimension
     // (broadcast — no stream shuffle, no join state) before a

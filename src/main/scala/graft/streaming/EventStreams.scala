@@ -93,6 +93,30 @@ object EventStreams {
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_v"))
       .select(col("w.start").as("h"), col("c_mktsegment"), col("n"), col("sum_v"))
 
+  /** E6 × T2: per-hour distinct-user estimation with the KMV sketch AS
+    * the streaming window aggregate — per-window state is ≤ k longs in
+    * the state store, where a streaming countDistinct would hold every
+    * user id per open window. k is deliberately small so saturated
+    * windows produce real estimates (unsaturated windows are exact by
+    * construction). The k minima are a deterministic function of each
+    * window's user SET, so the streaming result carries a FULL batch
+    * oracle despite being an approximate aggregate.
+    */
+  def hourlyDistinctUsers(events: DataFrame, k: Int = 8): DataFrame = {
+    val P = graft.functions.TextHash.Mod
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(graft.functions.KMVSketch.kmvMins(
+        (lit(982451653L) * col("user_id") + lit(12345L)) % P, k).as("mins"))
+      .select(col("w.start").as("h"),
+        size(col("mins")).cast("long").as("n_min"),
+        element_at(col("mins"), size(col("mins"))).as("kth_hash"),
+        when(size(col("mins")) < k, size(col("mins")).cast("double"))
+          .otherwise(round(lit((k - 1).toDouble * P) /
+            element_at(col("mins"), k), 4)).as("est_users"))
+  }
+
   /** Sliding 1-hour windows every 15 minutes (overlapping aggregation). */
   def slidingCounts(events: DataFrame): DataFrame =
     events
