@@ -108,9 +108,17 @@ object CmsSketch {
 
   def rowA(j: Int): Long = RowA + j * RowStep
 
-  /** The cell index of item-hash `h` in row `j` (h must be in [0, P)). */
-  def cell(h: Long, j: Int, w: Int): Int =
-    (((rowA(j) * h + RowB) % P) % w).toInt
+  /** The cell index of item-hash `h` in row `j`. The hash is first
+    * reduced into [0, P) with floorMod so that arbitrary bigint input
+    * (the SQL surface accepts any column) can neither overflow
+    * rowA(j)*h nor produce a negative cell index; for hashes already
+    * in [0, P) — all registered queries — the reduction is identity,
+    * so oracle replays are unchanged.
+    */
+  def cell(h: Long, j: Int, w: Int): Int = {
+    val hm = Math.floorMod(h, P)
+    (((rowA(j) * hm + RowB) % P) % w).toInt
+  }
 
   def cmsCounters(hash: Column, d: Int, w: Int): Column =
     ColumnBridge.column(

@@ -23,9 +23,13 @@ final class VecSumBuffer(val dim: Int) extends Serializable {
   val sums = new Array[Double](dim)
 
   def insert(arr: ArrayData): Unit = {
-    val n = math.min(dim, arr.numElements())
+    // dim is fixed at plan time; a row of any other width means the
+    // declared vector width is wrong, and silently truncating/partially
+    // summing it would corrupt every downstream centroid and moment.
+    require(arr.numElements() == dim,
+      s"vec_sum(dim=$dim) got a vector of length ${arr.numElements()}")
     var i = 0
-    while (i < n) {
+    while (i < dim) {
       if (!arr.isNullAt(i)) sums(i) += arr.getDouble(i)
       i += 1
     }

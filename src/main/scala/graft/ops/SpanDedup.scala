@@ -55,26 +55,30 @@ object SpanDedup {
     * body of [[graft.streaming.SpanDedupStream]]): a batch gram is a
     * duplicate if its pack is in the store OR an earlier (doc_id, pos)
     * within the batch carries it. Returns the per-doc output (same
-    * schema as [[dedupSpans]]) and the batch's first-seen packs to
-    * append to the store. At scale the store is a pack-bucketed table
-    * and the membership probe is the batch's one keyed join.
+    * schema as [[dedupSpans]]), the batch's first-seen packs to append
+    * to the store, and a cleanup thunk to call after BOTH have been
+    * materialized. The store delta IS the dedup's first-occurrence
+    * election restricted to store-unseen packs (one row per fresh pack
+    * by construction — no second distinct over gram occurrences), so
+    * the election is computed once, cached, and shared by the two
+    * sinks. At scale the store is a pack-bucketed table and the
+    * membership probe is the batch's one keyed join.
     */
   def dedupBatch(batch: DataFrame, storePacks: DataFrame,
-                 w: Int): (DataFrame, DataFrame) = {
-    val base = withKept(batch, w, Some(storePacks))
+                 w: Int): (DataFrame, DataFrame, () => Unit) = {
+    val firstsKept = firstOccurrences(batch, w, Some(storePacks)).cache()
+    val base = withKeptFrom(batch, firstsKept, w)
     val out = base
       .select(col("doc_id"),
         size(col("toks")).cast("long").as("n_tok"),
         coalesce(size(col("starts")), lit(0)).cast("long").as("n_dup_spans"),
         col("n_removed"),
         polyHash(array_join(col("kept"), " ")).as("kept_hash"))
-    val fresh = grams(batch, w)
-      .join(storePacks.select(col("pack")), Seq("pack"), "left_anti")
-      .select(col("pack")).distinct()
-    (out, fresh)
+    val fresh = firstsKept.select(col("pack"))
+    (out, fresh, () => { firstsKept.unpersist(); () })
   }
 
-  private def grams(docs: DataFrame, w: Int): DataFrame =
+  private[graft] def grams(docs: DataFrame, w: Int): DataFrame =
     // (doc_id, pos, pack): one row per w-gram start — the GramPacks
     // kernel computes every dual-hash pack in one codegen pass over the
     // string (O(1) fold per token via prefix hashes), so the 12-byte
@@ -84,28 +88,38 @@ object SpanDedup {
           .as(Seq("pos", "pack")))
       .where(col("pack").isNotNull)
 
-  private def withKept(docs: DataFrame, w: Int,
-                       storePacks: Option[DataFrame] = None): DataFrame = {
-    val toked = docs.select(col("doc_id"),
-      filter(split(col("text"), " "), t => t =!= "").as("toks"))
-    val g = grams(docs, w)
-    // Elect the first occurrence per gram with a partial-aggregable
-    // min(struct) — NOT a row_number window: a hot gram (boilerplate
-    // text) would funnel every occurrence through one task's sort,
-    // while map-side combine collapses it to one row per task. The dup
-    // starts of a doc are then the COMPLEMENT of its first-occurrence
-    // starts among all its gram starts, so the per-occurrence gram
-    // table never crosses the wire — the shuffles carry only combined
-    // (pack, first) rows and tiny per-doc lists.
-    val firsts = g.groupBy("pack")
+  /** The first-occurrence election: one (pack, f=(doc_id, pos)) row per
+    * gram pack, via a partial-aggregable min(struct) — NOT a row_number
+    * window: a hot gram (boilerplate text) would funnel every
+    * occurrence through one task's sort, while map-side combine
+    * collapses it to one row per task. In incremental mode a pack the
+    * store has seen is a dup outright, so its in-batch "first" loses
+    * too (left-anti against the store).
+    */
+  private def firstOccurrences(docs: DataFrame, w: Int,
+                               storePacks: Option[DataFrame]): DataFrame = {
+    val firsts = grams(docs, w).groupBy("pack")
       .agg(min(struct(col("doc_id"), col("pos"))).as("f"))
-    // incremental mode: a pack the store has seen is a dup outright, so
-    // its in-batch "first" loses too
-    val firstsKept = storePacks match {
+    storePacks match {
       case None => firsts
       case Some(store) =>
         firsts.join(store.select(col("pack")), Seq("pack"), "left_anti")
     }
+  }
+
+  private def withKept(docs: DataFrame, w: Int,
+                       storePacks: Option[DataFrame] = None): DataFrame =
+    withKeptFrom(docs, firstOccurrences(docs, w, storePacks), w)
+
+  /** The reconstruction half: dup starts of a doc are the COMPLEMENT of
+    * its first-occurrence starts among all its gram starts, so the
+    * per-occurrence gram table never crosses the wire — the shuffles
+    * carry only combined (pack, first) rows and tiny per-doc lists.
+    */
+  private def withKeptFrom(docs: DataFrame, firstsKept: DataFrame,
+                           w: Int): DataFrame = {
+    val toked = docs.select(col("doc_id"),
+      filter(split(col("text"), " "), t => t =!= "").as("toks"))
     val firstStarts = firstsKept
       .groupBy(col("f.doc_id").as("doc_id"))
       .agg(collect_list(col("f.pos")).as("first_starts"))

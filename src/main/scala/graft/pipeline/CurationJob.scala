@@ -81,7 +81,11 @@ object CurationJob {
       .orderBy(col("shard"))
     stats.write.mode(SaveMode.Overwrite).parquet(s"$outDir/shard_stats")
     val (nShards, totTok) = {
-      val r = stats.agg(count(lit(1)), sum(col("sum_tok"))).collect().head
+      // sum() over zero rows is NULL — an all-gated-out corpus must
+      // report (0, 0), not throw on getLong.
+      val r = stats
+        .agg(count(lit(1)), coalesce(sum(col("sum_tok")), lit(0L)))
+        .collect().head
       (r.getLong(0), r.getLong(1))
     }
     CurationReport(nInput, nGated, nKept, totTok, nShards)

@@ -166,6 +166,54 @@ object Load {
       .sorted
   }
 
+  /** Read a `bucket=`-partitioned store pruned to the given bucket list
+    * (None if the store doesn't exist yet). The isin filter is a
+    * partition filter, so the scan lists and reads ONLY the matching
+    * bucket directories — the probe cost of an incremental dedup batch
+    * is proportional to the buckets it touches, not to accumulated
+    * history. When the batch touches every bucket the filter is skipped
+    * outright (planning noise for no pruning).
+    */
+  def readBucketed(spark: SparkSession, path: String,
+                   buckets: Seq[Int], nBuckets: Int): Option[DataFrame] =
+    readStoreIfExists(spark, path).map(pruneBuckets(_, buckets, nBuckets))
+
+  /** The bucket-prune filter on an already-opened store frame. */
+  def pruneBuckets(store: DataFrame, buckets: Seq[Int],
+                   nBuckets: Int): DataFrame =
+    if (buckets.length < nBuckets)
+      store.where(col("bucket").isin(buckets.map(Int.box): _*))
+    else store
+
+  /** Total bytes under a store path (0 if absent) — one driver-side
+    * metadata call. Incremental probes use it as a cost-based switch:
+    * below the threshold a full-store scan is cheaper than the extra
+    * job that derives the prune list (the AQE-style decision; at
+    * warehouse scale a store-size manifest would replace the listing).
+    */
+  def storeBytes(spark: SparkSession, path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+  }
+
+  /** Idempotent foreachBatch partial sink: write a micro-batch's
+    * partial under its own `batch=<id>` subdirectory with Overwrite.
+    * foreachBatch is at-least-once — a batch retried after a partial
+    * failure re-runs with the SAME batchId, so keying the directory on
+    * it makes the retry REPLACE its partial instead of double-appending
+    * (the restart-safety pattern the Structured Streaming docs
+    * prescribe for foreachBatch sinks). The Hive-style `batch=` name
+    * doubles as a partition column, so readers can prune or expire by
+    * batch and `compactPartitioned` compacts per leaf.
+    */
+  def writeBatchPartial(df: DataFrame, dir: String, batchId: Long,
+                        partitionCols: Seq[String] = Seq.empty): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(s"$dir/batch=$batchId")
+  }
+
   /** Read a parquet store only if its directory exists. Incremental
     * operators treat a MISSING store as "first run" — but a store that
     * exists and fails to read must propagate: swallowing a transient or

@@ -128,6 +128,108 @@ final class LlmSkillExtractor(
   }
 }
 
+/** Real HTTP transport for [[LlmSkillExtractor]] — the production `call`
+  * implementation the trait left injected until round 5 (reference
+  * `src/data_extract.py:108-135`: each description is posted to a
+  * chat-completions endpoint and one message comes back). Zero new
+  * dependencies: `java.net.http.HttpClient` (async send; the harness's
+  * pool threads block on the future while socket work runs on the
+  * client's selector threads, so `concurrency` bounds in-flight
+  * REQUESTS, not parked sockets) and Spark's bundled Jackson for JSON
+  * on both sides — hand-rolled string escaping is how request-injection
+  * bugs happen.
+  *
+  * Wire shape is the public chat-completions convention: request
+  * `{"model": m, "messages": [{"role": "user", "content": prompt}]}`,
+  * response content at `choices[0].message.content`, expected to carry
+  * the extractor's `TECH:`/`SOFT:` lines (the instruction prompt asks
+  * for exactly that). Every failure mode — non-2xx status (429s and
+  * 5xxs included), connect/read timeout, malformed body — surfaces as
+  * an exception, which the [[LlmSkillExtractor]] harness owns: retry
+  * with backoff under the cost cap, then degrade to ("", ""), never
+  * fail the task (the reference's error guard, `data_extract.py:131-135`).
+  *
+  * One instance per extractor is fine across partitions: state is an
+  * endpoint string plus transient lazies, so Spark serializes the
+  * config and each executor builds its own client on first use.
+  */
+final class HttpLlmClient(
+    endpoint: String,
+    model: String = "skill-extract-1",
+    headers: Map[String, String] = Map.empty,
+    timeoutMs: Long = 30000L) extends (String => String) with Serializable {
+
+  @transient private lazy val client =
+    java.net.http.HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofMillis(timeoutMs))
+      .build()
+  @transient private lazy val mapper =
+    new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** Exposed for the hermetic spec: the exact request body for `text`. */
+  private[graft] def requestBody(text: String): String = {
+    val root = mapper.createObjectNode()
+    root.put("model", model)
+    val msg = root.putArray("messages").addObject()
+    msg.put("role", "user")
+    msg.put("content", HttpLlmClient.instruction + text)
+    mapper.writeValueAsString(root)
+  }
+
+  override def apply(text: String): String = {
+    val b = java.net.http.HttpRequest.newBuilder(java.net.URI.create(endpoint))
+      .timeout(java.time.Duration.ofMillis(timeoutMs))
+      .header("Content-Type", "application/json")
+    headers.foreach { case (k, v) => b.header(k, v) }
+    val req = b.POST(java.net.http.HttpRequest.BodyPublishers
+        .ofString(requestBody(text), java.nio.charset.StandardCharsets.UTF_8))
+      .build()
+    // sendAsync + join: an IO failure or timeout surfaces as
+    // CompletionException — an Exception, so the retry harness owns it
+    val resp = client.sendAsync(req,
+      java.net.http.HttpResponse.BodyHandlers
+        .ofString(java.nio.charset.StandardCharsets.UTF_8)).join()
+    if (resp.statusCode() != 200)
+      throw new java.io.IOException(
+        s"LLM endpoint returned HTTP ${resp.statusCode()}")
+    val content = mapper.readTree(resp.body())
+      .path("choices").path(0).path("message").path("content")
+    if (!content.isTextual)
+      throw new java.io.IOException(
+        s"malformed LLM response body: ${resp.body().take(200)}")
+    content.asText()
+  }
+}
+
+object HttpLlmClient {
+  /** The instruction prefix that makes any instruction-following model
+    * answer in the two-line format [[LlmSkillExtractor]] parses.
+    */
+  val instruction: String =
+    "Extract skills from the job description below. Reply with exactly " +
+      "two lines:\nTECH: <comma-separated technical skills>\n" +
+      "SOFT: <comma-separated soft skills>\n\n"
+
+  /** The fully-wired production extractor: HTTP transport under the
+    * concurrency/retry/cost-cap harness.
+    */
+  def extractor(
+      endpoint: String,
+      model: String = "skill-extract-1",
+      headers: Map[String, String] = Map.empty,
+      timeoutMs: Long = 30000L,
+      maxChars: Int = 4000,
+      concurrency: Int = 4,
+      maxRetries: Int = 2,
+      retryDelayMs: Long = 100L,
+      maxCalls: Long = Long.MaxValue): LlmSkillExtractor =
+    new LlmSkillExtractor(
+      call = new HttpLlmClient(endpoint, model, headers, timeoutMs),
+      maxChars = maxChars, concurrency = concurrency,
+      maxRetries = maxRetries, retryDelayMs = retryDelayMs,
+      maxCalls = maxCalls)
+}
+
 object SkillExtract {
   /** Adds `technical_skills` / `soft_skills` extracted from
     * `descriptionCol`. Runs via mapPartitions so extractor state

@@ -237,20 +237,28 @@ object SelectionOps {
     // pattern: k tiny rounds, each one distributed argmax over the
     // candidates plus a broadcast of the single picked vector to update
     // every candidate's running max-similarity (localCheckpoint'd so
-    // round r doesn't replay rounds 1..r-1). At scale MMR reranks a
-    // bounded ANN top-N per query, so k and the candidate set are both
-    // small constants — the loop never touches the corpus. All scores
-    // are rounded-cosine arithmetic with vec_id tie-breaks; the oracle
-    // replays every round with generated CTEs (argmax + running-max
-    // update per round, the q99 pattern).
+    // round r doesn't replay rounds 1..r-1). The REGISTERED form is the
+    // production composition: candidates are first bounded to the
+    // query's seeded-IVF cell reranked to the top N=100 by relevance
+    // (mmrCandidates — one TakeOrderedAndProject over one cell), and
+    // the k rounds then scan at most N rows each, never the corpus —
+    // 2k full-table scans of a 100 TB embedding table was the
+    // unregistrable shape. The corpus-wide form survives in
+    // SelectionOpsSpec on fixture-sized inputs. All scores are
+    // rounded-cosine arithmetic with vec_id tie-breaks; the oracle
+    // replays the same cell-top-N candidate rule, then every round
+    // with generated CTEs (argmax + running-max update, the q99
+    // pattern).
     Q(
       "q110_mmr_select",
       (s, d) => mmrSelect(s,
-        Tables.embeddings(s, d)
-          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-          .withColumn("n2", squaredNorm(col("v"))),
+        mmrCandidates(
+          Tables.embeddings(s, d)
+            .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+            .withColumn("n2", squaredNorm(col("v"))),
+          n = 100),
         k = 10),
-      Some(mmrSql(10))),
+      Some(mmrSql(10, 100))),
 
     // ---- Streaming ANN index maintenance (q86's ingestion twin) ----------
     // Vectors arrive as files; the first batch pins the seeded coarse
@@ -887,14 +895,43 @@ object SelectionOps {
     }.toDF().orderBy(col("doc_id"))
   }
 
+  /** The registered q110 candidate frame: the query's IVF cell under
+    * the seeded quantizer (q86's assignment), reranked by rounded
+    * query relevance with vec_id tie-break and cut to the top `n` via
+    * TakeOrderedAndProject — so [[mmrSelect]]'s per-pick scans touch at
+    * most n rows, never the corpus. Returns the query row (vec_id 0)
+    * plus the bounded candidates as (vec_id, v, n2).
+    */
+  private[graft] def mmrCandidates(e: org.apache.spark.sql.DataFrame,
+                                   n: Int): org.apache.spark.sql.DataFrame = {
+    val asg = assignSeeded(e)
+    val q = asg.where(col("vec_id") === 0)
+      .select(col("bucket").as("q_bucket"), col("v").as("qv"),
+        col("n2").as("qn2"))
+    val topn = asg.join(broadcast(q), col("bucket") === col("q_bucket"))
+      .where(col("vec_id") >= 1)
+      .withColumn("rel0",
+        round(dotProduct(col("v"), col("qv")) / sqrt(col("n2") * col("qn2")), 4))
+      .orderBy(desc("rel0"), col("vec_id")).limit(n)
+      .select(col("vec_id"), col("v"), col("n2"))
+    e.where(col("vec_id") === 0)
+      .select(col("vec_id"), col("v"), col("n2"))
+      .unionByName(topn)
+  }
+
   /** The q110 operator body, exposed for spec inputs: MMR over an
     * embedding frame (vec_id, v, n2) — query = vec_id 0, candidates =
     * the rest. Terminates early when k exceeds the candidate pool
     * (same rule as BPE's merge learning).
     */
   private[graft] def mmrSelect(s: org.apache.spark.sql.SparkSession,
-                               e: org.apache.spark.sql.DataFrame,
+                               frame: org.apache.spark.sql.DataFrame,
                                k: Int): org.apache.spark.sql.DataFrame = {
+    // pin the input once: each round's picked-vector lookup re-reads
+    // this frame, and when the caller passes a composed pipeline
+    // (mmrCandidates' assignment + top-N) an un-pinned plan would
+    // re-execute that whole pipeline k times
+    val e = frame.localCheckpoint()
     val qv = e.where(col("vec_id") === 0)
       .select(col("v").as("qv"), col("n2").as("qn2"))
     var cand = e.where(col("vec_id") >= 1).crossJoin(broadcast(qv))
@@ -936,9 +973,12 @@ object SelectionOps {
   }
 
   /** q110's oracle, generated per round like q99's: p<r> is round r's
-    * argmax, m<r> the candidates' running max-similarity after it.
+    * argmax, m<r> the candidates' running max-similarity after it. The
+    * candidate CTE replays the registered bounding rule — assign every
+    * vector to its seeded-IVF cell (q86's asg), keep the query's cell,
+    * rerank by relevance, cut to the top n.
     */
-  private def mmrSql(k: Int): String = {
+  private def mmrSql(k: Int, n: Int): String = {
     def round(r: Int): String =
       s"""p$r AS (SELECT vec_id, v, rel, round(0.7*rel - 0.3*ms, 4) AS score
          |        FROM m${r - 1} ORDER BY score DESC, vec_id LIMIT 1),
@@ -946,10 +986,20 @@ object SelectionOps {
          |          greatest(m.ms, round(list_cosine_similarity(m.v, p.v), 4)) AS ms
          |        FROM m${r - 1} m, p$r p WHERE m.vec_id <> p.vec_id)""".stripMargin
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-       |cand AS (SELECT vec_id, v,
-       |           round(list_cosine_similarity(v,
-       |             (SELECT v FROM e WHERE vec_id = 0)), 4) AS rel
-       |         FROM e WHERE vec_id >= 1),
+       |cent AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 8),
+       |asg AS (SELECT vec_id, v, c_id AS bucket FROM (
+       |          SELECT e.vec_id, e.v, c.c_id,
+       |                 row_number() OVER (PARTITION BY e.vec_id
+       |                   ORDER BY round(list_cosine_similarity(e.v, c.cv), 4) DESC, c.c_id) AS rn
+       |          FROM e, cent c)
+       |        WHERE rn = 1),
+       |qrow AS (SELECT bucket, v AS qv FROM asg WHERE vec_id = 0),
+       |cand AS (SELECT vec_id, v, rel FROM (
+       |           SELECT a.vec_id, a.v,
+       |                  round(list_cosine_similarity(a.v, q.qv), 4) AS rel
+       |           FROM asg a, qrow q
+       |           WHERE a.bucket = q.bucket AND a.vec_id >= 1
+       |           ORDER BY rel DESC, a.vec_id LIMIT $n)),
        |p1 AS (SELECT vec_id, v, rel, rel AS score
        |       FROM cand ORDER BY rel DESC, vec_id LIMIT 1),
        |m1 AS (SELECT c.vec_id, c.v, c.rel,

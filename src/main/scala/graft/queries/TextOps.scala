@@ -20,10 +20,13 @@ import org.apache.spark.sql.functions._
   *    compares (collision probability at 64 bits is negligible);
   *  - each doc's shingle-set size is computed from the array before the
   *    explode, so no extra window/groupBy pass is needed;
-  *  - q34 (exact all-pairs) is the verification path; q35 (MinHash+LSH)
+  *  - q34 (exact all-pairs) is the verification path; q70 (MinHash+LSH)
   *    is the 100 TB path: signatures are a narrow map, the band join
   *    touches only colliding buckets, and exact Jaccard runs only on
-  *    candidates via array_intersect on the two shingle arrays.
+  *    candidates via array_intersect on the two shingle arrays. The
+  *    engine-hash (xxhash64) twins of q70/q71 — formerly registry rows
+  *    q35/q36 — were retired in round 5 as oracle-less duplicates; they
+  *    live on as [[minhashLshXx]]/[[simhashXx]] under OpsSpec.
   */
 object TextOps {
 
@@ -116,6 +119,110 @@ object TextOps {
     * beyond any corpus/df ratio we'd meet).
     */
   private[queries] val log2Ladder: Seq[Int] = 1 to 40
+
+  /** MinHash+LSH keyed on engine-internal xxhash64 — the pure-speed
+    * production variant of the registered q70 (identical banding: 32
+    * hashes, 8 bands of 4; exact-Jaccard rescore on candidates).
+    * RETIRED from the registry in round 5: with engine-internal hashes
+    * no external oracle can replay it (it sat as a no_oracle row), and
+    * the portable q70 covers the algorithm end to end — this form
+    * survives for OpsSpec's lsh==exact cross-check, which is the right
+    * check for a hash choice that only changes WHICH candidates band
+    * together, never the verified output set.
+    */
+  private[graft] def minhashLshXx(s: SparkSession, d: String): DataFrame = {
+    val numHashes = 32
+    val bandSize = 4
+    val numBands = numHashes / bandSize
+    // No size(shs)>0 filter here: it would be alias-expanded and
+    // pushed to the scan (see `shingles` doc). Docs with an empty
+    // shingle set get no signature rows at all (nothing to explode).
+    val base = withShingleSet(s, d)
+      .select(col("doc_id"), col("shs"))
+    // Signatures via explode + 32 codegen'd MIN aggregates — one
+    // shuffle of (doc_id, sh) longs. The narrow alternative
+    // (array_min over transform per permutation) runs on the
+    // interpreted higher-order-function path and is ~3x slower.
+    val sigAggs = (0 until numHashes).map(i =>
+      min(xxhash64(col("sh"), lit(i))).as(s"h$i"))
+    val sig = shingles(s, d)
+      .groupBy(col("doc_id"))
+      .agg(sigAggs.head, sigAggs.tail: _*)
+    val bandCols = (0 until numBands).map { b =>
+      val slice = (0 until bandSize).map(j => col(s"h${b * bandSize + j}"))
+      struct(lit(b).as("band"), xxhash64(slice: _*).as("bh"))
+    }
+    // bands carry only (doc_id, band, bh) — the shingle arrays are
+    // joined back for the (rare) candidates, so the band exchange
+    // stays 24 bytes/row at any scale.
+    val bands = sig
+      .select(col("doc_id"), explode_outer(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+      .where(col("bh").isNotNull)
+    val cand = bands.as("x")
+      .join(bands.as("y"),
+            col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+              col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    cand
+      .join(base.select(col("doc_id").as("doc_a"), col("shs").as("sa")), Seq("doc_a"))
+      .join(base.select(col("doc_id").as("doc_b"), col("shs").as("sb")), Seq("doc_b"))
+      .withColumn("common", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("jac",
+        round(col("common") * lit(1.0) /
+          (size(col("sa")) + size(col("sb")) - col("common")), 4))
+      .where(col("jac") >= 0.8)
+      .select(col("doc_a"), col("doc_b"), col("jac"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** 64-bit SimHash keyed on engine-internal xxhash64 — the pure-speed
+    * twin of the registered portable q71 (same pigeonhole banding: 4
+    * 16-bit blocks, hamming <= 3). RETIRED from the registry in round 5
+    * for the same reason as [[minhashLshXx]]; OpsSpec keeps its
+    * planted-near-dup and threshold checks.
+    */
+  private[graft] def simhashXx(s: SparkSession, d: String): DataFrame = {
+    // Bit counters via explode + 64 codegen'd SUM aggregates: one
+    // shuffle of (doc_id, tokenHash) rows, hash-aggregated. This beats
+    // per-doc higher-order-function reductions, which run interpreted.
+    val tokens = docs(s, d)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"),
+              explode_outer(split(col("text"), " ")).as("tok"))
+      .where(col("tok").isNotNull && col("tok") =!= "")
+      .withColumn("h", xxhash64(col("tok")))
+    val bitAggs = (0 until 64).map { i =>
+      sum(when(col("h").bitwiseAND(lit(1L << i)) =!= 0L, 1).otherwise(-1))
+        .as(s"b$i")
+    }
+    val sim = tokens.groupBy(col("doc_id")).agg(bitAggs.head, bitAggs.tail: _*)
+      .withColumn(
+        "simhash",
+        (0 until 64)
+          .map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+          .reduce((x, y) => x.bitwiseOR(y)))
+      .select(col("doc_id"), col("simhash"))
+    // Candidate generation: 4 blocks of 16 bits; by pigeonhole every
+    // pair at hamming <= 3 collides in at least one block, so the
+    // banding is COMPLETE for the threshold.
+    val chunks = sim.select(
+      col("doc_id"), col("simhash"),
+      explode_outer(array((0 until 4).map(c =>
+        struct(lit(c).as("c"),
+               expr(s"(simhash >> ${16 * c}) & 65535").as("ck"))): _*)).as("cc"))
+      .select(col("doc_id"), col("simhash"), col("cc.c").as("c"), col("cc.ck").as("ck"))
+    chunks.as("x")
+      .join(chunks.as("y"),
+            col("x.c") === col("y.c") && col("x.ck") === col("y.ck") &&
+              col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+              expr("bit_count(x.simhash ^ y.simhash)").as("hamming"))
+      .distinct()
+      .where(col("hamming") <= 3)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
 
   /** 60-bit simhash signatures for a (doc_id, text) frame from the dual
     * portable token hashes. With `idfWeighted` each occurrence counts
@@ -359,113 +466,6 @@ object TextOps {
               |WHERE round(common * 1.0 / (sa.n + sb.n - common), 4) >= 0.8
               |ORDER BY doc_a, doc_b""".stripMargin)),
 
-    // ---- E2: MinHash + LSH near-dup (the 100 TB path; rows-only check) ----
-    // Signatures are computed per-doc from the shingle array (narrow map,
-    // no shuffle); only the 8 band keys per doc are exchanged. Candidate
-    // pairs are verified with exact Jaccard via array_intersect.
-    Q(
-      "q35_docs_minhash_lsh",
-      (s, d) => {
-        val numHashes = 32
-        val bandSize = 4
-        val numBands = numHashes / bandSize
-        // No size(shs)>0 filter here: it would be alias-expanded and
-        // pushed to the scan (see `shingles` doc). Docs with an empty
-        // shingle set get no signature rows at all (nothing to explode).
-        val base = withShingleSet(s, d)
-          .select(col("doc_id"), col("shs"))
-        // Signatures via explode + 32 codegen'd MIN aggregates — one
-        // shuffle of (doc_id, sh) longs. The narrow alternative
-        // (array_min over transform per permutation) runs on the
-        // interpreted higher-order-function path and is ~3x slower.
-        val sigAggs = (0 until numHashes).map(i =>
-          min(xxhash64(col("sh"), lit(i))).as(s"h$i"))
-        val sig = shingles(s, d)
-          .groupBy(col("doc_id"))
-          .agg(sigAggs.head, sigAggs.tail: _*)
-        val bandCols = (0 until numBands).map { b =>
-          val slice = (0 until bandSize).map(j => col(s"h${b * bandSize + j}"))
-          struct(lit(b).as("band"), xxhash64(slice: _*).as("bh"))
-        }
-        // bands carry only (doc_id, band, bh) — the shingle arrays are
-        // joined back for the (rare) candidates, so the band exchange
-        // stays 24 bytes/row at any scale.
-        val bands = sig
-          .select(col("doc_id"), explode_outer(array(bandCols: _*)).as("bb"))
-          .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
-          .where(col("bh").isNotNull)
-        val cand = bands.as("x")
-          .join(bands.as("y"),
-                col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
-                  col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-          .dropDuplicates("doc_a", "doc_b")
-        cand
-          .join(base.select(col("doc_id").as("doc_a"), col("shs").as("sa")), Seq("doc_a"))
-          .join(base.select(col("doc_id").as("doc_b"), col("shs").as("sb")), Seq("doc_b"))
-          .withColumn("common", size(array_intersect(col("sa"), col("sb"))))
-          .withColumn("jac",
-            round(col("common") * lit(1.0) /
-              (size(col("sa")) + size(col("sb")) - col("common")), 4))
-          .where(col("jac") >= 0.8)
-          .select(col("doc_a"), col("doc_b"), col("jac"))
-          .orderBy(col("doc_a"), col("doc_b"))
-      },
-      None),
-
-    // ---- E2: SimHash near-dup (rows-only check) ---------------------------
-    // The 64 bit-counters are per-doc array reductions (narrow); only the
-    // small block keys are exchanged for the banding join. Empty-token
-    // docs get simhash 0 and are excluded by the hamming filter on join
-    // (no size() filter here — see `shingles` doc for why).
-    Q(
-      "q36_docs_simhash",
-      (s, d) => {
-        // Bit counters via explode + 64 codegen'd SUM aggregates: one
-        // shuffle of (doc_id, tokenHash) rows, hash-aggregated. This beats
-        // per-doc higher-order-function reductions, which run interpreted.
-        val tokens = docs(s, d)
-          .repartition(col("doc_id"))
-          .select(col("doc_id"),
-                  explode_outer(split(col("text"), " ")).as("tok"))
-          .where(col("tok").isNotNull && col("tok") =!= "")
-          .withColumn("h", xxhash64(col("tok")))
-        val bitAggs = (0 until 64).map { i =>
-          sum(when(col("h").bitwiseAND(lit(1L << i)) =!= 0L, 1).otherwise(-1))
-            .as(s"b$i")
-        }
-        val sim = tokens.groupBy(col("doc_id")).agg(bitAggs.head, bitAggs.tail: _*)
-          .withColumn(
-            "simhash",
-            (0 until 64)
-              .map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
-              .reduce((x, y) => x.bitwiseOR(y)))
-          .select(col("doc_id"), col("simhash"))
-        // Candidate generation: 4 blocks of 16 bits; by pigeonhole every
-        // pair at hamming <= 3 collides in at least one block, so the
-        // banding is COMPLETE for the threshold. (On this synthetic
-        // corpus the background hamming distribution is smooth from ~4
-        // up — unweighted simhash separates only very close pairs, which
-        // is the inherent simhash recall/precision trade; tf-idf weighted
-        // fingerprints would widen the margin on real text.)
-        val chunks = sim.select(
-          col("doc_id"), col("simhash"),
-          explode_outer(array((0 until 4).map(c =>
-            struct(lit(c).as("c"),
-                   expr(s"(simhash >> ${16 * c}) & 65535").as("ck"))): _*)).as("cc"))
-          .select(col("doc_id"), col("simhash"), col("cc.c").as("c"), col("cc.ck").as("ck"))
-        chunks.as("x")
-          .join(chunks.as("y"),
-                col("x.c") === col("y.c") && col("x.ck") === col("y.ck") &&
-                  col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-                  expr("bit_count(x.simhash ^ y.simhash)").as("hamming"))
-          .distinct()
-          .where(col("hamming") <= 3)
-          .orderBy(col("doc_a"), col("doc_b"))
-      },
-      None),
-
     // ---- E4: winnowing document fingerprints (rows-only check) ------------
     Q(
       "q37_docs_fingerprint",
@@ -517,7 +517,8 @@ object TextOps {
              |ORDER BY doc_id""".stripMargin)),
 
     // ---- E2: MinHash+LSH with a FULL DuckDB oracle ------------------------
-    // Same banded-minhash pipeline as q35, but every hash is engine-
+    // Same banded-minhash pipeline as the xxhash64 spec twin
+    // (minhashLshXx, the retired q35), but every hash is engine-
     // portable: shingle identity is a dual polynomial hash (bases
     // 31/131 mod 1e9+7 — pairwise collisions ~1e-18, so set sizes and
     // intersections are exact), minhash rows are affine transforms with

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.queries.SelectionOps
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
@@ -34,11 +34,13 @@ object BigramLmStream {
       .option("maxFilesPerTrigger", "1")
       .parquet(s"$inputDir/split_*.parquet")
     val q = stream.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        SelectionOps.docBigrams(SelectionOps.tokedDocs(
-            batch.select(col("doc_id").cast("long").as("doc_id"), col("text"))))
-          .groupBy(col("prev"), col("tok")).agg(count(lit(1)).as("n"))
-          .coalesce(1).write.mode(SaveMode.Append).parquet(countsDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.pipeline.Load.writeBatchPartial(
+          SelectionOps.docBigrams(SelectionOps.tokedDocs(
+              batch.select(col("doc_id").cast("long").as("doc_id"), col("text"))))
+            .groupBy(col("prev"), col("tok")).agg(count(lit(1)).as("n"))
+            .coalesce(1),
+          countsDir, batchId)
         ()
       }
       .option("checkpointLocation", s"$workDir/ckpt")

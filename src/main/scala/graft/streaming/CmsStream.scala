@@ -2,7 +2,7 @@ package graft.streaming
 
 import graft.functions.CmsSketch
 import graft.functions.PolyHash.polyHash
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
@@ -35,12 +35,14 @@ object CmsStream {
       .option("maxFilesPerTrigger", "1")
       .parquet(s"$inputDir/split_*.parquet")
     val q = stream.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch
-          .select(explode_outer(split(col("text"), " ")).as("tok"))
-          .where(col("tok").isNotNull && col("tok") =!= "")
-          .agg(CmsSketch.cmsCounters(polyHash(col("tok")), D, W).as("cms"))
-          .coalesce(1).write.mode(SaveMode.Append).parquet(partsDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.pipeline.Load.writeBatchPartial(
+          batch
+            .select(explode_outer(split(col("text"), " ")).as("tok"))
+            .where(col("tok").isNotNull && col("tok") =!= "")
+            .agg(CmsSketch.cmsCounters(polyHash(col("tok")), D, W).as("cms"))
+            .coalesce(1),
+          partsDir, batchId)
         ()
       }
       .option("checkpointLocation", s"$workDir/ckpt")

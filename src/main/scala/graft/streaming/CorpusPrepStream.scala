@@ -33,16 +33,32 @@ object CorpusPrepStream {
   /** Run the staged splits to completion (one micro-batch per file) and
     * return the folded per-(split, lang) stats, schema-identical to
     * q98's output.
+    *
+    * The prefix store uses the same bucketed layout as
+    * [[SpanDedupStream]]'s gram store: Hive-partitioned on
+    * `bucket = polyHash(pfx) mod nBuckets`, each batch's anti-joins
+    * partition-pruned to the buckets its own prefixes hash into, the
+    * delta appended with one task per bucket, and the per-bucket small
+    * files compacted on a cadence. The store append is idempotent (a
+    * retried batch's delta anti-joins to empty) and the stats partials
+    * are keyed on batchId, so at-least-once retries replace rather
+    * than double-append.
     */
-  def run(spark: SparkSession, inputDir: String, workDir: String): DataFrame = {
+  def run(spark: SparkSession, inputDir: String, workDir: String,
+          nBuckets: Int = 16, compactEvery: Int = 8): DataFrame = {
     val storeDir = s"$workDir/pfx_store"
     val partsDir = s"$workDir/partials"
+    val bucketOf =
+      pmod(graft.functions.PolyHash.polyHash(col("pfx")), lit(nBuckets.toLong))
+        .cast("int")
     val stream = spark.readStream
       .schema(spark.read.parquet(inputDir).schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(s"$inputDir/split_*.parquet")
     val q = stream.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // three consumers scan the gated batch (bucket list, chunking,
+        // store delta): cache it for the micro-batch's lifetime
         val gated = TrainingOps.withRowQuality(
             batch.select(col("doc_id").cast("long").as("doc_id"),
                          col("lang"), col("text")))
@@ -50,9 +66,25 @@ object CorpusPrepStream {
           .select(col("doc_id"), col("lang"), col("text"))
           .withColumn("pfx",
             concat_ws(" ", slice(split(col("text"), " "), 1, 16)))
-        // missing store = first batch; a read error on an EXISTING store
-        // must fail the batch, not dedup against nothing
+          .cache()
+        // missing store = first batch (nothing to prune — skip the
+        // bucket-list job); a read error on an EXISTING store must fail
+        // the batch, not dedup against nothing. The bucket list — the
+        // partition-prune filter for both store probes — is the batch
+        // prefixes' distinct hash buckets, bounded by nBuckets.
+        // Cost-based like SpanDedupStream: a small store is scanned
+        // whole rather than paying an extra job for the prune list.
         val store = graft.pipeline.Load.readStoreIfExists(spark, storeDir)
+          .map { s =>
+            val big = graft.pipeline.Load.storeBytes(spark, storeDir) >=
+              64L * 1024 * 1024
+            val pruned = if (!big) s else {
+              val batchBuckets = gated.select(bucketOf.as("bucket")).distinct()
+                .collect().map(_.getInt(0)).toSeq
+              graft.pipeline.Load.pruneBuckets(s, batchBuckets, nBuckets)
+            }
+            pruned.select(col("pfx"))
+          }
           .getOrElse(spark.createDataFrame(
             new java.util.ArrayList[org.apache.spark.sql.Row](), pfxSchema))
         // a prefix seen in an earlier batch loses outright; within the
@@ -63,11 +95,16 @@ object CorpusPrepStream {
             Window.partitionBy(col("pfx")).orderBy(col("doc_id"))))
           .where(col("rn") === 1)
           .select(col("doc_id"), col("lang"), col("text"))
-        TrainingOps.chunkSplitStats(kept)
-          .coalesce(1).write.mode(SaveMode.Append).parquet(partsDir)
+        graft.pipeline.Load.writeBatchPartial(
+          TrainingOps.chunkSplitStats(kept).coalesce(1), partsDir, batchId)
         gated.select(col("pfx")).distinct()
           .join(store, Seq("pfx"), "left_anti")
-          .coalesce(1).write.mode(SaveMode.Append).parquet(storeDir)
+          .withColumn("bucket", bucketOf)
+          .repartition(col("bucket"))
+          .write.mode(SaveMode.Append).partitionBy("bucket").parquet(storeDir)
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+          graft.pipeline.Load.compactPartitioned(spark, storeDir)
+        gated.unpersist()
         ()
       }
       .option("checkpointLocation", s"$workDir/ckpt")

@@ -39,7 +39,7 @@ object IvfStream {
       .option("maxFilesPerTrigger", "1")
       .parquet(s"$inputDir/split_*.parquet")
     val q = stream.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // staged via the shared doc_id-range stager; restore the key name
         val e = batch
           .select(col("doc_id").as("vec_id"),
@@ -66,8 +66,13 @@ object IvfStream {
         val cent = graft.pipeline.Load.readStoreIfExists(spark, centDir)
           .getOrElse(throw new IllegalStateException(
             "centroid store missing after first batch"))
-        SelectionOps.assignWith(e, cent)
-          .coalesce(1).write.mode(SaveMode.Append).parquet(storeDir)
+        // store layout: batch=<id>/bucket=<b> — idempotent per batch AND
+        // prunable per bucket, so a probe reads only the cells it
+        // searches (the same directory-pruning shape as the q101 gram
+        // store; compaction on cadence would merge per-bucket files)
+        graft.pipeline.Load.writeBatchPartial(
+          SelectionOps.assignWith(e, cent).repartition(col("bucket")),
+          storeDir, batchId, partitionCols = Seq("bucket"))
         ()
       }
       .option("checkpointLocation", s"$workDir/ckpt")

@@ -24,6 +24,11 @@ object SpanDedupStream {
 
   private val packSchema = StructType(Seq(StructField("pack", LongType)))
 
+  /** Store size above which a batch pays the bucket-list job to
+    * partition-prune its probe; below it a full scan is cheaper.
+    */
+  private val PruneThresholdBytes = 64L * 1024 * 1024
+
   /** Stage `docs` as `nSplits` doc_id-range parquet files under
     * `inputDir`, named and modification-timestamped in range order so
     * the file source replays them oldest-first (it orders by mod time):
@@ -68,35 +73,82 @@ object SpanDedupStream {
   /** Run the incremental dedup over the staged splits to completion
     * (one micro-batch per file) and return the accumulated per-doc
     * output, schema-identical to `SpanDedup.dedupSpans`.
+    *
+    * Store layout (the 100 TB shape): gram packs live in a Hive-style
+    * `bucket=<pack mod nBuckets>` directory tree. Each micro-batch
+    * (1) derives the distinct buckets its grams touch, (2) reads the
+    * store WITH a partition filter on those buckets — directory-level
+    * pruning, so the anti-join scans only matching store buckets, never
+    * full history — and (3) appends its first-seen packs partitioned by
+    * bucket with one task per bucket (natural parallelism; no
+    * one-task `coalesce(1)` funnel). Every `compactEvery` batches the
+    * accumulated per-bucket small files are rewritten in place
+    * ([[graft.pipeline.Load.compactPartitioned]] skips already-compact
+    * buckets), so scan task counts track data size, not append count.
+    *
+    * Restart safety: the store append is idempotent by construction —
+    * a retried batch re-computes `fresh` as an anti-join against a
+    * store that already holds its packs, yielding zero rows — and the
+    * doc output is keyed on batchId, so a retry replaces its partial
+    * instead of double-appending.
     */
   def run(spark: SparkSession, inputDir: String, workDir: String,
-          w: Int): DataFrame = {
+          w: Int, nBuckets: Int = 16, compactEvery: Int = 8): DataFrame = {
     val storeDir = s"$workDir/gram_store"
     val outDir = s"$workDir/out"
+    val bucketOf = pmod(col("pack"), lit(nBuckets.toLong)).cast("int")
     val stream = spark.readStream
       .schema(spark.read.parquet(inputDir).schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(s"$inputDir/split_*.parquet")
     val q = stream.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        // missing store = first batch; a read error on an EXISTING store
-        // must fail the batch, not dedup against nothing
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
+        // three consumers scan the batch (bucket list, dedup, delta):
+        // cache it for the micro-batch's lifetime
+        val batch = batch0.cache()
+        // missing store = first batch (nothing to prune, skip the
+        // bucket-list job); a read error on an EXISTING store must fail
+        // the batch, not dedup against nothing. The bucket list — the
+        // partition-prune filter for the store probe — is the batch's
+        // grams' distinct hash buckets: bounded by nBuckets, a tiny
+        // driver-side list, not data. Cost-based: below the size
+        // threshold a full scan beats paying an extra job for the list.
         val store = graft.pipeline.Load.readStoreIfExists(spark, storeDir)
+          .map { s =>
+            val big = graft.pipeline.Load.storeBytes(spark, storeDir) >=
+              PruneThresholdBytes
+            val pruned = if (!big) s else {
+              val batchBuckets = SpanDedup.grams(batch, w)
+                .select(bucketOf.as("bucket")).distinct()
+                .collect().map(_.getInt(0)).toSeq
+              graft.pipeline.Load.pruneBuckets(s, batchBuckets, nBuckets)
+            }
+            pruned.select(col("pack"))
+          }
           .getOrElse(spark.createDataFrame(
             new java.util.ArrayList[org.apache.spark.sql.Row](), packSchema))
-        val (out, fresh) = SpanDedup.dedupBatch(batch, store, w)
+        val (out, fresh, done) = SpanDedup.dedupBatch(batch, store, w)
         // materialize the doc output, then append the store delta; the
         // delta job's scan list over the store is fixed at planning, so
         // appending to the directory it reads is safe
-        out.coalesce(1).write.mode(SaveMode.Append).parquet(outDir)
-        fresh.coalesce(1).write.mode(SaveMode.Append).parquet(storeDir)
+        graft.pipeline.Load.writeBatchPartial(out, outDir, batchId)
+        fresh.withColumn("bucket", bucketOf)
+          .repartition(col("bucket"))
+          .write.mode(SaveMode.Append).partitionBy("bucket").parquet(storeDir)
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+          graft.pipeline.Load.compactPartitioned(spark, storeDir)
+        done()
+        batch.unpersist()
         ()
       }
       .option("checkpointLocation", s"$workDir/ckpt")
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.read.parquet(outDir).orderBy("doc_id")
+    spark.read.parquet(outDir)
+      .select(col("doc_id"), col("n_tok"), col("n_dup_spans"),
+        col("n_removed"), col("kept_hash"))
+      .orderBy("doc_id")
   }
 
   /** Stage + run in a fresh work dir: the q101 entry. */

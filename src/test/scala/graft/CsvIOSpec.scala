@@ -44,6 +44,30 @@ class CsvIOSpec extends SparkSpec {
     assert(globbed.count() == 3)
   }
 
+  test("scheme-qualified URIs read through the same path as plain paths") {
+    // The S3 waiver's testable half (SURVEY §2.16): every source goes
+    // through one Hadoop-filesystem code path, so an explicit scheme
+    // (file: here; s3a: in deployment) must behave identically to a
+    // bare path — same FileIndex listing, same glob semantics, same
+    // rows. Zero-egress sandbox: file: is the scheme we CAN exercise.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_scheme").toString
+    val rows = Seq(("acme", "engineer", "Full-Time", "seattle, wa",
+      "United States", Some(120000.0), "2025-10-20 09:15:00", "indeed",
+      "python", "teamwork", "Kaggle"))
+      .toDF(graft.pipeline.Schema.canonical.fields.map(_.name): _*)
+    CsvTables.write(rows, s"$tmp/fetch_jobs_2025-10-20.csv")
+    val plain = CsvTables.read(spark, Schema.canonical,
+      s"$tmp/fetch_jobs_*.csv").collect().map(_.toSeq)
+    val scheme = CsvTables.read(spark, Schema.canonical,
+      s"file://$tmp/fetch_jobs_*.csv").collect().map(_.toSeq)
+    assert(plain.nonEmpty && plain.toSeq == scheme.toSeq)
+    // and the parquet table path (Tables.documents et al. at s3a:// in
+    // deployment) — same equality through an explicit scheme
+    val viaPlain = Tables.documents(spark, sfDir).count()
+    val viaScheme = Tables.documents(spark, s"file://$sfDir").count()
+    assert(viaPlain > 0 && viaPlain == viaScheme)
+  }
+
   test("PERMISSIVE read degrades malformed cells to nulls, not task failures") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_badcsv").toString
     // salary column gets junk; one row is missing trailing columns

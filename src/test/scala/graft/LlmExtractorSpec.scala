@@ -74,6 +74,121 @@ class LlmExtractorSpec extends SparkSpec {
     assert(out.count(_ == (("", ""))) == 5)
   }
 
+  // ---- real HTTP transport, hermetic in-process server -------------------
+
+  /** Serve `handler` on an ephemeral 127.0.0.1 port for the test body. */
+  private def withServer(
+      handler: com.sun.net.httpserver.HttpExchange => Unit)(
+      body: String => Unit): Unit = {
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/v1/chat", (ex: com.sun.net.httpserver.HttpExchange) =>
+      try handler(ex) finally ex.close())
+    server.start()
+    try body(s"http://127.0.0.1:${server.getAddress.getPort}/v1/chat")
+    finally server.stop(0)
+  }
+
+  private def respond(ex: com.sun.net.httpserver.HttpExchange,
+                      status: Int, bodyStr: String): Unit = {
+    val bytes = bodyStr.getBytes("UTF-8")
+    ex.sendResponseHeaders(status, bytes.length)
+    ex.getResponseBody.write(bytes)
+  }
+
+  private def chatJson(content: String): String = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.createObjectNode()
+    root.putArray("choices").addObject()
+      .putObject("message").put("content", content)
+    mapper.writeValueAsString(root)
+  }
+
+  private def readBody(ex: com.sun.net.httpserver.HttpExchange): String =
+    new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+
+  test("HTTP transport: end-to-end extraction against an in-process server") {
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    withServer { ex =>
+      seen.add(readBody(ex))
+      respond(ex, 200, chatJson(ok))
+    } { url =>
+      val ex = graft.pipeline.HttpLlmClient.extractor(
+        url, headers = Map("Authorization" -> "Bearer test-key"))
+      assert(ex.extract(desc) == (("python, sql", "communication")))
+      assert(seen.size == 1)
+      // the request is real JSON carrying the instruction + description
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val sent = mapper.readTree(seen.peek())
+        .path("messages").path(0).path("content").asText()
+      assert(sent.startsWith("Extract skills"))
+      assert(sent.endsWith(desc))
+    }
+  }
+
+  test("HTTP transport: a 429 storm recovers through the retry harness") {
+    val calls = new AtomicInteger()
+    withServer { ex =>
+      if (calls.incrementAndGet() < 3) respond(ex, 429, "slow down")
+      else respond(ex, 200, chatJson(ok))
+    } { url =>
+      val ex = graft.pipeline.HttpLlmClient.extractor(
+        url, maxRetries = 2, retryDelayMs = 1L)
+      assert(ex.extract(desc) == (("python, sql", "communication")))
+      assert(calls.get() == 3)
+    }
+  }
+
+  test("HTTP transport: persistent 500s degrade to empty, never throw") {
+    val calls = new AtomicInteger()
+    withServer { ex =>
+      calls.incrementAndGet()
+      respond(ex, 500, "boom")
+    } { url =>
+      val ex = graft.pipeline.HttpLlmClient.extractor(
+        url, maxRetries = 2, retryDelayMs = 1L)
+      assert(ex.extract(desc) == (("", "")))
+      assert(calls.get() == 3) // initial + 2 retries, then the error guard
+    }
+  }
+
+  test("HTTP transport: malformed response bodies degrade to empty") {
+    val bodies = Iterator("not json at all", """{"choices": []}""",
+      """{"choices":[{"message":{}}]}""")
+    withServer { ex =>
+      respond(ex, 200, bodies.synchronized(bodies.next()))
+    } { url =>
+      val ex = graft.pipeline.HttpLlmClient.extractor(
+        url, maxRetries = 2, retryDelayMs = 1L)
+      assert(ex.extract(desc) == (("", "")))
+    }
+  }
+
+  test("HTTP transport: descriptions are truncated to maxChars before the wire") {
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    withServer { ex =>
+      seen.add(readBody(ex))
+      respond(ex, 200, chatJson(ok))
+    } { url =>
+      val ex = graft.pipeline.HttpLlmClient.extractor(url, maxChars = 100)
+      val long = desc + ("x" * 500)
+      ex.extract(long)
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val sent = mapper.readTree(seen.peek())
+        .path("messages").path(0).path("content").asText()
+      assert(sent.endsWith(long.take(100)))
+      assert(!sent.contains(long.take(101)))
+    }
+  }
+
+  test("HTTP transport: an unreachable endpoint degrades to empty") {
+    // a port from the ephemeral range with nothing listening
+    val ex = graft.pipeline.HttpLlmClient.extractor(
+      "http://127.0.0.1:1/v1/chat", maxRetries = 1, retryDelayMs = 1L,
+      timeoutMs = 2000L)
+    assert(ex.extract(desc) == (("", "")))
+  }
+
   test("withSkills drives the batch path under Spark") {
     // locals only: the closure must not capture the (non-serializable)
     // suite instance

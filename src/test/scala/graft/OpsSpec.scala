@@ -11,7 +11,7 @@ class OpsSpec extends SparkSpec {
   test("MinHash+LSH finds the same high-similarity pairs as exact Jaccard") {
     val exact = Registry.byName("q34_docs_jaccard_pairs").run(spark, sfDir)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val lsh = Registry.byName("q35_docs_minhash_lsh").run(spark, sfDir)
+    val lsh = graft.queries.TextOps.minhashLshXx(spark, sfDir)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     // LSH candidates are verified with exact Jaccard, so lsh ⊆ exact;
     // at jac >= 0.8 with 32 hashes / 8 bands recall should be total here.
@@ -31,7 +31,7 @@ class OpsSpec extends SparkSpec {
   test("SimHash flags the closest near-duplicates within its threshold") {
     val exact = Registry.byName("q34_docs_jaccard_pairs").run(spark, sfDir)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val sim = Registry.byName("q36_docs_simhash").run(spark, sfDir).collect()
+    val sim = graft.queries.TextOps.simhashXx(spark, sfDir).collect()
     val simPairs = sim.map(r => (r.getLong(0), r.getLong(1))).toSet
     // every returned pair respects the hamming threshold
     assert(sim.forall(_.getInt(2) <= 3))

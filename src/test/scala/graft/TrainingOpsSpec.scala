@@ -430,15 +430,19 @@ class TrainingOpsSpec extends SparkSpec {
     def parquets(dir: String): Int =
       Option(new java.io.File(dir).listFiles()).toSeq.flatten
         .count(_.getName.endsWith(".parquet"))
+    def batchDirs(dir: String): Seq[String] =
+      Option(new java.io.File(dir).listFiles()).toSeq.flatten
+        .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+        .map(_.getName).sorted
     assert(parquets(s"$workDir/input") == 2)
     val out = SpanDedupStream.run(spark, s"$workDir/input", workDir, w = 8)
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
                  r.getLong(4)))
-    // one appended output file per micro-batch: the two docs really
-    // were processed in separate batches, so d1's trim proves the
-    // persistent store carried d0's packs across batches
-    assert(parquets(s"$workDir/out") == 2)
+    // one batchId-keyed output partial per micro-batch: the two docs
+    // really were processed in separate batches, so d1's trim proves
+    // the persistent store carried d0's packs across batches
+    assert(batchDirs(s"$workDir/out") == Seq("batch=0", "batch=1"))
     assert(out.toSeq == Seq(
       (0L, 20L, 0L, 0L, ph(d0)),
       (1L, 11L, 1L, 8L, ph("z0 z1 z2"))))
@@ -452,8 +456,14 @@ class TrainingOpsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
                  r.getLong(4)))
     assert(again.toSeq == out.toSeq)
-    assert(parquets(s"$workDir/out") == 2)
+    assert(batchDirs(s"$workDir/out") == Seq("batch=0", "batch=1"))
     assert(spark.read.parquet(s"$workDir/gram_store").distinct().count() == 16)
+    // the store really is hive-bucketed on pack: every pack row sits in
+    // the directory its pack hashes to
+    val misplaced = spark.read.parquet(s"$workDir/gram_store")
+      .where(pmod(col("pack"), lit(16L)).cast("int") =!= col("bucket"))
+      .count()
+    assert(misplaced == 0L)
   }
 
   // ---- q104 incremental corpus prep --------------------------------------
