@@ -1,6 +1,5 @@
 package graft.ops
 
-import graft.functions.PolyHash.polyHash
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -34,12 +33,7 @@ object SpanDedup {
     * reconstructed deduplicated text.
     */
   def dedupSpans(docs: DataFrame, w: Int): DataFrame =
-    withKept(docs, w)
-      .select(col("doc_id"),
-        size(col("toks")).cast("long").as("n_tok"),
-        coalesce(size(col("starts")), lit(0)).cast("long").as("n_dup_spans"),
-        col("n_removed"),
-        polyHash(array_join(col("kept"), " ")).as("kept_hash"))
+    statsFrom(docs, firstStarts(firstOccurrences(docs, w, None)), w)
       .orderBy("doc_id")
 
   /** The reconstructed corpus itself: `(doc_id, text)` with every
@@ -47,8 +41,11 @@ object SpanDedup {
     * downstream (chunking, packing, export).
     */
   def keptText(docs: DataFrame, w: Int): DataFrame =
-    withKept(docs, w)
-      .select(col("doc_id"), array_join(col("kept"), " ").as("text"))
+    docs.join(firstStarts(firstOccurrences(docs, w, None)), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        graft.functions.SpanKernel.spanKeptText(col("text"),
+          coalesce(col("first_starts"), array().cast("array<int>")), w)
+          .as("text"))
 
   /** One ingestion batch deduped against the set of gram packs already
     * seen in earlier batches (incremental form — the `foreachBatch`
@@ -67,13 +64,7 @@ object SpanDedup {
   def dedupBatch(batch: DataFrame, storePacks: DataFrame,
                  w: Int): (DataFrame, DataFrame, () => Unit) = {
     val firstsKept = firstOccurrences(batch, w, Some(storePacks)).cache()
-    val base = withKeptFrom(batch, firstsKept, w)
-    val out = base
-      .select(col("doc_id"),
-        size(col("toks")).cast("long").as("n_tok"),
-        coalesce(size(col("starts")), lit(0)).cast("long").as("n_dup_spans"),
-        col("n_removed"),
-        polyHash(array_join(col("kept"), " ")).as("kept_hash"))
+    val out = statsFrom(batch, firstStarts(firstsKept), w)
     val fresh = firstsKept.select(col("pack"))
     (out, fresh, () => { firstsKept.unpersist(); () })
   }
@@ -107,56 +98,34 @@ object SpanDedup {
     }
   }
 
-  private def withKept(docs: DataFrame, w: Int,
-                       storePacks: Option[DataFrame] = None): DataFrame =
-    withKeptFrom(docs, firstOccurrences(docs, w, storePacks), w)
+  /** Per-doc first-occurrence start lists from the election: the tiny
+    * cross-row information the reconstruction kernel needs.
+    */
+  private def firstStarts(firstsKept: DataFrame): DataFrame =
+    firstsKept
+      .groupBy(col("f.doc_id").as("doc_id"))
+      .agg(collect_list(col("f.pos")).as("first_starts"))
 
   /** The reconstruction half: dup starts of a doc are the COMPLEMENT of
     * its first-occurrence starts among all its gram starts, so the
     * per-occurrence gram table never crosses the wire — the shuffles
     * carry only combined (pack, first) rows and tiny per-doc lists.
+    * The per-row complement + interval-merge + rebuild + hash runs as
+    * ONE codegen'd kernel pass ([[graft.functions.SpanKernel]]): the
+    * earlier Catalyst higher-order-function pipeline had the same O(n)
+    * semantics but paid a deep interpreted expression tree with
+    * materialized intermediate arrays per row.
     */
-  private def withKeptFrom(docs: DataFrame, firstsKept: DataFrame,
-                           w: Int): DataFrame = {
-    val toked = docs.select(col("doc_id"),
-      filter(split(col("text"), " "), t => t =!= "").as("toks"))
-    val firstStarts = firstsKept
-      .groupBy(col("f.doc_id").as("doc_id"))
-      .agg(collect_list(col("f.pos")).as("first_starts"))
-    // Reconstruction is linear in the doc, not quadratic: the sorted dup
-    // starts fold into merged disjoint covered intervals [lo, hi] (one
-    // O(n_starts) pass — each start either extends the last interval or
-    // opens a new one), n_removed is the interval-length sum, and the
-    // kept tokens are the gap SLICES between intervals. The old form
-    // probed array_contains(covered, i) per token — O(n_tok * n_removed)
-    // row-local work, pathological for long heavily-duplicated docs.
-    val ivs = col("intervals")
-    toked.join(firstStarts, Seq("doc_id"), "left")
-      .withColumn("all_starts", when(size(col("toks")) >= w,
-        sequence(lit(0), size(col("toks")) - w))
-        .otherwise(array().cast("array<int>")))
-      .withColumn("starts", sort_array(array_except(col("all_starts"),
-        coalesce(col("first_starts"), array().cast("array<int>")))))
-      .withColumn("intervals", aggregate(
-        col("starts"),
-        array().cast("array<struct<lo:int,hi:int>>"),
-        (acc, s) => when(
-          size(acc) === 0 || s > element_at(acc, -1)("hi") + 1,
-          concat(acc, array(struct(s.as("lo"), (s + lit(w - 1)).as("hi")))))
-          .otherwise(concat(slice(acc, lit(1), size(acc) - 1),
-            array(struct(element_at(acc, -1)("lo").as("lo"),
-              (s + lit(w - 1)).as("hi")))))))
-      .withColumn("n_removed", aggregate(ivs, lit(0L),
-        (a, iv) => a + iv("hi") - iv("lo") + 1))
-      .withColumn("kept", flatten(transform(
-        sequence(lit(0), size(ivs)),
-        i => {
-          val gapStart = when(i === 0, lit(0))
-            .otherwise(element_at(ivs, i)("hi") + 1)
-          val gapEndExcl = when(i === size(ivs), size(col("toks")))
-            .otherwise(element_at(ivs, i + 1)("lo"))
-          slice(col("toks"), gapStart + 1,
-            greatest(gapEndExcl - gapStart, lit(0)))
-        })))
-  }
+  private def statsFrom(docs: DataFrame, firstStartsDf: DataFrame,
+                        w: Int): DataFrame =
+    docs.join(firstStartsDf, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        graft.functions.SpanKernel.spanStats(col("text"),
+          coalesce(col("first_starts"), array().cast("array<int>")), w)
+          .as("st"))
+      .select(col("doc_id"),
+        col("st").getItem(0).as("n_tok"),
+        col("st").getItem(1).as("n_dup_spans"),
+        col("st").getItem(2).as("n_removed"),
+        col("st").getItem(3).as("kept_hash"))
 }
