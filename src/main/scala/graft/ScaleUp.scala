@@ -65,10 +65,18 @@ object ScaleUp {
     def copies(t: String)(tf: (DataFrame, Int) => DataFrame): DataFrame =
       (0 until factor).map(i => tf(src(t), i)).reduce(_ unionByName _)
 
+    // entity names are salted per copy like document tokens: they are
+    // alternate keys in practice (queries group by c_custkey but
+    // DISPLAY c_name; oracles may group by the name), so replicated
+    // identical names would alias 10 distinct entities into one group
     write(copies("customer") { (d, i) =>
-      d.withColumn("c_custkey", col("c_custkey") + lit(i * ck)) }, "customer")
+      val named = if (i == 0) d
+        else d.withColumn("c_name", concat(col("c_name"), lit(s"~$i")))
+      named.withColumn("c_custkey", col("c_custkey") + lit(i * ck)) }, "customer")
     write(copies("supplier") { (d, i) =>
-      d.withColumn("s_suppkey", col("s_suppkey") + lit(i * sk)) }, "supplier")
+      val named = if (i == 0) d
+        else d.withColumn("s_name", concat(col("s_name"), lit(s"~$i")))
+      named.withColumn("s_suppkey", col("s_suppkey") + lit(i * sk)) }, "supplier")
     write(copies("part") { (d, i) =>
       d.withColumn("p_partkey", col("p_partkey") + lit(i * pk)) }, "part")
     write(copies("orders") { (d, i) =>

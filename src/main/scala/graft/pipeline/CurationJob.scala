@@ -50,9 +50,17 @@ object CurationJob {
       .select(col("doc_id"), col("lang"), col("text"))
 
     // 2. span-dedup rewrite (keeps the globally-first occurrence of
-    // every w-gram; later docs lose the duplicated spans)
-    val rewritten = SpanDedup.keptText(gated.select(col("doc_id"), col("text")), w)
+    // every w-gram; later docs lose the duplicated spans). Stage
+    // boundaries are PINNED (localCheckpoint): the funnel's later
+    // stages, counts, and both sinks each re-consume earlier stages,
+    // and without pinning every action would replay the whole chain
+    // from the scan — at warehouse scale this is the stage-boundary
+    // materialization a production pipeline writes to the lake anyway
+    // (the sharded JSONL at the end is exactly that for stage 4).
+    val rewritten = SpanDedup
+      .keptText(gated.select(col("doc_id"), col("text")), w)
       .join(gated.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .localCheckpoint()
     val nGated = rewritten.count()
 
     // 3. perplexity gate under a bigram LM trained on the deduped
@@ -62,6 +70,7 @@ object CurationJob {
     val kept = rewritten
       .join(scored.where(col("ppl2_pass") === 1)
         .select(col("doc_id"), col("n_big")), Seq("doc_id"))
+      .localCheckpoint()
     val nKept = kept.count()
 
     // 4. token-budget shards via the two-phase prefix sum, then one
@@ -72,6 +81,7 @@ object CurationJob {
             .cast("long").as("n_tok")),
         budget = tokenBudget, nParts = 8)
       .join(kept.select(col("doc_id"), col("lang"), col("text")), Seq("doc_id"))
+      .localCheckpoint() // consumed by the corpus sink AND the stats agg
     sharded
       .select(col("doc_id"), col("lang"), col("text"), col("shard"))
       .write.mode(SaveMode.Overwrite).partitionBy("shard")

@@ -979,30 +979,33 @@ object SelectionOps {
     * rerank by relevance, cut to the top n.
     */
   private def mmrSql(k: Int, n: Int): String = {
+    // Every m<r> is referenced twice (by p<r+1> and m<r+1>): without
+    // MATERIALIZED DuckDB inlines the chain and re-evaluation grows
+    // exponentially in k — instant at sf0.01, hours at sf1.
     def round(r: Int): String =
-      s"""p$r AS (SELECT vec_id, v, rel, round(0.7*rel - 0.3*ms, 4) AS score
+      s"""p$r AS MATERIALIZED (SELECT vec_id, v, rel, round(0.7*rel - 0.3*ms, 4) AS score
          |        FROM m${r - 1} ORDER BY score DESC, vec_id LIMIT 1),
-         |m$r AS (SELECT m.vec_id, m.v, m.rel,
+         |m$r AS MATERIALIZED (SELECT m.vec_id, m.v, m.rel,
          |          greatest(m.ms, round(list_cosine_similarity(m.v, p.v), 4)) AS ms
          |        FROM m${r - 1} m, p$r p WHERE m.vec_id <> p.vec_id)""".stripMargin
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |cent AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 8),
-       |asg AS (SELECT vec_id, v, c_id AS bucket FROM (
+       |asg AS MATERIALIZED (SELECT vec_id, v, c_id AS bucket FROM (
        |          SELECT e.vec_id, e.v, c.c_id,
        |                 row_number() OVER (PARTITION BY e.vec_id
        |                   ORDER BY round(list_cosine_similarity(e.v, c.cv), 4) DESC, c.c_id) AS rn
        |          FROM e, cent c)
        |        WHERE rn = 1),
        |qrow AS (SELECT bucket, v AS qv FROM asg WHERE vec_id = 0),
-       |cand AS (SELECT vec_id, v, rel FROM (
+       |cand AS MATERIALIZED (SELECT vec_id, v, rel FROM (
        |           SELECT a.vec_id, a.v,
        |                  round(list_cosine_similarity(a.v, q.qv), 4) AS rel
        |           FROM asg a, qrow q
        |           WHERE a.bucket = q.bucket AND a.vec_id >= 1
        |           ORDER BY rel DESC, a.vec_id LIMIT $n)),
-       |p1 AS (SELECT vec_id, v, rel, rel AS score
+       |p1 AS MATERIALIZED (SELECT vec_id, v, rel, rel AS score
        |       FROM cand ORDER BY rel DESC, vec_id LIMIT 1),
-       |m1 AS (SELECT c.vec_id, c.v, c.rel,
+       |m1 AS MATERIALIZED (SELECT c.vec_id, c.v, c.rel,
        |         round(list_cosine_similarity(c.v, p.v), 4) AS ms
        |       FROM cand c, p1 p WHERE c.vec_id <> p.vec_id),
        |${(2 to k).map(round).mkString(",\n")}

@@ -1,11 +1,12 @@
 package graft.streaming
 
+import graft.functions.PolyHash.polyHash
 import graft.queries.TrainingOps
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
-import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** Continuous-ingestion form of the q98 corpus-prep composition (q104):
   * documents arrive as files and every micro-batch flows through the
@@ -13,10 +14,13 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   * chunking, hash split — with the two stateful pieces made
   * incremental:
   *
-  *  - dedup state is a persistent store of seen 16-token prefixes
-  *    (append-only, outside the streaming state store, like
-  *    [[SpanDedupStream]]'s gram packs; at scale the store holds the
-  *    prefix HASH);
+  *  - dedup state is a persistent store of seen 16-token-prefix
+  *    IDENTITIES — the dual polynomial hash pack `p31 * 2^30 + p131`
+  *    (the gram-pack contract of [[graft.functions.ShingleKernel]]:
+  *    ~60 collision-safe bits), NOT the prefix string, so the store
+  *    and every anti-join probe move 8-byte longs instead of
+  *    ~100-byte strings — the wire/storage shape that matters when
+  *    the store holds billions of prefixes;
   *  - the final per-(split, lang) stats accumulate as per-batch partial
   *    rows and fold with plain sums at read time — chunking never
   *    recomputes, and n_docs sums exactly because a doc chunks in
@@ -28,7 +32,8 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   */
 object CorpusPrepStream {
 
-  private val pfxSchema = StructType(Seq(StructField("pfx", StringType)))
+  private val packSchema = StructType(Seq(StructField("pack", LongType)))
+  private val PackBase = graft.functions.ShingleKernel.PackBase
 
   /** Run the staged splits to completion (one micro-batch per file) and
     * return the folded per-(split, lang) stats, schema-identical to
@@ -36,21 +41,20 @@ object CorpusPrepStream {
     *
     * The prefix store uses the same bucketed layout as
     * [[SpanDedupStream]]'s gram store: Hive-partitioned on
-    * `bucket = polyHash(pfx) mod nBuckets`, each batch's anti-joins
-    * partition-pruned to the buckets its own prefixes hash into, the
-    * delta appended with one task per bucket, and the per-bucket small
-    * files compacted on a cadence. The store append is idempotent (a
-    * retried batch's delta anti-joins to empty) and the stats partials
-    * are keyed on batchId, so at-least-once retries replace rather
-    * than double-append.
+    * `bucket = pack mod nBuckets`, each batch's anti-joins
+    * partition-pruned to the buckets its own prefixes hash into (once
+    * the store crosses the size threshold — the same cost-based
+    * switch), the delta appended with one task per bucket, and the
+    * per-bucket small files compacted on a cadence. The store append
+    * is idempotent (a retried batch's delta anti-joins to empty) and
+    * the stats partials are keyed on batchId, so at-least-once retries
+    * replace rather than double-append.
     */
   def run(spark: SparkSession, inputDir: String, workDir: String,
           nBuckets: Int = 16, compactEvery: Int = 8): DataFrame = {
     val storeDir = s"$workDir/pfx_store"
     val partsDir = s"$workDir/partials"
-    val bucketOf =
-      pmod(graft.functions.PolyHash.polyHash(col("pfx")), lit(nBuckets.toLong))
-        .cast("int")
+    val bucketOf = pmod(col("pack"), lit(nBuckets.toLong)).cast("int")
     val stream = spark.readStream
       .schema(spark.read.parquet(inputDir).schema)
       .option("maxFilesPerTrigger", "1")
@@ -66,6 +70,9 @@ object CorpusPrepStream {
           .select(col("doc_id"), col("lang"), col("text"))
           .withColumn("pfx",
             concat_ws(" ", slice(split(col("text"), " "), 1, 16)))
+          .withColumn("pack",
+            polyHash(col("pfx")) * lit(PackBase) + polyHash(col("pfx"), 131))
+          .drop("pfx")
           .cache()
         // missing store = first batch (nothing to prune — skip the
         // bucket-list job); a read error on an EXISTING store must fail
@@ -83,22 +90,22 @@ object CorpusPrepStream {
                 .collect().map(_.getInt(0)).toSeq
               graft.pipeline.Load.pruneBuckets(s, batchBuckets, nBuckets)
             }
-            pruned.select(col("pfx"))
+            pruned.select(col("pack"))
           }
           .getOrElse(spark.createDataFrame(
-            new java.util.ArrayList[org.apache.spark.sql.Row](), pfxSchema))
+            new java.util.ArrayList[org.apache.spark.sql.Row](), packSchema))
         // a prefix seen in an earlier batch loses outright; within the
         // batch the lowest doc_id keeps (arrival order = doc_id order)
         val kept = gated
-          .join(store, Seq("pfx"), "left_anti")
+          .join(store, Seq("pack"), "left_anti")
           .withColumn("rn", row_number().over(
-            Window.partitionBy(col("pfx")).orderBy(col("doc_id"))))
+            Window.partitionBy(col("pack")).orderBy(col("doc_id"))))
           .where(col("rn") === 1)
           .select(col("doc_id"), col("lang"), col("text"))
         graft.pipeline.Load.writeBatchPartial(
           TrainingOps.chunkSplitStats(kept).coalesce(1), partsDir, batchId)
-        gated.select(col("pfx")).distinct()
-          .join(store, Seq("pfx"), "left_anti")
+        gated.select(col("pack")).distinct()
+          .join(store, Seq("pack"), "left_anti")
           .withColumn("bucket", bucketOf)
           .repartition(col("bucket"))
           .write.mode(SaveMode.Append).partitionBy("bucket").parquet(storeDir)
