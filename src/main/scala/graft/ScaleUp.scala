@@ -36,10 +36,12 @@ object ScaleUp {
 
   def run(spark: SparkSession, srcDir: String, dstDir: String,
           factor: Int): Unit = {
-    // events.ts is parquet TIMESTAMP(NANOS): read it as a raw long and
-    // write it back as one — Tables.events' `ts div 1000` conversion
-    // works identically on the plain INT64 column
+    // events.ts is parquet TIMESTAMP(NANOS): read it as a raw long,
+    // convert to a microsecond timestamp, and write as annotated INT64
+    // (not Spark's legacy INT96 default) so batch readers, file-stream
+    // schemas, and DuckDB all see one plain timestamp column
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     def src(t: String): DataFrame =
       spark.read.parquet(s"$srcDir/$t.parquet")
     def write(df: DataFrame, t: String): Unit =
@@ -86,9 +88,14 @@ object ScaleUp {
       d.withColumn("l_orderkey", col("l_orderkey") + lit(i * ok))
         .withColumn("l_partkey", col("l_partkey") + lit(i * pk))
         .withColumn("l_suppkey", col("l_suppkey") + lit(i * sk)) }, "lineitem")
+    // ts arrives as raw INT64 nanos (nanosAsLong); write it out as a
+    // microsecond TimestampType so BOTH engines see a timestamp in the
+    // derived rung (Tables.events passes it through; DuckDB oracles
+    // date_trunc it like the fixture's TIMESTAMP(NANOS))
     write(copies("events") { (d, i) =>
       d.withColumn("event_id", col("event_id") + lit(i * ek))
-        .withColumn("user_id", col("user_id") + lit(i * uk)) }, "events")
+        .withColumn("user_id", col("user_id") + lit(i * uk))
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)")) }, "events")
 
     write(copies("documents") { (d, i) =>
       val salted =

@@ -21,14 +21,21 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame     = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame   = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to map
-    * to its microsecond TimestampType. Read the raw INT64 nanos and
-    * truncate to micros explicitly (`div` keeps the arithmetic in exact
-    * longs; doubles would lose precision above 2^53).
+  /** `events.ts` is parquet TIMESTAMP(NANOS) in the driver fixtures,
+    * which Spark 4 refuses to map to its microsecond TimestampType:
+    * read the raw INT64 nanos and truncate to micros explicitly (`div`
+    * keeps the arithmetic in exact longs; doubles would lose precision
+    * above 2^53). Derived rungs (graft.ScaleUp) already carry a
+    * microsecond TimestampType column — pass it through.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events").withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

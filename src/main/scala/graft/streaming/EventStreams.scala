@@ -45,27 +45,45 @@ object EventStreams {
   }
 
   /** File-source stream over a directory (or glob) of parquet events.
-    * The fixture's ts is TIMESTAMP(NANOS): read as long nanos and
-    * truncate to micros, mirroring graft.Tables.events.
+    * The driver fixture's ts is TIMESTAMP(NANOS): read as long nanos
+    * and truncate to micros, mirroring graft.Tables.events. Derived
+    * rungs (graft.ScaleUp) carry a plain timestamp column — detected
+    * from the on-disk footer and streamed as-is.
+    *
+    * `maxFilesPerTrigger` 0 (the default) ingests the available
+    * backlog as ONE micro-batch. That is the correct replay mode for
+    * an event DIRECTORY whose files are not event-time-ordered (each
+    * part file spans the whole time range): per-file batches would
+    * both stack update-mode emissions in the sink and watermark-drop
+    * every later file's older rows, so stream==batch-oracle parity
+    * holds only for time-ordered arrival — which is what multi-batch
+    * specs stage explicitly. Pass a positive value to rate-limit when
+    * arrival order is controlled.
     */
   def readEventStream(spark: SparkSession, path: String,
-                      maxFilesPerTrigger: Int = 1): DataFrame = {
+                      maxFilesPerTrigger: Int = 0): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val rawSchema = StructType(eventSchema.fields.map {
-      case f if f.name == "ts" => f.copy(dataType = LongType)
-      case f => f
-    })
+    val tsIsNanosLong =
+      spark.read.parquet(path).schema("ts").dataType == LongType
+    val rawSchema =
+      if (!tsIsNanosLong) eventSchema
+      else StructType(eventSchema.fields.map {
+        case f if f.name == "ts" => f.copy(dataType = LongType)
+        case f => f
+      })
     // The file stream source accepts a directory or a glob, not a plain
     // file path: turn a file path into an equivalent glob.
     val f = new java.io.File(path)
     val streamPath =
       if (f.isFile) s"${f.getParent}/[${f.getName.head}]${f.getName.tail}"
       else path
-    spark.readStream
-      .schema(rawSchema)
-      .option("maxFilesPerTrigger", maxFilesPerTrigger)
-      .parquet(streamPath)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val reader = spark.readStream.schema(rawSchema)
+    if (maxFilesPerTrigger > 0)
+      reader.option("maxFilesPerTrigger", maxFilesPerTrigger)
+    val stream = reader.parquet(streamPath)
+    if (tsIsNanosLong)
+      stream.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else stream
   }
 
   /** E6: tumbling 1-hour windows per event type with a watermark; late
