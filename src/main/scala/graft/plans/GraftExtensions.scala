@@ -56,6 +56,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case other => throw new IllegalArgumentException(
           s"feature_hash_vec dim must be an integer literal, got $other")
       })))
+    // hll_registers(pack, m): m must be a literal int (register count is
+    // fixed at plan time, like every bounded-state aggregate)
+    ext.injectFunction(fn("hll_registers", exprs =>
+      graft.functions.HllRegisters(exprs(0), exprs(1) match {
+        case Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"hll_registers m must be an integer literal, got $other")
+      }).toAggregateExpression()))
     // cms_counters(hash, d, w): d and w must be literal ints (the
     // counter-matrix shape is fixed at plan time)
     ext.injectFunction(fn("cms_counters", exprs => {

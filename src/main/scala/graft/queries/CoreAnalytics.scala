@@ -519,16 +519,11 @@ object CoreAnalytics {
              |GROUP BY l_returnflag
              |ORDER BY l_returnflag""".stripMargin)),
 
-    // ---- HLL sketch distinct (the 100 TB path for Q2/Q3/Q4 cards; the
-    //      estimate is engine-specific so the check is rows-only) ----------
-    Q(
-      "q28_approx_distinct",
-      (s, d) =>
-        Tables.lineitem(s, d).agg(
-          approx_count_distinct(col("l_partkey")).as("approx_parts"),
-          approx_count_distinct(col("l_suppkey")).as("approx_supps"),
-          countDistinct(col("l_partkey")).as("exact_parts")),
-      None),
+    // q28 (Spark's engine-internal approx_count_distinct) was RETIRED in
+    // round 5: its register layout is invisible to any external oracle,
+    // so it sat as a no_oracle row — superseded by the fully
+    // oracle-checked portable HLL q124 (SketchOps), with the built-in
+    // kept as a SketchSpec cross-check, the same pattern as q35/q36.
 
     // ---- cube with grouping ids (full BI subtotal lattice) ---------------
     Q(

@@ -21,6 +21,93 @@ object SketchOps {
   private val HashA = 982451653L
   private val HashB = 12345L
 
+  /** Further transforms of the same family (the CMS row-hash ladder
+    * 982451653 + 7919·j) for the HLL pack's mixing chain.
+    */
+  private val HashA2 = 982459572L
+  private val HashB2 = 67890L
+  private val HashA3 = 982467491L
+  private val HashB3 = 24680L
+  private val HashA4 = 982475410L
+  private val HashB4 = 13579L
+
+  /** q124's oracle: replay the registers (idx = pack mod m, rank via a
+    * floor(log2) CASE ladder), fold empty registers in with a LEFT
+    * JOIN against range(m), and divide the same two exact numbers the
+    * engine divides for the raw estimate.
+    */
+  private def hllSql(m: Int): String = {
+    val wBits = graft.functions.HllSketch.wBits(m) // 52 for m = 256
+    val ladder = (wBits - 1 to 1 by -1)
+      .map(k => s"WHEN w >= ${1L << k} THEN $k").mkString(" ")
+    val num = graft.functions.HllSketch.estNumerator(m)
+    s"""WITH keys AS (SELECT DISTINCT CAST(l_partkey AS BIGINT) AS key FROM lineitem),
+       |s1 AS (SELECT ($HashA::BIGINT * key + $HashB) % $P AS h1 FROM keys),
+       |s2 AS (SELECT xor(h1, h1 >> 17) AS x1 FROM s1),
+       |s3 AS (SELECT ($HashA2::BIGINT * x1 + $HashB2) % $P AS h2 FROM s2),
+       |s4 AS (SELECT xor(h2, h2 >> 13) AS x2 FROM s3),
+       |s5 AS (SELECT ($HashA3::BIGINT * x2 + $HashB3) % $P AS h3,
+       |              ($HashA4::BIGINT * x2 + $HashB4) % $P AS h4 FROM s4),
+       |pk AS (SELECT h3 * ${1L << 30} + xor(h4, h3 >> 11) AS pack FROM s5),
+       |rw AS (SELECT pack % $m AS idx, pack // $m AS w FROM pk),
+       |rho AS (SELECT idx, CASE WHEN w = 0 THEN ${wBits + 1}
+       |                         ELSE $wBits - (CASE $ladder ELSE 0 END) END AS rh
+       |        FROM rw),
+       |regs0 AS (SELECT idx, max(rh) AS mr FROM rho GROUP BY idx),
+       |allr AS (SELECT unnest(range($m)) AS idx),
+       |regs AS (SELECT a.idx, coalesce(r.mr, 0) AS mr
+       |         FROM allr a LEFT JOIN regs0 r USING (idx)),
+       |agg AS (SELECT CAST(sum(CASE WHEN mr = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+       |               CAST(sum(1::BIGINT << CAST(${wBits + 1} - mr AS INTEGER)) AS BIGINT) AS s_scaled
+       |        FROM regs),
+       |ex AS (SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_exact FROM lineitem)
+       |SELECT n_exact, n_zero, s_scaled,
+       |       round($num / s_scaled, 4) AS est_hll,
+       |       round(abs(round($num / s_scaled, 4) - n_exact) / n_exact * 100, 2) AS err_pct
+       |FROM ex, agg""".stripMargin
+  }
+
+  /** The portable HLL pack of a long key: a multiply–xorshift chain in
+    * the mod-P domain. A single affine transform equidistributes but
+    * keeps a LATTICE structure (dense sequential keys land on an
+    * arithmetic progression, which spreads registers too evenly and
+    * biases the estimator — measured n_zero 56 vs the ~117 a uniform
+    * hash gives at n=200, m=256); interleaving XOR-shifts between the
+    * modular multiplies breaks the lattice while every step stays
+    * portable — %, XOR, and >> exist identically in both engines and
+    * nothing can overflow (operands stay under 2^30 before each
+    * multiply). The final XOR decouples the two packed halves, which
+    * are otherwise affine images of the same mixed value.
+    */
+  private[graft] def hllPack(key: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val h1 = (lit(HashA) * key + lit(HashB)) % P
+    val x1 = h1.bitwiseXOR(shiftright(h1, 17))
+    val h2 = (lit(HashA2) * x1 + lit(HashB2)) % P
+    val x2 = h2.bitwiseXOR(shiftright(h2, 13))
+    val h3 = (lit(HashA3) * x2 + lit(HashB3)) % P
+    val h4 = (lit(HashA4) * x2 + lit(HashB4)) % P
+    h3 * lit(1L << 30) + h4.bitwiseXOR(shiftright(h3, 11))
+  }
+
+  /** Digest of an `(regs, n_exact)` frame: empty-register count, exact
+    * scaled harmonic sum, raw estimate, error — shared by q124 and the
+    * streaming twin (whose folded store produces the same frame).
+    */
+  private[graft] def hllDigest(agg: org.apache.spark.sql.DataFrame,
+                               m: Int): org.apache.spark.sql.DataFrame = {
+    val wB = graft.functions.HllSketch.wBits(m)
+    agg
+      .withColumn("n_zero", size(filter(col("regs"), r => r === 0L)).cast("long"))
+      .withColumn("s_scaled", expr(
+        s"aggregate(regs, 0L, (acc, r) -> acc + shiftleft(1L, cast(${wB + 1} - r as int)))"))
+      .withColumn("est_hll",
+        round(lit(graft.functions.HllSketch.estNumerator(m)) / col("s_scaled"), 4))
+      .withColumn("err_pct",
+        round(abs(col("est_hll") - col("n_exact")) / col("n_exact") * 100, 2))
+      .select(col("n_exact"), col("n_zero"), col("s_scaled"),
+        col("est_hll"), col("err_pct"))
+  }
+
   val defs: Seq[Q] = Seq(
 
     // ---- KMV distinct-count sketch (fully oracle-checked) ----------------
@@ -67,6 +154,56 @@ object SketchOps {
              |                      ELSE round(255 * ${P}.0 / kth_hash, 4) END
              |                 - n_exact) / n_exact * 100, 2) AS err_pct
              |FROM m, ex""".stripMargin)),
+
+    // ---- Portable HyperLogLog (fully oracle-checked; round 5) ------------
+    // The register sketch itself, made replayable: where the retired q28
+    // used Spark's engine-internal approx_count_distinct (no external
+    // oracle can see its register layout), this HLL routes a portable
+    // dual affine hash into m=256 registers and takes integer
+    // leading-zero ranks — every register value, the empty-register
+    // count, the exact integer Σ2^(wBits+1−M_j), and the raw estimate
+    // (one double division of two exact numbers) are identical in
+    // DuckDB. Mergeable bounded state like KMV/CMS: m longs per task,
+    // entrywise-MAX merge, registered as `hll_registers` on the SQL
+    // surface. The engine-internal form survives as a SketchSpec
+    // cross-check (built-in vs portable vs exact), the W5 pattern.
+    Q(
+      "q124_hll_distinct",
+      (s, d) => {
+        val m = 256
+        val li = Tables.lineitem(s, d)
+          .select(col("l_partkey").cast("long").as("key"))
+          .withColumn("pack", hllPack(col("key")))
+        hllDigest(
+          li.agg(
+            graft.functions.HllSketch.hllRegisters(col("pack"), m).as("regs"),
+            countDistinct(col("key")).as("n_exact")),
+          m)
+      },
+      Some(hllSql(256))),
+
+    // ---- HLL over a key STREAM (q124's continuous-ingestion twin) --------
+    // One appended m-register partial per micro-batch; registers are
+    // entrywise-MAX-mergeable so the fold equals the batch-built sketch
+    // BIT FOR BIT (streaming adds zero approximation) and q125 shares
+    // q124's full oracle — completing the streaming story for all three
+    // sketch families (KMV q123 windowed state, CMS q109 additive fold,
+    // HLL max fold).
+    Q(
+      "q125_hll_stream",
+      (s, d) => {
+        val prev = s.conf.get("spark.sql.shuffle.partitions")
+        try {
+          s.conf.set("spark.sql.shuffle.partitions", "8")
+          graft.streaming.HllStream.runOn(
+            s,
+            Tables.lineitem(s, d)
+              .select(col("l_orderkey").cast("long").as("doc_id"),
+                      col("l_partkey").cast("long").as("key")),
+            nSplits = 2)
+        } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      },
+      Some(hllSql(256))),
 
     // ---- KMV per group (cardinality estimation under groupBy) ------------
     // The shape the sketch exists for at 100 TB: per-key distinct counts

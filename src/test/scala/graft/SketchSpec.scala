@@ -226,6 +226,91 @@ class SketchSpec extends SparkSpec {
     assert(streamed == batch && batch.nonEmpty)
   }
 
+  test("q124 HLL: aggregate registers equal the groupBy replay, partition-invariant") {
+    import graft.functions.HllSketch
+    val m = 256
+    val wB = HllSketch.wBits(m)
+    val packs = Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey").cast("long").as("key"))
+      .withColumn("pack", queries.SketchOps.hllPack(col("key")))
+    def regsOf(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.agg(HllSketch.hllRegisters(col("pack"), m).as("regs"))
+        .collect().head.getSeq[Long](0)
+    val a = regsOf(packs)
+    // replay: rank per row with plain column arithmetic, max per register
+    // ascending fold so the LARGEST threshold lands outermost: the
+    // final expression checks w >= 2^(wB-1) first, then descends
+    val ladder = (1 to wB - 1).foldLeft(lit(0)) { (acc, k) =>
+      when(col("w") >= (1L << k), lit(k)).otherwise(acc)
+    }
+    val replay = packs
+      .withColumn("idx", pmod(col("pack"), lit(m.toLong)))
+      .withColumn("w", floor(col("pack") / m))
+      .withColumn("rho",
+        when(col("w") === 0L, lit(wB + 1).cast("long"))
+          .otherwise(lit(wB) - ladder.cast("long")))
+      .groupBy(col("idx")).agg(max(col("rho")).as("mr"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = (0 until m).map(i => replay.getOrElse(i.toLong, 0L))
+    assert(a == b)
+    // partition invariance: the merge path lands on the same registers
+    val c = regsOf(packs.repartition(13))
+    assert(c == a)
+  }
+
+  test("q124 portable HLL, built-in HLL, and exact distinct agree within tolerance") {
+    // the q28 retirement cross-check: the engine-internal
+    // approx_count_distinct (pure-speed path, no external oracle) and
+    // the oracle-checked portable HLL must both land near the truth
+    val r = queries.Registry.byName("q124_hll_distinct").run(spark, sfDir)
+      .collect().head
+    val (exact, nZero, raw) = (r.getLong(0), r.getLong(1), r.getDouble(3))
+    // the registered row carries the RAW estimate plus the components
+    // (n_zero, s_scaled) so consumers apply the standard small-range
+    // correction without the oracle depending on libm's ln: below
+    // 2.5m with empty registers, linear counting m·ln(m/V) applies
+    // (Flajolet et al. 2007) — this fixture's cardinality sits in
+    // exactly that regime
+    val est =
+      if (raw <= 2.5 * 256 && nZero > 0) 256.0 * math.log(256.0 / nZero)
+      else raw
+    assert(exact > 0 && math.abs(est - exact) / exact < 0.25,
+      s"corrected est=$est (raw=$raw n_zero=$nZero) exact=$exact")
+    val builtin = Tables.lineitem(spark, sfDir)
+      .agg(approx_count_distinct(col("l_partkey")).as("a"))
+      .collect().head.getLong(0)
+    assert(math.abs(builtin.toDouble - exact) / exact < 0.25,
+      s"builtin est=$builtin exact=$exact")
+    // registers were genuinely populated (no empty-sketch degenerate)
+    assert(nZero < 256, s"n_zero=$nZero")
+  }
+
+  test("q125 streaming HLL equals the batch q124 result row for row") {
+    // registers are entrywise-MAX-mergeable, so folding one partial per
+    // micro-batch reproduces the batch registers exactly
+    val batch = queries.Registry.byName("q124_hll_distinct").run(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    val streamed = queries.Registry.byName("q125_hll_stream").run(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
+  test("hll_registers is callable from the SQL surface") {
+    val m = 64
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey").cast("long").as("key"))
+      .withColumn("pack", queries.SketchOps.hllPack(col("key")))
+      .createOrReplaceTempView("hll_keys")
+    val viaSql = spark.sql(s"SELECT hll_registers(pack, $m) AS regs FROM hll_keys")
+      .collect().head.getSeq[Long](0)
+    val viaApi = Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey").cast("long").as("key"))
+      .agg(graft.functions.HllSketch.hllRegisters(
+        queries.SketchOps.hllPack(col("key")), m))
+      .collect().head.getSeq[Long](0)
+    assert(viaSql == viaApi && viaSql.exists(_ > 0L))
+  }
+
   test("q120 KMV set-operation estimate lands near the exact intersection") {
     val r = queries.Registry.byName("q120_kmv_join_card").run(spark, sfDir)
       .collect().head
