@@ -577,31 +577,65 @@ object SketchOps {
              |    WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
              |ORDER BY cname""".stripMargin)),
 
-    // ---- Mergeable approximate quantiles (rows-only; spec-bracketed) -----
+    // ---- Portable sample quantiles (fully oracle-checked; round 5) -------
     // Exact per-group percentiles (q26) are a full sort per group —
-    // the one aggregate that cannot partial-aggregate at 100 TB.
-    // approx_percentile is Spark's mergeable bounded-memory quantile
-    // summary (Greenwald-Khanna style): each task ships O(1/eps)
-    // state, rank error <= n/accuracy. The sketch's internal layout is
-    // engine-specific, so this is a rows-only row like q28's HLL;
-    // SketchSpec brackets every returned value's true rank against the
-    // guarantee, and q26 remains the exact twin.
+    // the one aggregate that cannot partial-aggregate at 100 TB. The
+    // retired q103 answered with Spark's engine-internal
+    // approx_percentile (Greenwald-Khanna summary, no external oracle
+    // can see its state); this replacement gets the same bounded-state
+    // shape from a DETERMINISTIC uniform sample that any engine
+    // replays: hash each row's unique key (l_orderkey*8+l_linenumber)
+    // through a portable affine transform mod P — injective while keys
+    // stay under P, so the "smallest k hashes" sample has no ties and
+    // no RNG — then keep the bottom-64 per group with the mergeable
+    // TopKBy heap (k longs per task, map-side partial, ≤k rows per
+    // group cross the wire vs q26 shipping the whole group). Quantiles
+    // are type-1 (lower empirical) index selections over the sorted
+    // sample, rank error O(n·√(ln k / k)) w.h.p.; prices ride as exact
+    // cents so sorting and selection are integer-exact in both
+    // engines. q26 remains the exact twin; the engine-internal GK form
+    // survives as a SketchSpec cross-check (the q28/W5 pattern).
     Q(
-      "q103_approx_quantiles",
+      "q126_sample_quantiles",
       (s, d) => {
+        import graft.functions.TopKBy.topKBy
+        val P = 1000000007L; val A = 1103515245L; val B = 12345L; val k = 64
         val li = Tables.lineitem(s, d)
-        li.groupBy(col("l_returnflag"))
-          .agg(
-            count(lit(1)).as("n"),
-            expr("approx_percentile(l_extendedprice, array(0.5, 0.95, 0.99), 10000)")
-              .as("qs"))
-          .select(col("l_returnflag"), col("n"),
-            element_at(col("qs"), 1).as("p50"),
-            element_at(col("qs"), 2).as("p95"),
-            element_at(col("qs"), 3).as("p99"))
+          .select(col("l_returnflag"),
+            round(col("l_extendedprice") * 100).cast("bigint").as("cents"),
+            ((lit(A) * ((col("l_orderkey") * 8 + col("l_linenumber")) % P)
+              + B) % P).as("h"))
+        val agg = li.groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n_rows"),
+               topKBy(col("cents"), -col("h"), k).as("samp"))
+          .withColumn("sc", array_sort(col("samp")))
+          .withColumn("n_samp", size(col("sc")).cast("bigint"))
+        def at(p: Double) =
+          element_at(col("sc"), ceil(lit(p) * col("n_samp")).cast("int")) / 100.0
+        agg.select(col("l_returnflag"), col("n_rows"), col("n_samp"),
+            at(0.50).as("p50"), at(0.95).as("p95"), at(0.99).as("p99"))
           .orderBy(col("l_returnflag"))
       },
-      None),
+      Some("""WITH t AS (
+             |  SELECT l_returnflag,
+             |         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+             |         (1103515245 * ((l_orderkey * 8 + l_linenumber) % 1000000007)
+             |          + 12345) % 1000000007 AS h
+             |  FROM lineitem),
+             |g AS (
+             |  SELECT l_returnflag, cents,
+             |         row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn,
+             |         count(*) OVER (PARTITION BY l_returnflag) AS n_rows
+             |  FROM t),
+             |a AS (
+             |  SELECT l_returnflag, max(n_rows) AS n_rows,
+             |         count(*) AS n_samp, list_sort(list(cents)) AS sc
+             |  FROM g WHERE rn <= 64 GROUP BY l_returnflag)
+             |SELECT l_returnflag, n_rows, n_samp,
+             |       sc[CAST(ceil(0.5 * n_samp) AS BIGINT)] / 100.0 AS p50,
+             |       sc[CAST(ceil(0.95 * n_samp) AS BIGINT)] / 100.0 AS p95,
+             |       sc[CAST(ceil(0.99 * n_samp) AS BIGINT)] / 100.0 AS p99
+             |FROM a ORDER BY l_returnflag""".stripMargin)),
 
     // ---- Count-min sketch frequency estimation (fully oracle-checked) ----
     // The bounded-state frequency twin of q74's KMV: a d=4 x w=16

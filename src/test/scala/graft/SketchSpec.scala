@@ -142,28 +142,73 @@ class SketchSpec extends SparkSpec {
     }
   }
 
-  test("q103 approx quantiles: every value's true rank is inside the GK bound") {
+  test("q126 sample quantiles: ranks near target; GK cross-check in bound") {
     val li = Tables.lineitem(spark, sfDir)
       .select(col("l_returnflag"), col("l_extendedprice")).cache()
     try {
-      val rows = queries.Registry.byName("q103_approx_quantiles")
+      // the oracle-checked portable form: bottom-64-by-hash sample,
+      // type-1 index selection. Rank error is statistical, O(n/sqrt(k));
+      // bound each returned value's true rank by 4 sample-CDF standard
+      // deviations plus the 1/k index-selection granularity.
+      val rows = queries.Registry.byName("q126_sample_quantiles")
         .run(spark, sfDir).collect()
       assert(rows.length == 3)
+      val k = 64.0
       rows.foreach { r =>
         val flag = r.getString(0); val n = r.getLong(1)
+        assert(r.getLong(2) == math.min(n, 64L))
         for ((q, i) <- Seq(0.5, 0.95, 0.99).zipWithIndex) {
-          val v = r.getDouble(2 + i)
-          // rank of the returned value in the group (values <= v)
+          val v = r.getDouble(3 + i)
           val rank = li.where(col("l_returnflag") === flag &&
             col("l_extendedprice") <= v).count()
-          // accuracy=10000 guarantees rank error <= n/10000; allow the
-          // floor/ceil slack of discrete ranks on top
-          val eps = n / 10000.0 + 1
-          assert(math.abs(rank - q * n) <= eps + 1,
+          val eps = 4 * n * math.sqrt(q * (1 - q) / k) + n / k + 1
+          assert(math.abs(rank - q * n) <= eps,
             s"$flag p$q: rank=$rank target=${q * n} n=$n v=$v")
         }
       }
+      // the q103 retirement cross-check: the engine-internal
+      // approx_percentile (GK summary, no external oracle) keeps its
+      // much tighter n/accuracy guarantee
+      val gk = li.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          expr("approx_percentile(l_extendedprice, array(0.5, 0.95, 0.99), 10000)")
+            .as("qs")).collect()
+      assert(gk.length == 3)
+      gk.foreach { r =>
+        val flag = r.getString(0); val n = r.getLong(1)
+        val qs = r.getAs[scala.collection.Seq[Double]]("qs")
+        for ((q, i) <- Seq(0.5, 0.95, 0.99).zipWithIndex) {
+          val rank = li.where(col("l_returnflag") === flag &&
+            col("l_extendedprice") <= qs(i)).count()
+          val eps = n / 10000.0 + 2
+          assert(math.abs(rank - q * n) <= eps,
+            s"GK $flag p$q: rank=$rank target=${q * n} n=$n")
+        }
+      }
     } finally { li.unpersist(); () }
+  }
+
+  test("q126 sample is partition-invariant (TopKBy merge path)") {
+    // a different physical partitioning must land on the same sample:
+    // the bottom-k-by-hash heap is losslessly mergeable, so the result
+    // cannot depend on task boundaries
+    val base = queries.Registry.byName("q126_sample_quantiles")
+      .run(spark, sfDir).collect().map(_.toSeq).toSeq
+    import graft.functions.TopKBy.topKBy
+    val P = 1000000007L; val A = 1103515245L; val B = 12345L
+    val keyed = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"),
+        round(col("l_extendedprice") * 100).cast("bigint").as("cents"),
+        ((lit(A) * ((col("l_orderkey") * 8 + col("l_linenumber")) % P)
+          + B) % P).as("h"))
+    def sampleOf(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("l_returnflag"))
+        .agg(topKBy(col("cents"), -col("h"), 64).as("samp"))
+        .orderBy(col("l_returnflag"))
+        .collect().map(r => r.getString(0) ->
+          r.getAs[scala.collection.Seq[Long]]("samp").sorted.toSeq).toSeq
+    assert(sampleOf(keyed.repartition(13)) == sampleOf(keyed.repartition(3)))
+    assert(base.nonEmpty)
   }
 
   test("q108 CMS: never underestimates; both exact and overcounted occur") {
