@@ -23,7 +23,31 @@ import org.apache.spark.sql.functions._
   */
 object CoreAnalytics {
 
-  private def revenue: Column = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+  /** Discounted revenue in exact integer units of 1e-4 (cents x
+    * (100 - discount-hundredths)): summing integers is associative, so
+    * the aggregate is bit-identical under ANY summation order and ANY
+    * scale — where round(sum(double), 4) drifts in the 4th decimal
+    * once ~1e5 doubles sum past 1e10 (measured at the sf1 rung).
+    * Summed as decimal(38,0): headroom to ~1e25 rows of max revenue.
+    */
+  private def revenueUnits: Column =
+    (round(col("l_extendedprice") * 100).cast("bigint") *
+      (lit(100L) - round(col("l_discount") * 100).cast("bigint")))
+      .cast("decimal(38,0)")
+
+  /** Exact-units decimal sum -> the double the driver gate hashes.
+    * The cast to double is the ONLY inexact step (one half-even
+    * rounding of an exact integer, identical in every IEEE engine). */
+  private def unitsToRev(sumUnits: Column): Column =
+    (sumUnits.cast("double") / 10000.0)
+
+  /** Order- and scale-invariant money sum: 2-dp prices ride as exact
+    * integer cents (decimal(38,0) accumulator), one deterministic
+    * double conversion at the end. Oracle twin:
+    * CAST(sum(CAST(round(x*100) AS BIGINT)) AS DOUBLE)/100.0. */
+  private def moneySum(c: Column): Column =
+    (sum(round(c * 100).cast("bigint").cast("decimal(38,0)"))
+      .cast("double") / 100.0)
 
   val defs: Seq[Q] = Seq(
     // ---- Q1/Q2/Q5/Q14 analogues: global KPI card aggregates -------------
@@ -51,14 +75,21 @@ object CoreAnalytics {
           .groupBy(col("l_returnflag"), col("l_linestatus"))
           .agg(
             sum(col("l_quantity")).as("sum_qty"),
-            round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-            round(sum(revenue), 4).as("sum_disc_price"),
+            // exact-cents / exact-units sums: associative integers, so
+            // the values are scale- and order-invariant (see revenueUnits)
+            (sum(round(col("l_extendedprice") * 100).cast("bigint")
+              .cast("decimal(38,0)")).cast("double") / 100.0)
+              .as("sum_base_price"),
+            unitsToRev(sum(revenueUnits)).as("sum_disc_price"),
             count(lit(1)).as("n_rows"))
           .orderBy(col("l_returnflag"), col("l_linestatus")),
       Some("""SELECT l_returnflag, l_linestatus,
              |       sum(l_quantity) AS sum_qty,
-             |       round(sum(l_extendedprice), 2) AS sum_base_price,
-             |       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+             |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+             |         / 100.0 AS sum_base_price,
+             |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+             |                * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE)
+             |         / 10000.0 AS sum_disc_price,
              |       count(*) AS n_rows
              |FROM lineitem
              |GROUP BY l_returnflag, l_linestatus
@@ -84,7 +115,7 @@ object CoreAnalytics {
         val agg = Tables.orders(s, d)
           .groupBy(col("o_custkey"))
           .agg(count(lit(1)).as("n_orders"),
-               round(sum(col("o_totalprice")), 2).as("total_spend"))
+               moneySum(col("o_totalprice")).as("total_spend"))
         // post-agg side is one row per customer; dimension lookup joins on
         // the grouped key. AQE broadcasts customer at small SF.
         agg.join(Tables.customer(s, d), agg("o_custkey") === col("c_custkey"))
@@ -93,7 +124,7 @@ object CoreAnalytics {
           .limit(10)
       },
       Some("""SELECT c_name, count(*) AS n_orders,
-             |       round(sum(o_totalprice), 2) AS total_spend
+             |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_spend
              |FROM orders JOIN customer ON o_custkey = c_custkey
              |GROUP BY c_name
              |ORDER BY n_orders DESC, c_name
@@ -123,10 +154,10 @@ object CoreAnalytics {
           .groupBy((year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
             .cast("long").as("ym"))
           .agg(count(lit(1)).as("n"),
-               round(sum(col("o_totalprice")), 2).as("rev"))
+               moneySum(col("o_totalprice")).as("rev"))
           .orderBy(col("ym")),
       Some("""SELECT year(o_orderdate) * 100 + month(o_orderdate) AS ym,
-             |       count(*) AS n, round(sum(o_totalprice), 2) AS rev
+             |       count(*) AS n, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS rev
              |FROM orders
              |GROUP BY ym
              |ORDER BY ym""".stripMargin)),
@@ -157,19 +188,21 @@ object CoreAnalytics {
         // distinct-order count into a plain count (no Expand node).
         val perOrder = Tables.lineitem(s, d)
           .groupBy(col("l_orderkey"))
-          .agg(sum(revenue).as("order_rev"))
+          .agg(sum(revenueUnits).as("order_units"))
         perOrder.join(o, col("l_orderkey") === col("o_orderkey"))
           .join(c, col("o_custkey") === col("c_custkey"))
           .join(n, col("c_nationkey") === col("n_nationkey"))
           .join(r, col("n_regionkey") === col("r_regionkey"))
           .groupBy(col("r_name"), col("n_name"))
           .agg(count(lit(1)).as("n_orders"),
-               round(sum(col("order_rev")), 4).as("rev"))
+               unitsToRev(sum(col("order_units"))).as("rev"))
           .orderBy(col("r_name"), col("n_name"))
       },
       Some("""SELECT r_name, n_name,
              |       count(DISTINCT o_orderkey) AS n_orders,
-             |       round(sum(l_extendedprice * (1 - l_discount)), 4) AS rev
+             |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+             |                * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE)
+             |         / 10000.0 AS rev
              |FROM lineitem
              |JOIN orders   ON l_orderkey = o_orderkey
              |JOIN customer ON o_custkey = c_custkey
@@ -308,8 +341,8 @@ object CoreAnalytics {
       (s, d) =>
         Tables.orders(s, d)
           .where(col("o_totalprice").between(50000, 200000))
-          .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total")),
-      Some("""SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total
+          .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("total")),
+      Some("""SELECT count(*) AS n, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total
              |FROM orders
              |WHERE o_totalprice BETWEEN 50000 AND 200000""".stripMargin)),
 
@@ -473,10 +506,10 @@ object CoreAnalytics {
       (s, d) =>
         Tables.orders(s, d)
           .rollup(year(col("o_orderdate")).cast("long").as("yr"), col("o_orderstatus"))
-          .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("rev"))
+          .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("rev"))
           .orderBy(col("yr").asc_nulls_first, col("o_orderstatus").asc_nulls_first),
       Some("""SELECT year(o_orderdate) AS yr, o_orderstatus,
-             |       count(*) AS n, round(sum(o_totalprice), 2) AS rev
+             |       count(*) AS n, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS rev
              |FROM orders
              |GROUP BY ROLLUP (yr, o_orderstatus)
              |ORDER BY yr NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin)),
@@ -716,14 +749,14 @@ object CoreAnalytics {
         Seq("orders", "customer").foreach(t =>
           Tables.load(s, d, t).createOrReplaceTempView(t))
         s.sql("""SELECT c_mktsegment, count(*) AS n,
-                |       round(sum(o_totalprice), 2) AS rev
+                |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS rev
                 |FROM orders JOIN customer ON o_custkey = c_custkey
                 |WHERE o_orderpriority = '1-URGENT'
                 |GROUP BY c_mktsegment
                 |ORDER BY c_mktsegment""".stripMargin)
       },
       Some("""SELECT c_mktsegment, count(*) AS n,
-             |       round(sum(o_totalprice), 2) AS rev
+             |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS rev
              |FROM orders JOIN customer ON o_custkey = c_custkey
              |WHERE o_orderpriority = '1-URGENT'
              |GROUP BY c_mktsegment

@@ -68,11 +68,17 @@ object PipelineOps {
       // The oracle replicates the portable parts of the chain: the output
       // columns don't depend on the hash-synthesized timestamps or the
       // title-case step (titles are unique, so keep-first dedup is a
-      // no-op), and format_number->parse round-trips to DuckDB's
-      // round_even (both HALF_EVEN on the same double). The WHERE mirrors
-      // the US filter's country precedence: the source has a country
-      // column, so ONLY country='USA' rows (even orderkeys) survive —
-      // the ", US" locations on France rows must NOT rescue them.
+      // no-op). format_number->parse is replicated with printf('%.2f'):
+      // both format the double's EXACT binary expansion and round it
+      // half-even, so the strings agree bit for bit — DuckDB's
+      // round_even(x,2) instead double-rounds through x*100, which
+      // resurrects decimal ties the double sits just below and flips
+      // 2nd-decimal boundary rows (measured at the sf1 rung: one
+      // boundary price x10 copies moved floor(sal*2000) by 20 each).
+      // The WHERE mirrors the US filter's country precedence: the
+      // source has a country column, so ONLY country='USA' rows (even
+      // orderkeys) survive — the ", US" locations on France rows must
+      // NOT rescue them.
       Some("""WITH src AS (
              |  SELECT lower(trim(c_name)) AS company_name,
              |         lower('Senior' || ' ' || lower(o_orderpriority) || ' ' ||
@@ -81,7 +87,7 @@ object PipelineOps {
              |              ELSE 'full-time' END AS raw_type,
              |         CASE WHEN o_orderkey % 5 = 0 THEN 'zip recruiter'
              |              ELSE 'indeed' END AS job_posted_site,
-             |         round_even(o_totalprice / 10, 2) AS sal
+             |         CAST(printf('%.2f', o_totalprice / 10) AS DOUBLE) AS sal
              |  FROM orders JOIN customer ON o_custkey = c_custkey
              |  WHERE o_orderkey % 2 = 0),
              |typed AS (

@@ -30,6 +30,70 @@ class PhysicalLayoutSpec extends SparkSpec {
     assert(dirs.contains("yr=1997")) // ...and the target among them
   }
 
+  test("z-order layout bounds both dimensions per file; 2-D box touches fewer files than a 1-D sort") {
+    import graft.ops.ZOrder
+    val tmp = java.nio.file.Files.createTempDirectory("graft_z").toString
+    val base = Tables.orders(spark, sfDir)
+      .select(col("o_custkey").as("ck"),
+        datediff(col("o_orderdate"), lit("1970-01-01")).cast("long").as("dy"))
+    val nFiles = 64
+    // z-clustered layout vs the natural time-sorted layout
+    val layout = ZOrder.planZ(base, col("ck"), col("dy"), nFiles)
+    layout.df.write.parquet(s"$tmp/by_z")
+    base.repartitionByRange(nFiles, col("dy")).sortWithinPartitions(col("dy"))
+      .write.parquet(s"$tmp/by_dy")
+
+    // per-file bounding boxes (what parquet footer min/max stats encode)
+    def fileBoxes(path: String) =
+      spark.read.parquet(path)
+        .groupBy(input_file_name().as("f"))
+        .agg(min("ck").as("ck_lo"), max("ck").as("ck_hi"),
+             min("dy").as("dy_lo"), max("dy").as("dy_hi"))
+        .collect()
+
+    // a box selective in BOTH dims: ~13% of custkeys x one year of dates
+    val (ckLo, ckHi) = (100L, 299L)
+    val Row2 = base.where(col("dy").isNotNull)
+      .agg(min("dy"), max("dy")).head
+    val dyMin = Row2.getLong(0)
+    val (dyLo, dyHi) = (dyMin + 365L, dyMin + 729L)
+
+    def touched(path: String): Int = fileBoxes(path).count { r =>
+      val (cl, ch) = (r.getLong(1), r.getLong(2))
+      val (dl, dh) = (r.getLong(3), r.getLong(4))
+      cl <= ckHi && ch >= ckLo && dl <= dyHi && dh >= dyLo
+    }
+
+    val zTouched = touched(s"$tmp/by_z")
+    val dyTouched = touched(s"$tmp/by_dy")
+    // the 1-D layout bounds dy only: every file covering the year still
+    // spans all custkeys, so it cannot prune on ck. The z layout bounds
+    // both, so strictly fewer files intersect the box.
+    assert(zTouched < dyTouched,
+      s"z=$zTouched files vs dy-sort=$dyTouched files")
+    assert(zTouched < nFiles / 2, s"z layout touched $zTouched of $nFiles")
+
+    // physical corner bound: every actual box row lives in a file whose
+    // z-interval intersects [z(lo corner), z(hi corner)] — the q128
+    // invariant holding at the file grain the scan prunes on. The
+    // written layout keeps its rank-space z column; the ZLayout's cuts
+    // map the box corners into the same space.
+    val (zLo, zHi) =
+      layout.zRange(ckLo.toDouble, ckHi.toDouble, dyLo.toDouble, dyHi.toDouble)
+    val withF = spark.read.parquet(s"$tmp/by_z")
+      .withColumn("f", input_file_name())
+    val boxFiles = withF
+      .where(col("ck").between(ckLo, ckHi) && col("dy").between(dyLo, dyHi))
+      .select("f").distinct().collect().map(_.getString(0)).toSet
+    val zRangeFiles = withF
+      .groupBy("f").agg(min("z").as("zmin"), max("z").as("zmax"))
+      .where(col("zmin") <= zHi && col("zmax") >= zLo)
+      .select("f").collect().map(_.getString(0)).toSet
+    assert(boxFiles.nonEmpty)
+    assert(boxFiles.subsetOf(zRangeFiles),
+      s"box rows escaped the z-interval file set: ${boxFiles -- zRangeFiles}")
+  }
+
   test("co-bucketed join plans without a shuffle exchange") {
     spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
