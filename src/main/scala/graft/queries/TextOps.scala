@@ -305,7 +305,7 @@ object TextOps {
        |ORDER BY doc_id""".stripMargin
   }
 
-  private def minhashOracleSql: String = {
+  private def minhashPairsCte: String = {
     val paramValues =
       minhashParams.map { case (i, a, b) => s"($i, $a, $b)" }.mkString(", ")
     s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
@@ -335,13 +335,35 @@ object TextOps {
        |           FROM cand
        |           JOIN shp sa ON da = sa.doc_id
        |           JOIN shp sb ON db = sb.doc_id AND sa.p1 = sb.p1 AND sa.p2 = sb.p2
-       |           GROUP BY da, db)
-       |SELECT da AS doc_a, db AS doc_b,
-       |       round(cmn * 1.0 / (sa.n + sb.n - cmn), 4) AS jac
-       |FROM common JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
-       |WHERE round(cmn * 1.0 / (sa.n + sb.n - cmn), 4) >= 0.8
-       |ORDER BY doc_a, doc_b""".stripMargin
+       |           GROUP BY da, db),
+       |pairs AS (SELECT da, db,
+       |            round(cmn * 1.0 / (sa.n + sb.n - cmn), 4) AS jac
+       |          FROM common
+       |          JOIN sizes sa ON da = sa.doc_id
+       |          JOIN sizes sb ON db = sb.doc_id
+       |          WHERE round(cmn * 1.0 / (sa.n + sb.n - cmn), 4) >= 0.8)""".stripMargin
   }
+
+  private def minhashOracleSql: String =
+    s"""$minhashPairsCte
+       |SELECT da AS doc_a, db AS doc_b, jac
+       |FROM pairs
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** q129's oracle: the q70 near-dup pair set drives a per-doc verdict —
+    * a doc is kept iff NO earlier doc (smaller doc_id) pairs with it at
+    * jac >= 0.8. "Earlier" is exactly `da < db` in the pair CTE, so the
+    * incremental stream's answer (dedup against every PRIOR doc, kept
+    * or not) is non-recursive and fully replayable.
+    */
+  private[graft] def minhashDedupOracleSql: String =
+    s"""$minhashPairsCte,
+       |prior AS (SELECT db, count(*) AS nd FROM pairs GROUP BY db)
+       |SELECT d.doc_id,
+       |       CAST(coalesce(p.nd, 0) AS BIGINT) AS n_dup_prior,
+       |       CAST(CASE WHEN p.nd IS NULL THEN 1 ELSE 0 END AS INTEGER) AS kept
+       |FROM documents d LEFT JOIN prior p ON d.doc_id = p.db
+       |ORDER BY doc_id""".stripMargin
 
   /** Exact near-dup pairs at the given Jaccard threshold. All-pairs via
     * the shingle equi-join; set sizes ride along with each shingle row,
@@ -575,6 +597,26 @@ object TextOps {
           .orderBy(col("doc_a"), col("doc_b"))
       },
       Some(minhashOracleSql)),
+
+    // ---- E2/E6: incremental MinHash-LSH dedup over a document STREAM -----
+    // q70's continuous-ingestion twin: per micro-batch, band signatures
+    // probe a bucketed band store for collisions with history, exact
+    // Jaccard rescores candidates against a bucketed pack store, and
+    // per-doc keep/drop verdicts accumulate. Dedup is against ALL prior
+    // docs, so the answer is non-recursive and the whole stream —
+    // including cross-batch store state — replays as one DuckDB query
+    // over the q70 pair set.
+    Q(
+      "q129_minhash_dedup_stream",
+      (s, d) => {
+        val prev = s.conf.get("spark.sql.shuffle.partitions")
+        try {
+          s.conf.set("spark.sql.shuffle.partitions", "8")
+          graft.streaming.MinHashDedupStream.runOn(
+            s, Tables.documents(s, d), nSplits = 2)
+        } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      },
+      Some(minhashDedupOracleSql)),
 
     // ---- E2: SimHash with a FULL DuckDB oracle ----------------------------
     // 60-bit simhash from the dual portable token hashes (bits 0-29 from

@@ -1,0 +1,202 @@
+package graft.streaming
+
+import graft.functions.ShingleKernel.{minhashSig, shinglePacks}
+import graft.pipeline.Load
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+/** Continuous-ingestion MinHash+LSH near-dup dedup (q129): documents
+  * arrive as files, and each micro-batch decides keep/drop for its docs
+  * against everything that arrived before — the q70 banding (32
+  * portable minhashes, 8 bands of 4, exact-Jaccard rescore at 0.8) run
+  * incrementally. Completes the streaming-twin set: exact (q104
+  * prefixes), span (q101), sketch (q109/q123/q125), index (q111) and
+  * now near-dup text dedup all have continuous forms.
+  *
+  * Semantics: a doc is a duplicate iff some PRIOR doc (any earlier
+  * arrival, kept or dropped itself) bands with it and rescores at
+  * jac >= 0.8. Deduping against all priors rather than against
+  * kept-only makes the answer order-independent per doc and
+  * NON-RECURSIVE — so with arrival staged in doc_id order the whole
+  * stream replays as one DuckDB query over the q70 pair set
+  * (TextOps.minhashDedupOracleSql), checking cross-batch store state
+  * end to end. (Kept-only dedup would be a sequential greedy chain —
+  * the natural SPEC check, but no closed-form oracle.)
+  *
+  * State lives OUTSIDE the streaming state store (the q101 decision:
+  * band and shingle identity is append-only and unbounded — per-key
+  * state would checkpoint the corpus every batch) in two
+  * bucket-partitioned parquet stores:
+  *
+  *  - band store `(doc_id, n, band, key)`, bucketed on
+  *    `hash(band, key) mod B`: the probe side of candidate generation.
+  *    Each batch prunes its probe to the buckets its own band keys
+  *    hash into — directory-level partition pruning, never a full
+  *    history scan (above the cost-switch threshold).
+  *  - pack store `(doc_id, pack)`, bucketed on `doc_id mod B`: the
+  *    rescore side. Only buckets holding candidate partners are read.
+  *
+  * Both stores append under `batch=<id>` with Overwrite
+  * (Load.writeBatchPartial): an at-least-once retry REPLACES its
+  * partial, so the rescore's common-shingle counts can never be
+  * inflated by a double-append — the W4 idempotency pattern; `batch=`
+  * doubles as the retention key.
+  *
+  * 100 TB shape per batch: one band-key shuffle against a pruned probe
+  * set, one pack join against pruned rescore buckets, candidates only
+  * (the LSH guarantee bounds rescore work); store writes go one task
+  * per bucket, no single-task funnel.
+  */
+object MinHashDedupStream {
+
+  private val Threshold = 0.8
+  private val NumBands = 8
+  private val BandSize = 4
+
+  /** Store size above which a batch pays the bucket-list job to
+    * partition-prune its probes; below it a full scan is cheaper.
+    */
+  private val PruneThresholdBytes = 64L * 1024 * 1024
+
+  private def emptyFrame(spark: SparkSession, schema: StructType): DataFrame =
+    spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+      schema)
+
+  private val bandSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("n", LongType),
+    StructField("band", IntegerType),
+    StructField("key", ArrayType(LongType))))
+
+  private val packSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("pack", LongType)))
+
+  /** Run the incremental near-dup dedup over staged splits to
+    * completion (one micro-batch per file) and return the accumulated
+    * per-doc verdicts `(doc_id, n_dup_prior, kept)`.
+    */
+  def run(spark: SparkSession, inputDir: String, workDir: String,
+          nBuckets: Int = 16,
+          pruneThresholdBytes: Long = PruneThresholdBytes): DataFrame = {
+    val bandStoreDir = s"$workDir/band_store"
+    val packStoreDir = s"$workDir/pack_store"
+    val outDir = s"$workDir/out"
+    val bandBucket = pmod(hash(col("band"), col("key")), lit(nBuckets))
+    val docBucket = pmod(col("doc_id"), lit(nBuckets.toLong)).cast("int")
+    val stream = spark.readStream
+      .schema(spark.read.parquet(inputDir).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$inputDir/split_*.parquet")
+    val q = stream.writeStream
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
+        val batch = batch0.cache()
+        // per-doc shingle packs and banded signature, one codegen'd
+        // kernel pass (the q70 shape); docs under 3 tokens have no
+        // shingles and band with nothing
+        val base = batch
+          .where(size(split(col("text"), " ")) >= 3)
+          .select(col("doc_id"), shinglePacks(col("text")).as("packs"))
+        val sig = base.select(col("doc_id"),
+          size(col("packs")).cast("long").as("n"),
+          minhashSig(col("packs")).as("sig"))
+        val bandArr = array((0 until NumBands).map(b =>
+          struct(lit(b).as("band"),
+            slice(col("sig"), b * BandSize + 1, BandSize).as("key"))): _*)
+        val bands = sig
+          .select(col("doc_id"), col("n"), explode(bandArr).as("bk"))
+          .select(col("doc_id"), col("n"),
+            col("bk.band").as("band"), col("bk.key").as("key"))
+          .cache()
+        val batchPacks = base
+          .select(col("doc_id"), explode(col("packs")).as("pack")).cache()
+
+        // candidate partners: history (pruned band-store probe) plus
+        // earlier docs of the same batch. Missing store = first batch;
+        // a read error on an existing store must fail the batch
+        // (Load.readStoreIfExists contract).
+        def prunedStore(dir: String, schema: StructType,
+                        bucketsOf: => Seq[Int]): DataFrame =
+          Load.readStoreIfExists(spark, dir)
+            .map { s =>
+              if (Load.storeBytes(spark, dir) < pruneThresholdBytes) s
+              else Load.pruneBuckets(s, bucketsOf, nBuckets)
+            }
+            .map(_.select(schema.fieldNames.map(col): _*))
+            .getOrElse(emptyFrame(spark, schema))
+
+        val storeBands = prunedStore(bandStoreDir, bandSchema,
+          bands.select(bandBucket.as("bucket")).distinct()
+            .collect().map(_.getInt(0)).toSeq)
+        val histCand = storeBands.as("x").join(bands.as("y"),
+            col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("da"), col("x.n").as("na"),
+            col("y.doc_id").as("db"), col("y.n").as("nb"))
+        val innerCand = bands.as("x").join(bands.as("y"),
+            col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("da"), col("x.n").as("na"),
+            col("y.doc_id").as("db"), col("y.n").as("nb"))
+        val cand = histCand.unionByName(innerCand).distinct().cache()
+
+        // exact-Jaccard rescore on candidates only: partner packs come
+        // from the pack store's candidate buckets (plus the batch's own
+        // packs for same-batch partners)
+        val histPacks = prunedStore(packStoreDir, packSchema,
+          cand.select(pmod(col("da"), lit(nBuckets.toLong)).cast("int")
+            .as("bucket")).distinct().collect().map(_.getInt(0)).toSeq)
+        val partnerPacks = histPacks.unionByName(batchPacks)
+        val dups = cand
+          .join(partnerPacks.as("sa"), col("da") === col("sa.doc_id"))
+          .join(batchPacks.as("sb"), col("db") === col("sb.doc_id") &&
+            col("sa.pack") === col("sb.pack"))
+          .groupBy(col("da"), col("db"), col("na"), col("nb"))
+          .agg(count(lit(1)).as("cmn"))
+          .where(round(col("cmn") * lit(1.0) /
+            (col("na") + col("nb") - col("cmn")), 4) >= Threshold)
+          .groupBy(col("db").as("doc_id"))
+          .agg(count(lit(1)).as("n_dup_prior"))
+
+        val out = batch.select(col("doc_id"))
+          .join(dups, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_dup_prior"), lit(0L)).as("n_dup_prior"),
+            col("n_dup_prior").isNull.cast("int").as("kept"))
+        Load.writeBatchPartial(out, outDir, batchId)
+
+        // every doc's bands and packs enter the stores (kept AND
+        // dropped — the all-priors semantics), one task per bucket,
+        // idempotent under retry via the batch= overwrite
+        Load.writeBatchPartial(
+          bands.withColumn("bucket", bandBucket).repartition(col("bucket")),
+          bandStoreDir, batchId, Seq("bucket"))
+        Load.writeBatchPartial(
+          batchPacks.withColumn("bucket", docBucket).repartition(col("bucket")),
+          packStoreDir, batchId, Seq("bucket"))
+        cand.unpersist(); bands.unpersist(); batchPacks.unpersist()
+        batch.unpersist()
+        ()
+      }
+      .option("checkpointLocation", s"$workDir/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outDir)
+      .select(col("doc_id"), col("n_dup_prior"), col("kept"))
+      .orderBy("doc_id")
+  }
+
+  /** Stage + run in a fresh work dir: the q129 entry. Arrival order is
+    * staged to doc_id order (SpanDedupStream.stageSplits), which is
+    * what lets the stream share the batch oracle.
+    */
+  def runOn(spark: SparkSession, docs: DataFrame, nSplits: Int,
+            pruneThresholdBytes: Long = PruneThresholdBytes): DataFrame = {
+    val workDir = java.nio.file.Files
+      .createTempDirectory("q129_minhash_stream").toString
+    SpanDedupStream.stageSplits(spark, docs, s"$workDir/input", nSplits)
+    run(spark, s"$workDir/input", workDir,
+      pruneThresholdBytes = pruneThresholdBytes)
+  }
+}

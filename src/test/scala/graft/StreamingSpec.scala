@@ -262,4 +262,31 @@ class StreamingSpec extends SparkSpec {
     assert((saturated > 0) == truth.values.exists(_ >= 8),
       s"saturated=$saturated max_truth=${truth.values.max}")
   }
+
+  test("incremental MinHash-LSH dedup: boundary invariance, pruned-probe parity, planted dups caught") {
+    val docs = Tables.documents(spark, sfDir)
+    // expected verdicts derived from the registered batch pair set:
+    // doc kept iff it is nobody's doc_b at jac >= 0.8
+    val pairs = Registry.byName("q70_docs_minhash_portable")
+      .run(spark, sfDir).select(col("doc_a"), col("doc_b")).collect()
+    val dupCounts = pairs.groupBy(_.getLong(1)).view.mapValues(_.size).toMap
+    assert(dupCounts.nonEmpty, "fixture has no planted near-dups")
+    val expected = docs.select("doc_id").collect().map(_.getLong(0)).sorted
+      .map(id => (id, dupCounts.getOrElse(id, 0).toLong,
+        if (dupCounts.contains(id)) 0 else 1))
+
+    def verdicts(nSplits: Int, prune: Long): Seq[(Long, Long, Int)] =
+      graft.streaming.MinHashDedupStream
+        .runOn(spark, docs, nSplits, pruneThresholdBytes = prune)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+
+    // 4 splits exercises cross-batch store state at 3 boundaries; the
+    // result must not depend on where the batch cuts fall
+    val fourSplit = verdicts(4, Long.MaxValue)
+    assert(fourSplit == expected.toSeq)
+    // threshold 0 forces the bucket-pruned probe path on every batch:
+    // partition-pruned store reads must yield the identical answer
+    val pruned = verdicts(3, 0L)
+    assert(pruned == expected.toSeq)
+  }
 }
