@@ -94,9 +94,13 @@ object MinHashDedupStream {
         // per-doc shingle packs and banded signature, one codegen'd
         // kernel pass (the q70 shape); docs under 3 tokens have no
         // shingles and band with nothing
+        // cache the kernel output once: every downstream frame (bands,
+        // packs, rescore, store deltas) re-derives from the cached
+        // shingle sets, so the string-hashing pass runs once per batch
         val base = batch
           .where(size(split(col("text"), " ")) >= 3)
           .select(col("doc_id"), shinglePacks(col("text")).as("packs"))
+          .cache()
         val sig = base.select(col("doc_id"),
           size(col("packs")).cast("long").as("n"),
           minhashSig(col("packs")).as("sig"))
@@ -109,7 +113,7 @@ object MinHashDedupStream {
             col("bk.band").as("band"), col("bk.key").as("key"))
           .cache()
         val batchPacks = base
-          .select(col("doc_id"), explode(col("packs")).as("pack")).cache()
+          .select(col("doc_id"), explode(col("packs")).as("pack"))
 
         // candidate partners: history (pruned band-store probe) plus
         // earlier docs of the same batch. Missing store = first batch;
@@ -128,17 +132,20 @@ object MinHashDedupStream {
         val storeBands = prunedStore(bandStoreDir, bandSchema,
           bands.select(bandBucket.as("bucket")).distinct()
             .collect().map(_.getInt(0)).toSeq)
-        val histCand = storeBands.as("x").join(bands.as("y"),
+        // ONE join covers both candidate classes: the probe side is
+        // history ∪ this batch, the build side is the batch alone, and
+        // the `x.doc_id < y.doc_id` predicate is exactly the "prior
+        // doc" rule for both (store docs all precede the batch under
+        // doc_id-ordered arrival; same-batch pairs order by id)
+        val cand = storeBands.unionByName(bands.select(
+            col("doc_id"), col("n"), col("band"), col("key")))
+          .as("x")
+          .join(bands.as("y"),
             col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
               col("x.doc_id") < col("y.doc_id"))
           .select(col("x.doc_id").as("da"), col("x.n").as("na"),
             col("y.doc_id").as("db"), col("y.n").as("nb"))
-        val innerCand = bands.as("x").join(bands.as("y"),
-            col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
-              col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("da"), col("x.n").as("na"),
-            col("y.doc_id").as("db"), col("y.n").as("nb"))
-        val cand = histCand.unionByName(innerCand).distinct().cache()
+          .distinct()
 
         // exact-Jaccard rescore on candidates only: partner packs come
         // from the pack store's candidate buckets (plus the batch's own
@@ -174,8 +181,7 @@ object MinHashDedupStream {
         Load.writeBatchPartial(
           batchPacks.withColumn("bucket", docBucket).repartition(col("bucket")),
           packStoreDir, batchId, Seq("bucket"))
-        cand.unpersist(); bands.unpersist(); batchPacks.unpersist()
-        batch.unpersist()
+        bands.unpersist(); base.unpersist(); batch.unpersist()
         ()
       }
       .option("checkpointLocation", s"$workDir/ckpt")
