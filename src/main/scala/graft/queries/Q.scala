@@ -24,7 +24,8 @@ object Registry {
   lazy val all: Seq[Q] =
     CoreAnalytics.defs ++ TextOps.defs ++ VectorOps.defs ++
       EventOps.defs ++ CleanOps.defs ++ PipelineOps.defs ++ SketchOps.defs ++
-      TrainingOps.defs ++ SelectionOps.defs ++ LayoutOps.defs
+      TrainingOps.defs ++ SelectionOps.defs ++ LayoutOps.defs ++
+      GraphOps.defs
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }
