@@ -1,0 +1,59 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed triangle counting via degree-ordered edge orientation
+  * (node-iterator++ / "compact-forward"; Suri & Vassilvitskii's
+  * MapReduce formulation). Each undirected edge is oriented from its
+  * lower endpoint to its higher endpoint in the total order
+  * (degree, id); every triangle then has exactly one apex whose two
+  * triangle edges both point outward, so joining the oriented list
+  * with itself on the apex and probing the original edge set counts
+  * each triangle exactly once.
+  *
+  * The orientation is the scale guarantee: oriented out-degree is
+  * O(√m) regardless of skew — a hub's wedges are charged to the
+  * neighbors that out-rank it — so wedge volume is O(m^1.5) worst
+  * case instead of the Σdeg² a naive neighbor self-join pays. On a
+  * power-law near-dup graph that is the difference between finishing
+  * and not. Everything is equi-joins plus integer counts:
+  * deterministic under any partitioning, SQL-oracle replayable.
+  */
+object Triangles {
+
+  /** Per-node triangle stats over a canonical undirected edge list
+    * (`a` < `b`, distinct rows, no self-loops). Returns one row per
+    * node incident to ≥1 edge: (`node`, `deg` = neighbor count,
+    * `n_tri` = triangles through the node, 0 when none).
+    */
+  def perNode(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("a"), col("b")).localCheckpoint()
+    val deg = e.select(col("a").as("node"))
+      .unionByName(e.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    // orient low (deg, id) → high; a < b already breaks degree ties
+    val or = e
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+      .select(
+        when(col("da") <= col("db"), col("a")).otherwise(col("b")).as("src"),
+        when(col("da") <= col("db"), col("b")).otherwise(col("a")).as("dst"))
+      .localCheckpoint()
+    // wedges at each apex; id-order between the two out-neighbors
+    // counts each wedge once AND matches the canonical probe (x < y)
+    val tri = or.as("e1")
+      .join(or.as("e2"),
+        col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
+      .select(col("e1.src").as("u"),
+        col("e1.dst").as("x"), col("e2.dst").as("y"))
+      .join(e, col("x") === col("a") && col("y") === col("b"))
+      .select(col("u"), col("x"), col("y"))
+    val tcnt = tri
+      .select(explode(array(col("u"), col("x"), col("y"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+    deg.join(tcnt, Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+  }
+}

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ops.PageRank
+import graft.ops.{PageRank, Triangles}
 import org.apache.spark.sql.functions._
 
 /** Iterative graph analytics (SURVEY §2 extension surface). The graph is
@@ -89,6 +89,59 @@ object GraphOps {
           .orderBy(col("rank_units").desc, col("s_suppkey"))
           .limit(20)
       },
-      Some(pagerankOracleSql(Rounds)))
+      Some(pagerankOracleSql(Rounds))),
+
+    // ---- Triangle census of the near-dup pair graph -----------------------
+    // Dedup QA: a near-dup relation that were truly transitive would make
+    // every cluster a clique (coeff 1.0); triangle deficits flag border
+    // docs whose pair verdicts disagree with their neighborhood. Per-node
+    // (deg, n_tri, clustering coefficient) for the top-20 under a total
+    // (n_tri desc, deg desc, doc_id) order. The coefficient is ONE double
+    // division of exact integers (< 2^53), identical in every IEEE
+    // engine — the q124 pattern. The oracle counts each triangle once via
+    // the id-canonical u<x<y join, equivalent by symmetry to the engine's
+    // degree-oriented count.
+    Q(
+      "q131_triangle_stats",
+      (s, d) => {
+        val edges = TextOps.jaccardPairs(s, d, 0.8)
+          .select(col("doc_a").as("a"), col("doc_b").as("b"))
+        Triangles.perNode(edges)
+          .withColumn("coeff",
+            when(col("deg") >= 2,
+              lit(2.0) * col("n_tri") / (col("deg") * (col("deg") - lit(1L))))
+              .otherwise(lit(0.0)))
+          .select(col("node").as("doc_id"), col("deg"), col("n_tri"), col("coeff"))
+          .orderBy(col("n_tri").desc, col("deg").desc, col("doc_id"))
+          .limit(20)
+      },
+      Some(s"""${TextOps.shingleSqlCte},
+              |common AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS cmn
+              |           FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              |           GROUP BY da, db),
+              |pairs AS MATERIALIZED (
+              |  SELECT da, db FROM common
+              |  JOIN sizes sa ON da = sa.doc_id
+              |  JOIN sizes sb ON db = sb.doc_id
+              |  WHERE round(cmn * 1.0 / (sa.n + sb.n - cmn), 4) >= 0.8),
+              |deg AS (SELECT node, count(*) AS deg FROM (
+              |          SELECT da AS node FROM pairs
+              |          UNION ALL SELECT db FROM pairs) GROUP BY node),
+              |tri AS MATERIALIZED (
+              |  SELECT e1.da AS u, e1.db AS x, e2.db AS y
+              |  FROM pairs e1 JOIN pairs e2 ON e1.da = e2.da AND e1.db < e2.db
+              |  JOIN pairs e3 ON e3.da = e1.db AND e3.db = e2.db),
+              |tcnt AS (SELECT node, count(*) AS n_tri FROM (
+              |           SELECT u AS node FROM tri
+              |           UNION ALL SELECT x FROM tri
+              |           UNION ALL SELECT y FROM tri) GROUP BY node)
+              |SELECT d.node AS doc_id, d.deg,
+              |       CAST(COALESCE(t.n_tri, 0) AS BIGINT) AS n_tri,
+              |       CASE WHEN d.deg >= 2
+              |            THEN 2.0 * COALESCE(t.n_tri, 0) / (d.deg * (d.deg - 1))
+              |            ELSE 0.0 END AS coeff
+              |FROM deg d LEFT JOIN tcnt t ON d.node = t.node
+              |ORDER BY n_tri DESC, deg DESC, doc_id
+              |LIMIT 20""".stripMargin)
   )
 }

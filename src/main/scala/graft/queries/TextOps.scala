@@ -61,7 +61,7 @@ object TextOps {
               explode_outer(col("shs")).as("sh"))
       .where(col("sh").isNotNull)
 
-  private val shingleSqlCte =
+  private[queries] val shingleSqlCte =
     """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
       |sh AS (SELECT DISTINCT doc_id,
       |         unnest(list_transform(range(1, len(t) - 1),
@@ -374,7 +374,7 @@ object TextOps {
     * partitions both sides on sh and scales out (and is the only
     * correct choice at 100 TB anyway).
     */
-  private def jaccardPairs(s: SparkSession, d: String,
+  private[queries] def jaccardPairs(s: SparkSession, d: String,
                            threshold: Double): DataFrame = {
     val sh = shingles(s, d)
     // (Size-ratio pruning — jac <= min(n)/max(n) — was tried as an extra
