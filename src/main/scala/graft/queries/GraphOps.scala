@@ -143,5 +143,6 @@ object GraphOps {
               |FROM deg d LEFT JOIN tcnt t ON d.node = t.node
               |ORDER BY n_tri DESC, deg DESC, doc_id
               |LIMIT 20""".stripMargin)
+    )
   )
 }
