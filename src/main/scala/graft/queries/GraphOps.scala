@@ -6,11 +6,12 @@ import org.apache.spark.sql.functions._
 
 /** Iterative graph analytics (SURVEY §2 extension surface). The graph is
   * derived from the fact tables — here the customer↔supplier trade graph
-  * of `orders ⋈ lineitem` (reference analogue: the entity-relationship
-  * queries of `/root/reference/src/analysis_queries.py`, which rank
-  * entities by joined activity; PageRank is the closed-loop version of
-  * that ranking where an entity's weight also flows from the weight of
-  * its neighbors).
+  * of `orders ⋈ lineitem` (reference analogue: the BI layer's top-k
+  * entity-ranking queries — the `/root/reference/Dashboards` PNGs, the
+  * declared query inventory of SURVEY §2.10, which rank entities by
+  * aggregated activity; PageRank is the closed-loop version of that
+  * ranking where an entity's weight also flows from the weight of its
+  * neighbors).
   *
   * The edge derivation is the 100 TB-shaped part: one scan of lineitem
   * joined to orders on the orderkey (co-partitioned fact-fact join),
