@@ -226,6 +226,88 @@ object Load {
     if (fs.exists(p)) Some(spark.read.parquet(path)) else None
   }
 
+  /** Read a `batch=`-keyed store as the PRE-batch state: exclude the
+    * current batch's own `batch=<id>` partition. foreachBatch is
+    * at-least-once — a batch retried AFTER its store partial was
+    * written would otherwise read its own rows back ("read your own
+    * partial") and recompute against a store that already contains the
+    * batch, which inverts dedup verdicts (every key looks like a prior
+    * duplicate) or double-counts rescore joins. The exclusion is a
+    * partition filter on the Hive `batch` directory column, so a retry
+    * sees exactly the state the first attempt saw. Missing store =
+    * first batch (None), same contract as [[readStoreIfExists]].
+    */
+  def readStoreExcludingBatch(spark: SparkSession, path: String,
+                              batchId: Long): Option[DataFrame] =
+    readStoreIfExists(spark, path).map(_.where(col("batch") =!= batchId))
+
+  /** Cross-batch consolidation for a `batch=<id>/bucket=<b>` store of
+    * SET-semantics rows (membership probed via joins — gram packs,
+    * prefix packs): merge every batch partition with id < the current
+    * batch into one `batch=-<currentBatchId>` partition, one file per
+    * bucket, and drop the merged originals. This is what keeps scan
+    * task counts proportional to data size rather than append count
+    * once deltas are batch-keyed for retry safety (a per-leaf compactor
+    * can't merge across `batch=` directories).
+    *
+    * Crash-safe by rename-before-delete: the merged output is written
+    * to a hidden temp dir (invisible to Spark reads), atomically
+    * renamed in as `batch=-<id>`, and only THEN are the originals
+    * deleted. Every crash window leaves the store's key SET intact —
+    * a crash before the rename leaves the originals untouched, a crash
+    * mid-delete leaves transient DUPLICATE rows (consolidated + some
+    * originals), which membership joins are insensitive to, and the
+    * retried batch resumes at the delete step (the `batch=-<id>` dir
+    * doubles as the completion marker). Only safe for stores probed as
+    * sets — never for stores whose rows are counted or summed.
+    *
+    * The negative id keeps the partition value numeric (type-stable
+    * partition discovery), can never collide with a real batch id, and
+    * always sorts below the current batch, so the
+    * [[readStoreExcludingBatch]] filter is unaffected.
+    */
+  def consolidateBatchStore(spark: SparkSession, root: String,
+                            currentBatchId: Long): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rootPath = fs.makeQualified(new org.apache.hadoop.fs.Path(root))
+    if (!fs.exists(rootPath)) return
+    def batchDirs: Seq[(org.apache.hadoop.fs.Path, Long)] =
+      fs.listStatus(rootPath).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+        .map(s => (s.getPath, s.getPath.getName.stripPrefix("batch=").toLong))
+    val marker = new org.apache.hadoop.fs.Path(rootPath,
+      s"batch=-$currentBatchId")
+    if (!fs.exists(marker)) {
+      // candidates: everything strictly before this batch (including
+      // earlier consolidations' negative ids), with data — an empty
+      // delta writes a partition holding only _SUCCESS
+      val cands = batchDirs.filter { case (p, id) =>
+        id < currentBatchId && fs.getContentSummary(p).getLength > 0
+      }
+      if (cands.size <= 1) return
+      val tmp = new org.apache.hadoop.fs.Path(rootPath, ".consolidate_tmp")
+      // one read of the store root, partition-pruned to the pre-batch
+      // ids (reading the batch=<id> dirs as separate roots would trip
+      // partition discovery's conflicting-structure check)
+      spark.read.parquet(rootPath.toString)
+        .where(col("batch") < currentBatchId)
+        .drop("batch")
+        .repartition(col("bucket"))
+        .write.mode(SaveMode.Overwrite).partitionBy("bucket")
+        .parquet(tmp.toString)
+      if (!fs.rename(tmp, marker))
+        throw new java.io.IOException(
+          s"consolidation rename $tmp -> $marker failed")
+    }
+    // completion (idempotent on retry): drop everything the merge covers
+    batchDirs
+      .filter { case (p, id) =>
+        id < currentBatchId && p.getName != marker.getName
+      }
+      .foreach { case (p, _) => fs.delete(p, true) }
+  }
+
   /** Record-level incremental dedup against the store: append only rows
     * whose dedup key is absent from what's already written — the batch
     * twin of streaming dropDuplicates state, for pipelines where the

@@ -39,10 +39,15 @@ import org.apache.spark.sql.types._
   *    rescore side. Only buckets holding candidate partners are read.
   *
   * Both stores append under `batch=<id>` with Overwrite
-  * (Load.writeBatchPartial): an at-least-once retry REPLACES its
-  * partial, so the rescore's common-shingle counts can never be
-  * inflated by a double-append — the W4 idempotency pattern; `batch=`
-  * doubles as the retention key.
+  * (Load.writeBatchPartial) AND are read through
+  * Load.readStoreExcludingBatch: the Overwrite stops a retry from
+  * double-APPENDING, and the read-side exclusion stops it from
+  * read-its-own-partial — a batch retried after its store partial
+  * landed would otherwise see its own (doc_id, pack) rows in
+  * histPacks, double every common-shingle count cmn, inflate Jaccard
+  * into false duplicates, and Overwrite the correct verdicts with
+  * wrong ones. With both halves, a retry recomputes bit-identically
+  * against the pre-batch state; `batch=` doubles as the retention key.
   *
   * 100 TB shape per batch: one band-key shuffle against a pruned probe
   * set, one pack join against pruned rescore buckets, candidates only
@@ -79,118 +84,135 @@ object MinHashDedupStream {
   def run(spark: SparkSession, inputDir: String, workDir: String,
           nBuckets: Int = 16,
           pruneThresholdBytes: Long = PruneThresholdBytes): DataFrame = {
-    val bandStoreDir = s"$workDir/band_store"
-    val packStoreDir = s"$workDir/pack_store"
-    val outDir = s"$workDir/out"
-    val bandBucket = pmod(hash(col("band"), col("key")), lit(nBuckets))
-    val docBucket = pmod(col("doc_id"), lit(nBuckets.toLong)).cast("int")
     val stream = spark.readStream
       .schema(spark.read.parquet(inputDir).schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(s"$inputDir/split_*.parquet")
     val q = stream.writeStream
       .foreachBatch { (batch0: DataFrame, batchId: Long) =>
-        val batch = batch0.cache()
-        // per-doc shingle packs and banded signature, one codegen'd
-        // kernel pass (the q70 shape); docs under 3 tokens have no
-        // shingles and band with nothing
-        // cache the kernel output once: every downstream frame (bands,
-        // packs, rescore, store deltas) re-derives from the cached
-        // shingle sets, so the string-hashing pass runs once per batch
-        val base = batch
-          .where(size(split(col("text"), " ")) >= 3)
-          .select(col("doc_id"), shinglePacks(col("text")).as("packs"))
-          .cache()
-        val sig = base.select(col("doc_id"),
-          size(col("packs")).cast("long").as("n"),
-          minhashSig(col("packs")).as("sig"))
-        val bandArr = array((0 until NumBands).map(b =>
-          struct(lit(b).as("band"),
-            slice(col("sig"), b * BandSize + 1, BandSize).as("key"))): _*)
-        val bands = sig
-          .select(col("doc_id"), col("n"), explode(bandArr).as("bk"))
-          .select(col("doc_id"), col("n"),
-            col("bk.band").as("band"), col("bk.key").as("key"))
-          .cache()
-        val batchPacks = base
-          .select(col("doc_id"), explode(col("packs")).as("pack"))
-
-        // candidate partners: history (pruned band-store probe) plus
-        // earlier docs of the same batch. Missing store = first batch;
-        // a read error on an existing store must fail the batch
-        // (Load.readStoreIfExists contract).
-        def prunedStore(dir: String, schema: StructType,
-                        bucketsOf: => Seq[Int]): DataFrame =
-          Load.readStoreIfExists(spark, dir)
-            .map { s =>
-              if (Load.storeBytes(spark, dir) < pruneThresholdBytes) s
-              else Load.pruneBuckets(s, bucketsOf, nBuckets)
-            }
-            .map(_.select(schema.fieldNames.map(col): _*))
-            .getOrElse(emptyFrame(spark, schema))
-
-        val storeBands = prunedStore(bandStoreDir, bandSchema,
-          bands.select(bandBucket.as("bucket")).distinct()
-            .collect().map(_.getInt(0)).toSeq)
-        // ONE join covers both candidate classes: the probe side is
-        // history ∪ this batch, the build side is the batch alone, and
-        // the `x.doc_id < y.doc_id` predicate is exactly the "prior
-        // doc" rule for both (store docs all precede the batch under
-        // doc_id-ordered arrival; same-batch pairs order by id)
-        val cand = storeBands.unionByName(bands.select(
-            col("doc_id"), col("n"), col("band"), col("key")))
-          .as("x")
-          .join(bands.as("y"),
-            col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
-              col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("da"), col("x.n").as("na"),
-            col("y.doc_id").as("db"), col("y.n").as("nb"))
-          .distinct()
-
-        // exact-Jaccard rescore on candidates only: partner packs come
-        // from the pack store's candidate buckets (plus the batch's own
-        // packs for same-batch partners)
-        val histPacks = prunedStore(packStoreDir, packSchema,
-          cand.select(pmod(col("da"), lit(nBuckets.toLong)).cast("int")
-            .as("bucket")).distinct().collect().map(_.getInt(0)).toSeq)
-        val partnerPacks = histPacks.unionByName(batchPacks)
-        val dups = cand
-          .join(partnerPacks.as("sa"), col("da") === col("sa.doc_id"))
-          .join(batchPacks.as("sb"), col("db") === col("sb.doc_id") &&
-            col("sa.pack") === col("sb.pack"))
-          .groupBy(col("da"), col("db"), col("na"), col("nb"))
-          .agg(count(lit(1)).as("cmn"))
-          .where(round(col("cmn") * lit(1.0) /
-            (col("na") + col("nb") - col("cmn")), 4) >= Threshold)
-          .groupBy(col("db").as("doc_id"))
-          .agg(count(lit(1)).as("n_dup_prior"))
-
-        val out = batch.select(col("doc_id"))
-          .join(dups, Seq("doc_id"), "left")
-          .select(col("doc_id"),
-            coalesce(col("n_dup_prior"), lit(0L)).as("n_dup_prior"),
-            col("n_dup_prior").isNull.cast("int").as("kept"))
-        Load.writeBatchPartial(out, outDir, batchId)
-
-        // every doc's bands and packs enter the stores (kept AND
-        // dropped — the all-priors semantics), one task per bucket,
-        // idempotent under retry via the batch= overwrite
-        Load.writeBatchPartial(
-          bands.withColumn("bucket", bandBucket).repartition(col("bucket")),
-          bandStoreDir, batchId, Seq("bucket"))
-        Load.writeBatchPartial(
-          batchPacks.withColumn("bucket", docBucket).repartition(col("bucket")),
-          packStoreDir, batchId, Seq("bucket"))
-        bands.unpersist(); base.unpersist(); batch.unpersist()
-        ()
+        processBatch(spark, batch0, batchId, workDir, nBuckets,
+          pruneThresholdBytes)
       }
       .option("checkpointLocation", s"$workDir/ckpt")
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.read.parquet(outDir)
+    spark.read.parquet(s"$workDir/out")
       .select(col("doc_id"), col("n_dup_prior"), col("kept"))
       .orderBy("doc_id")
+  }
+
+  /** One micro-batch of the incremental near-dup dedup — the
+    * foreachBatch body, exposed so the retry contract is directly
+    * testable: calling this twice with the same batchId (the
+    * at-least-once scenario where the first attempt completed its
+    * store appends before failing) must produce bit-identical verdict
+    * and store partials — in particular, NO false duplicates from the
+    * rescore reading the batch's own packs back.
+    */
+  private[graft] def processBatch(spark: SparkSession, batch0: DataFrame,
+                                  batchId: Long, workDir: String,
+                                  nBuckets: Int,
+                                  pruneThresholdBytes: Long): Unit = {
+    val bandStoreDir = s"$workDir/band_store"
+    val packStoreDir = s"$workDir/pack_store"
+    val outDir = s"$workDir/out"
+    val bandBucket = pmod(hash(col("band"), col("key")), lit(nBuckets))
+    val docBucket = pmod(col("doc_id"), lit(nBuckets.toLong)).cast("int")
+    val batch = batch0.cache()
+    // per-doc shingle packs and banded signature, one codegen'd
+    // kernel pass (the q70 shape); docs under 3 tokens have no
+    // shingles and band with nothing
+    // cache the kernel output once: every downstream frame (bands,
+    // packs, rescore, store deltas) re-derives from the cached
+    // shingle sets, so the string-hashing pass runs once per batch
+    val base = batch
+      .where(size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id"), shinglePacks(col("text")).as("packs"))
+      .cache()
+    val sig = base.select(col("doc_id"),
+      size(col("packs")).cast("long").as("n"),
+      minhashSig(col("packs")).as("sig"))
+    val bandArr = array((0 until NumBands).map(b =>
+      struct(lit(b).as("band"),
+        slice(col("sig"), b * BandSize + 1, BandSize).as("key"))): _*)
+    val bands = sig
+      .select(col("doc_id"), col("n"), explode(bandArr).as("bk"))
+      .select(col("doc_id"), col("n"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+      .cache()
+    val batchPacks = base
+      .select(col("doc_id"), explode(col("packs")).as("pack"))
+
+    // candidate partners: history (pruned band-store probe) plus
+    // earlier docs of the same batch. Missing store = first batch;
+    // a read error on an existing store must fail the batch, and
+    // the batch's own partition is excluded so a retry probes the
+    // pre-batch state (Load.readStoreExcludingBatch contract).
+    def prunedStore(dir: String, schema: StructType,
+                    bucketsOf: => Seq[Int]): DataFrame =
+      Load.readStoreExcludingBatch(spark, dir, batchId)
+        .map { s =>
+          if (Load.storeBytes(spark, dir) < pruneThresholdBytes) s
+          else Load.pruneBuckets(s, bucketsOf, nBuckets)
+        }
+        .map(_.select(schema.fieldNames.map(col): _*))
+        .getOrElse(emptyFrame(spark, schema))
+
+    val storeBands = prunedStore(bandStoreDir, bandSchema,
+      bands.select(bandBucket.as("bucket")).distinct()
+        .collect().map(_.getInt(0)).toSeq)
+    // ONE join covers both candidate classes: the probe side is
+    // history ∪ this batch, the build side is the batch alone, and
+    // the `x.doc_id < y.doc_id` predicate is exactly the "prior
+    // doc" rule for both (store docs all precede the batch under
+    // doc_id-ordered arrival; same-batch pairs order by id)
+    val cand = storeBands.unionByName(bands.select(
+        col("doc_id"), col("n"), col("band"), col("key")))
+      .as("x")
+      .join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("da"), col("x.n").as("na"),
+        col("y.doc_id").as("db"), col("y.n").as("nb"))
+      .distinct()
+
+    // exact-Jaccard rescore on candidates only: partner packs come
+    // from the pack store's candidate buckets (plus the batch's own
+    // packs for same-batch partners)
+    val histPacks = prunedStore(packStoreDir, packSchema,
+      cand.select(pmod(col("da"), lit(nBuckets.toLong)).cast("int")
+        .as("bucket")).distinct().collect().map(_.getInt(0)).toSeq)
+    val partnerPacks = histPacks.unionByName(batchPacks)
+    val dups = cand
+      .join(partnerPacks.as("sa"), col("da") === col("sa.doc_id"))
+      .join(batchPacks.as("sb"), col("db") === col("sb.doc_id") &&
+        col("sa.pack") === col("sb.pack"))
+      .groupBy(col("da"), col("db"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("cmn"))
+      .where(round(col("cmn") * lit(1.0) /
+        (col("na") + col("nb") - col("cmn")), 4) >= Threshold)
+      .groupBy(col("db").as("doc_id"))
+      .agg(count(lit(1)).as("n_dup_prior"))
+
+    val out = batch.select(col("doc_id"))
+      .join(dups, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_dup_prior"), lit(0L)).as("n_dup_prior"),
+        col("n_dup_prior").isNull.cast("int").as("kept"))
+    Load.writeBatchPartial(out, outDir, batchId)
+
+    // every doc's bands and packs enter the stores (kept AND
+    // dropped — the all-priors semantics), one task per bucket,
+    // idempotent under retry via the batch= overwrite
+    Load.writeBatchPartial(
+      bands.withColumn("bucket", bandBucket).repartition(col("bucket")),
+      bandStoreDir, batchId, Seq("bucket"))
+    Load.writeBatchPartial(
+      batchPacks.withColumn("bucket", docBucket).repartition(col("bucket")),
+      packStoreDir, batchId, Seq("bucket"))
+    bands.unpersist(); base.unpersist(); batch.unpersist()
+    ()
   }
 
   /** Stage + run in a fresh work dir: the q129 entry. Arrival order is

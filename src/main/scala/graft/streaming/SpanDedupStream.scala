@@ -86,69 +86,95 @@ object SpanDedupStream {
     * ([[graft.pipeline.Load.compactPartitioned]] skips already-compact
     * buckets), so scan task counts track data size, not append count.
     *
-    * Restart safety: the store append is idempotent by construction —
-    * a retried batch re-computes `fresh` as an anti-join against a
-    * store that already holds its packs, yielding zero rows — and the
-    * doc output is keyed on batchId, so a retry replaces its partial
-    * instead of double-appending.
+    * Restart safety: BOTH sinks are keyed on batchId (`batch=<id>`
+    * Overwrite partials, Load.writeBatchPartial) and the store read
+    * EXCLUDES the current batch's own partition
+    * (Load.readStoreExcludingBatch). The exclusion is what makes a
+    * retry recompute the same answer: foreachBatch is at-least-once,
+    * and a batch retried after its store delta landed would otherwise
+    * dedup against a store already holding its own packs — every gram
+    * anti-joins away, and the recomputed (wrong, all-duplicate) doc
+    * stats would REPLACE the correct ones in the batch-keyed out
+    * partial. With the exclusion, a retry sees exactly the pre-batch
+    * state, recomputes bit-identical outputs, and its two Overwrites
+    * replace equal data with equal data. Cross-batch consolidation
+    * (Load.consolidateBatchStore) replaces the per-leaf compactor: it
+    * merges only partitions strictly BEFORE the current batch, so it
+    * can never fold the current batch's delta into an unexcludable
+    * directory.
     */
   def run(spark: SparkSession, inputDir: String, workDir: String,
           w: Int, nBuckets: Int = 16, compactEvery: Int = 8): DataFrame = {
-    val storeDir = s"$workDir/gram_store"
-    val outDir = s"$workDir/out"
-    val bucketOf = pmod(col("pack"), lit(nBuckets.toLong)).cast("int")
     val stream = spark.readStream
       .schema(spark.read.parquet(inputDir).schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(s"$inputDir/split_*.parquet")
     val q = stream.writeStream
       .foreachBatch { (batch0: DataFrame, batchId: Long) =>
-        // three consumers scan the batch (bucket list, dedup, delta):
-        // cache it for the micro-batch's lifetime
-        val batch = batch0.cache()
-        // missing store = first batch (nothing to prune, skip the
-        // bucket-list job); a read error on an EXISTING store must fail
-        // the batch, not dedup against nothing. The bucket list — the
-        // partition-prune filter for the store probe — is the batch's
-        // grams' distinct hash buckets: bounded by nBuckets, a tiny
-        // driver-side list, not data. Cost-based: below the size
-        // threshold a full scan beats paying an extra job for the list.
-        val store = graft.pipeline.Load.readStoreIfExists(spark, storeDir)
-          .map { s =>
-            val big = graft.pipeline.Load.storeBytes(spark, storeDir) >=
-              PruneThresholdBytes
-            val pruned = if (!big) s else {
-              val batchBuckets = SpanDedup.grams(batch, w)
-                .select(bucketOf.as("bucket")).distinct()
-                .collect().map(_.getInt(0)).toSeq
-              graft.pipeline.Load.pruneBuckets(s, batchBuckets, nBuckets)
-            }
-            pruned.select(col("pack"))
-          }
-          .getOrElse(spark.createDataFrame(
-            new java.util.ArrayList[org.apache.spark.sql.Row](), packSchema))
-        val (out, fresh, done) = SpanDedup.dedupBatch(batch, store, w)
-        // materialize the doc output, then append the store delta; the
-        // delta job's scan list over the store is fixed at planning, so
-        // appending to the directory it reads is safe
-        graft.pipeline.Load.writeBatchPartial(out, outDir, batchId)
-        fresh.withColumn("bucket", bucketOf)
-          .repartition(col("bucket"))
-          .write.mode(SaveMode.Append).partitionBy("bucket").parquet(storeDir)
-        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
-          graft.pipeline.Load.compactPartitioned(spark, storeDir)
-        done()
-        batch.unpersist()
-        ()
+        processBatch(spark, batch0, batchId, workDir, w, nBuckets,
+          compactEvery)
       }
       .option("checkpointLocation", s"$workDir/ckpt")
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.read.parquet(outDir)
+    spark.read.parquet(s"$workDir/out")
       .select(col("doc_id"), col("n_tok"), col("n_dup_spans"),
         col("n_removed"), col("kept_hash"))
       .orderBy("doc_id")
+  }
+
+  /** One micro-batch of the incremental dedup — the foreachBatch body,
+    * exposed so the retry contract is directly testable: calling this
+    * twice with the same batchId (the at-least-once scenario where the
+    * first attempt completed its store append before failing) must
+    * produce bit-identical out and store partials.
+    */
+  private[graft] def processBatch(spark: SparkSession, batch0: DataFrame,
+                                  batchId: Long, workDir: String, w: Int,
+                                  nBuckets: Int,
+                                  compactEvery: Int): Unit = {
+    val storeDir = s"$workDir/gram_store"
+    val outDir = s"$workDir/out"
+    val bucketOf = pmod(col("pack"), lit(nBuckets.toLong)).cast("int")
+    // three consumers scan the batch (bucket list, dedup, delta):
+    // cache it for the micro-batch's lifetime
+    val batch = batch0.cache()
+    // missing store = first batch (nothing to prune, skip the
+    // bucket-list job); a read error on an EXISTING store must fail
+    // the batch, not dedup against nothing. The read excludes the
+    // batch's own `batch=` partition so an at-least-once retry
+    // dedups against the pre-batch state. The bucket list — the
+    // partition-prune filter for the store probe — is the batch's
+    // grams' distinct hash buckets: bounded by nBuckets, a tiny
+    // driver-side list, not data. Cost-based: below the size
+    // threshold a full scan beats paying an extra job for the list.
+    val store = graft.pipeline.Load
+      .readStoreExcludingBatch(spark, storeDir, batchId)
+      .map { s =>
+        val big = graft.pipeline.Load.storeBytes(spark, storeDir) >=
+          PruneThresholdBytes
+        val pruned = if (!big) s else {
+          val batchBuckets = SpanDedup.grams(batch, w)
+            .select(bucketOf.as("bucket")).distinct()
+            .collect().map(_.getInt(0)).toSeq
+          graft.pipeline.Load.pruneBuckets(s, batchBuckets, nBuckets)
+        }
+        pruned.select(col("pack"))
+      }
+      .getOrElse(spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), packSchema))
+    val (out, fresh, done) = SpanDedup.dedupBatch(batch, store, w)
+    // materialize the doc output, then the batch-keyed store delta
+    graft.pipeline.Load.writeBatchPartial(out, outDir, batchId)
+    graft.pipeline.Load.writeBatchPartial(
+      fresh.withColumn("bucket", bucketOf).repartition(col("bucket")),
+      storeDir, batchId, Seq("bucket"))
+    if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+      graft.pipeline.Load.consolidateBatchStore(spark, storeDir, batchId)
+    done()
+    batch.unpersist()
+    ()
   }
 
   /** Stage + run in a fresh work dir: the q101 entry. */
