@@ -185,23 +185,43 @@ final class HttpLlmClient(
         .ofString(requestBody(text), java.nio.charset.StandardCharsets.UTF_8))
       .build()
     // sendAsync + join: an IO failure or timeout surfaces as
-    // CompletionException — an Exception, so the retry harness owns it
+    // CompletionException — an Exception, so the retry harness owns it.
+    // Stream the body and cap what is read: a misbehaving endpoint
+    // must not be able to buffer an unbounded response into executor
+    // memory before the parse rejects it.
     val resp = client.sendAsync(req,
-      java.net.http.HttpResponse.BodyHandlers
-        .ofString(java.nio.charset.StandardCharsets.UTF_8)).join()
-    if (resp.statusCode() != 200)
+      java.net.http.HttpResponse.BodyHandlers.ofInputStream()).join()
+    // any 2xx is success (the documented contract — a gateway may
+    // answer 201/202); everything else is a failure for the retry
+    // harness to classify
+    if (resp.statusCode() / 100 != 2) {
+      resp.body().close()
       throw new java.io.IOException(
         s"LLM endpoint returned HTTP ${resp.statusCode()}")
-    val content = mapper.readTree(resp.body())
+    }
+    val body = try {
+      val buf = resp.body().readNBytes(HttpLlmClient.MaxBodyBytes + 1)
+      if (buf.length > HttpLlmClient.MaxBodyBytes)
+        throw new java.io.IOException(
+          s"LLM response body exceeds ${HttpLlmClient.MaxBodyBytes} bytes")
+      new String(buf, java.nio.charset.StandardCharsets.UTF_8)
+    } finally resp.body().close()
+    val content = mapper.readTree(body)
       .path("choices").path(0).path("message").path("content")
     if (!content.isTextual)
       throw new java.io.IOException(
-        s"malformed LLM response body: ${resp.body().take(200)}")
+        s"malformed LLM response body: ${body.take(200)}")
     content.asText()
   }
 }
 
 object HttpLlmClient {
+  /** Response-size cap: a skill list is a few hundred bytes; 4 MiB is
+    * generous headroom for verbose providers while bounding what a
+    * broken endpoint can push into an executor.
+    */
+  final val MaxBodyBytes: Int = 4 * 1024 * 1024
+
   /** The instruction prefix that makes any instruction-following model
     * answer in the two-line format [[LlmSkillExtractor]] parses.
     */

@@ -585,9 +585,15 @@ object SketchOps {
     // can see its state); this replacement gets the same bounded-state
     // shape from a DETERMINISTIC uniform sample that any engine
     // replays: hash each row's unique key (l_orderkey*8+l_linenumber)
-    // through a portable affine transform mod P — injective while keys
-    // stay under P, so the "smallest k hashes" sample has no ties and
-    // no RNG — then keep the bottom-64 per group with the mergeable
+    // through a portable dual-residue transform — affine maps of the
+    // key mod two distinct primes P1, P2, packed as r1*2^30 + r2. The
+    // affine maps are bijections on each residue ring and CRT makes
+    // the residue PAIR unique for keys below P1*P2 ≈ 1.07e18, so the
+    // pack is injective at any achievable scale (a single mod-P hash
+    // wraps at ~sf20, where h ties would let the engine's topKBy and
+    // the oracle's row_number keep different cents rows); the
+    // "smallest k hashes" sample therefore has no ties and no RNG —
+    // then keep the bottom-64 per group with the mergeable
     // TopKBy heap (k longs per task, map-side partial, ≤k rows per
     // group cross the wire vs q26 shipping the whole group). Quantiles
     // are type-1 (lower empirical) index selections over the sorted
@@ -599,12 +605,15 @@ object SketchOps {
       "q126_sample_quantiles",
       (s, d) => {
         import graft.functions.TopKBy.topKBy
-        val P = 1000000007L; val A = 1103515245L; val B = 12345L; val k = 64
+        val P1 = 1000000007L; val A1 = 1103515245L; val B1 = 12345L
+        val P2 = 1073741789L; val A2 = 69069L; val B2 = 54321L
+        val k = 64
+        val key = col("l_orderkey") * 8 + col("l_linenumber")
         val li = Tables.lineitem(s, d)
           .select(col("l_returnflag"),
             round(col("l_extendedprice") * 100).cast("bigint").as("cents"),
-            ((lit(A) * ((col("l_orderkey") * 8 + col("l_linenumber")) % P)
-              + B) % P).as("h"))
+            (((lit(A1) * (key % P1) + B1) % P1) * lit(1L << 30)
+              + ((lit(A2) * (key % P2) + B2) % P2)).as("h"))
         val agg = li.groupBy(col("l_returnflag"))
           .agg(count(lit(1)).as("n_rows"),
                topKBy(col("cents"), -col("h"), k).as("samp"))
@@ -619,8 +628,10 @@ object SketchOps {
       Some("""WITH t AS (
              |  SELECT l_returnflag,
              |         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
-             |         (1103515245 * ((l_orderkey * 8 + l_linenumber) % 1000000007)
-             |          + 12345) % 1000000007 AS h
+             |         ((1103515245 * ((l_orderkey * 8 + l_linenumber) % 1000000007)
+             |           + 12345) % 1000000007) * 1073741824
+             |         + ((69069 * ((l_orderkey * 8 + l_linenumber) % 1073741789)
+             |           + 54321) % 1073741789) AS h
              |  FROM lineitem),
              |g AS (
              |  SELECT l_returnflag, cents,
