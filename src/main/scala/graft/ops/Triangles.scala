@@ -32,14 +32,7 @@ object Triangles {
     val deg = e.select(col("a").as("node"))
       .unionByName(e.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
-    // orient low (deg, id) → high; a < b already breaks degree ties
-    val or = e
-      .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
-      .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
-      .select(
-        when(col("da") <= col("db"), col("a")).otherwise(col("b")).as("src"),
-        when(col("da") <= col("db"), col("b")).otherwise(col("a")).as("dst"))
-      .localCheckpoint()
+    val or = oriented(e, deg).localCheckpoint()
     // wedges at each apex; id-order between the two out-neighbors
     // counts each wedge once AND matches the canonical probe (x < y)
     val tri = or.as("e1")
@@ -56,4 +49,18 @@ object Triangles {
       .select(col("node"), col("deg"),
         coalesce(col("n_tri"), lit(0L)).as("n_tri"))
   }
+
+  /** The degree-ordered orientation of a canonical edge list: each
+    * edge pointed from its lower endpoint to its higher endpoint in
+    * the total order (degree, id) — `a` < `b` breaks degree ties.
+    * Exposed to `(deg)` callers and the spec: the O(m^1.5) wedge bound
+    * is a property of THIS list (Σ C(out-degree, 2) with out-degree
+    * O(√m)), so the spec certifies it here directly.
+    */
+  private[graft] def oriented(e: DataFrame, deg: DataFrame): DataFrame =
+    e.join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+      .select(
+        when(col("da") <= col("db"), col("a")).otherwise(col("b")).as("src"),
+        when(col("da") <= col("db"), col("b")).otherwise(col("a")).as("dst"))
 }
