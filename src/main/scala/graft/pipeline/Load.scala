@@ -214,6 +214,25 @@ object Load {
       .parquet(s"$dir/batch=$batchId")
   }
 
+  /** Number of parquet data files under a store path (0 if absent) —
+    * one driver-side recursive listing. The write-path twin of the
+    * [[storeBytes]] cost switch: a store can stay under the byte
+    * threshold for hundreds of micro-batches while its FILE count
+    * grows past what open/list overhead tolerates, so consolidation
+    * triggers on fragmentation even in the small-store regime.
+    */
+  def storeFileCount(spark: SparkSession, path: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return 0
+    def walk(d: org.apache.hadoop.fs.Path): Int =
+      fs.listStatus(d).map { s =>
+        if (s.isDirectory) walk(s.getPath)
+        else if (s.getPath.getName.endsWith(".parquet")) 1 else 0
+      }.sum
+    walk(p)
+  }
+
   /** Read a parquet store only if its directory exists. Incremental
     * operators treat a MISSING store as "first run" — but a store that
     * exists and fails to read must propagate: swallowing a transient or

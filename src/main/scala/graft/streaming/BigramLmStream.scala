@@ -35,6 +35,8 @@ object BigramLmStream {
       .parquet(s"$inputDir/split_*.parquet")
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // sketch-sized reduce side by construction: always narrow (BatchTuning)
+        BatchTuning.withNarrowShuffles(spark, narrow = true) {
         graft.pipeline.Load.writeBatchPartial(
           SelectionOps.docBigrams(SelectionOps.tokedDocs(
               batch.select(col("doc_id").cast("long").as("doc_id"), col("text"))))
@@ -42,6 +44,7 @@ object BigramLmStream {
             .coalesce(1),
           countsDir, batchId)
         ()
+        }
       }
       .option("checkpointLocation", s"$workDir/ckpt")
       .trigger(Trigger.AvailableNow())

@@ -36,6 +36,8 @@ object CmsStream {
       .parquet(s"$inputDir/split_*.parquet")
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // sketch-sized reduce side by construction: always narrow (BatchTuning)
+        BatchTuning.withNarrowShuffles(spark, narrow = true) {
         graft.pipeline.Load.writeBatchPartial(
           batch
             .select(explode_outer(split(col("text"), " ")).as("tok"))
@@ -44,6 +46,7 @@ object CmsStream {
             .coalesce(1),
           partsDir, batchId)
         ()
+        }
       }
       .option("checkpointLocation", s"$workDir/ckpt")
       .trigger(Trigger.AvailableNow())

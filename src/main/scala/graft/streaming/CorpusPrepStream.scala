@@ -114,11 +114,13 @@ object CorpusPrepStream {
     // prefixes' distinct hash buckets, bounded by nBuckets.
     // Cost-based like SpanDedupStream: a small store is scanned
     // whole rather than paying an extra job for the prune list.
+    val big = graft.pipeline.Load.storeBytes(spark, storeDir) >=
+      64L * 1024 * 1024
+    // narrow-shuffle/AQE-off scope below the switch (BatchTuning)
+    BatchTuning.withNarrowShuffles(spark, narrow = !big) {
     val store = graft.pipeline.Load
       .readStoreExcludingBatch(spark, storeDir, batchId)
       .map { s =>
-        val big = graft.pipeline.Load.storeBytes(spark, storeDir) >=
-          64L * 1024 * 1024
         val pruned = if (!big) s else {
           val batchBuckets = gated.select(bucketOf.as("bucket")).distinct()
             .collect().map(_.getInt(0)).toSeq
@@ -139,16 +141,23 @@ object CorpusPrepStream {
       .select(col("doc_id"), col("lang"), col("text"))
     graft.pipeline.Load.writeBatchPartial(
       TrainingOps.chunkSplitStats(kept).coalesce(1), partsDir, batchId)
+    // one writer per bucket (a 4-task shuffle under the narrow width;
+    // it bounds store files per batch); consolidation cadence is
+    // cost-gated like SpanDedupStream — rewriting a tiny store every
+    // few batches was pure overhead
     graft.pipeline.Load.writeBatchPartial(
       gated.select(PackKeys.map(col): _*).distinct()
         .join(store, PackKeys, "left_anti")
         .withColumn("bucket", bucketOf)
         .repartition(col("bucket")),
       storeDir, batchId, Seq("bucket"))
-    if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+    if (compactEvery > 0 && (batchId + 1) % compactEvery == 0 &&
+        (big || graft.pipeline.Load.storeFileCount(spark, storeDir) >
+          4 * nBuckets))
       graft.pipeline.Load.consolidateBatchStore(spark, storeDir, batchId)
     gated.unpersist()
     ()
+    }
   }
 
   /** Stage + run in a fresh work dir: the q104 entry. */

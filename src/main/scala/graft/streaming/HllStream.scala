@@ -33,6 +33,8 @@ object HllStream {
       .parquet(s"$inputDir/split_*.parquet")
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // sketch-sized reduce side by construction: always narrow (BatchTuning)
+        BatchTuning.withNarrowShuffles(spark, narrow = true) {
         graft.pipeline.Load.writeBatchPartial(
           batch
             .select(SketchOps.hllPack(col("key")).as("pack"))
@@ -40,6 +42,7 @@ object HllStream {
             .coalesce(1),
           partsDir, batchId)
         ()
+        }
       }
       .option("checkpointLocation", s"$workDir/ckpt")
       .trigger(Trigger.AvailableNow())

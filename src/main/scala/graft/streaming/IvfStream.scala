@@ -40,6 +40,10 @@ object IvfStream {
       .parquet(s"$inputDir/split_*.parquet")
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // narrow-shuffle/AQE-off scope below the cost switch (BatchTuning)
+        val big = graft.pipeline.Load.storeBytes(spark, storeDir) >=
+          64L * 1024 * 1024
+        BatchTuning.withNarrowShuffles(spark, narrow = !big) {
         // staged via the shared doc_id-range stager; restore the key name
         val e = batch
           .select(col("doc_id").as("vec_id"),
@@ -74,6 +78,7 @@ object IvfStream {
           SelectionOps.assignWith(e, cent).repartition(col("bucket")),
           storeDir, batchId, partitionCols = Seq("bucket"))
         ()
+        }
       }
       .option("checkpointLocation", s"$workDir/ckpt")
       .trigger(Trigger.AvailableNow())

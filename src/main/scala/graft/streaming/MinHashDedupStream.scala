@@ -120,6 +120,12 @@ object MinHashDedupStream {
     val bandBucket = pmod(hash(col("band"), col("key")), lit(nBuckets))
     val docBucket = pmod(col("doc_id"), lit(nBuckets.toLong)).cast("int")
     val batch = batch0.cache()
+    // narrow-shuffle/AQE-off scope while both stores are below the
+    // prune threshold (BatchTuning)
+    val smallStores =
+      Load.storeBytes(spark, bandStoreDir) < pruneThresholdBytes &&
+        Load.storeBytes(spark, packStoreDir) < pruneThresholdBytes
+    BatchTuning.withNarrowShuffles(spark, narrow = smallStores) {
     // per-doc shingle packs and banded signature, one codegen'd
     // kernel pass (the q70 shape); docs under 3 tokens have no
     // shingles and band with nothing
@@ -203,8 +209,9 @@ object MinHashDedupStream {
     Load.writeBatchPartial(out, outDir, batchId)
 
     // every doc's bands and packs enter the stores (kept AND
-    // dropped — the all-priors semantics), one task per bucket,
-    // idempotent under retry via the batch= overwrite
+    // dropped — the all-priors semantics), one task per bucket (a
+    // narrow shuffle below the cost switch), idempotent under retry
+    // via the batch= overwrite
     Load.writeBatchPartial(
       bands.withColumn("bucket", bandBucket).repartition(col("bucket")),
       bandStoreDir, batchId, Seq("bucket"))
@@ -213,6 +220,7 @@ object MinHashDedupStream {
       packStoreDir, batchId, Seq("bucket"))
     bands.unpersist(); base.unpersist(); batch.unpersist()
     ()
+    }
   }
 
   /** Stage + run in a fresh work dir: the q129 entry. Arrival order is

@@ -149,11 +149,15 @@ object SpanDedupStream {
     // grams' distinct hash buckets: bounded by nBuckets, a tiny
     // driver-side list, not data. Cost-based: below the size
     // threshold a full scan beats paying an extra job for the list.
+    val big = graft.pipeline.Load.storeBytes(spark, storeDir) >=
+      PruneThresholdBytes
+    // below the switch, plan the whole batch with narrow shuffles and
+    // AQE off — micro-batch data never needs runtime re-planning, and
+    // each AQE exchange materialization is a whole extra job
+    BatchTuning.withNarrowShuffles(spark, narrow = !big) {
     val store = graft.pipeline.Load
       .readStoreExcludingBatch(spark, storeDir, batchId)
       .map { s =>
-        val big = graft.pipeline.Load.storeBytes(spark, storeDir) >=
-          PruneThresholdBytes
         val pruned = if (!big) s else {
           val batchBuckets = SpanDedup.grams(batch, w)
             .select(bucketOf.as("bucket")).distinct()
@@ -165,16 +169,26 @@ object SpanDedupStream {
       .getOrElse(spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](), packSchema))
     val (out, fresh, done) = SpanDedup.dedupBatch(batch, store, w)
-    // materialize the doc output, then the batch-keyed store delta
+    // materialize the doc output, then the batch-keyed store delta —
+    // one writer per bucket (under the narrow width the repartition is
+    // a 4-task shuffle, and it is what bounds store files per batch)
     graft.pipeline.Load.writeBatchPartial(out, outDir, batchId)
     graft.pipeline.Load.writeBatchPartial(
       fresh.withColumn("bucket", bucketOf).repartition(col("bucket")),
       storeDir, batchId, Seq("bucket"))
-    if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+    // consolidation cadence is also cost-gated: rewriting a tiny store
+    // every few batches was pure overhead; it now waits for byte-scale
+    // OR file-count fragmentation (a crashed consolidation's leftover
+    // duplicates are membership-invisible and get swept by whichever
+    // trigger fires next)
+    if (compactEvery > 0 && (batchId + 1) % compactEvery == 0 &&
+        (big || graft.pipeline.Load.storeFileCount(spark, storeDir) >
+          4 * nBuckets))
       graft.pipeline.Load.consolidateBatchStore(spark, storeDir, batchId)
     done()
     batch.unpersist()
     ()
+    }
   }
 
   /** Stage + run in a fresh work dir: the q101 entry. */
