@@ -242,13 +242,15 @@ object TrainingOps {
   val defs: Seq[Q] = Seq(
 
     // ---- Seeded IVF ANN, fully oracle-checked ----------------------------
-    // q42's IVF uses a Lloyd-trained quantizer (recall-spec'd, not
-    // oracle-able: the unrounded argmin assignment is FP-order
-    // sensitive). This variant pins the coarse quantizer to data-sampled
-    // seeds (the first 8 corpus vectors) and ranks BOTH the assignment
-    // and the probe on ROUNDED cosine with index tie-breaks, so the
-    // whole index build + probe is a deterministic function of the data
-    // that DuckDB replays row for row. Same physical shape as q42: one
+    // The zero-training variant of q42's IVF: the coarse quantizer is
+    // pinned to data-sampled seeds (the first 8 corpus vectors), and
+    // BOTH the assignment and the probe rank on ROUNDED cosine with
+    // index tie-breaks, so the whole index build + probe is a
+    // deterministic function of the data that DuckDB replays row for
+    // row. Since round 6 q42's Lloyd-trained form is ALSO full-oracle
+    // (integer-mean centroid updates + the same rounded ranking —
+    // VectorOps.ivfLloydSql); this seeded twin remains as the
+    // training-free baseline. Same physical shape as q42: one
     // broadcast of 8 centroids, one bucket shuffle, per-bucket top-k.
     Q(
       "q86_ivf_seeded_ann",

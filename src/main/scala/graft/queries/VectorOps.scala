@@ -41,9 +41,11 @@ object VectorOps {
       .select(col("c_id"), col("cv"))
       .withColumn("cn2", squaredNorm(col("cv")))
     // assign every vector to its nearest centroid (broadcast centroids;
-    // one pass, no shuffle until the grouped join below)
+    // one pass, no shuffle until the grouped join below); rounded-cos
+    // ranking with c_id tie-break = the oracle-parity contract
     val ranked = e.crossJoin(broadcast(cent))
-      .withColumn("cos_c", dot("v", "cv") / sqrt(col("n2") * col("cn2")))
+      .withColumn("cos_c",
+        round(dot("v", "cv") / sqrt(col("n2") * col("cn2")), 4))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("vec_id")).orderBy(col("cos_c").desc, col("c_id"))))
     val assigned = ranked.where(col("rn") === 1)
@@ -69,15 +71,34 @@ object VectorOps {
     * posexplode + groupBy (each iteration is one broadcast join + two
     * aggregations — the distributed k-means shape that scales to any
     * corpus the assignments fit).
+    *
+    * Every step is an EXACT deterministic function of the data, which
+    * is what lets q42/q73 carry full DuckDB oracles (the round-5 gap):
+    *  - assignment ranks on round(cos, 4) with a c_id tie-break — the
+    *    q86 cross-engine parity contract (an unrounded argmin is
+    *    FP-last-bit sensitive);
+    *  - the member mean is an exact INTEGER mean: components quantized
+    *    at S=2^20 and summed as longs (a float sum's value depends on
+    *    partition order — the original reason q42 had no oracle), then
+    *    ONE IEEE division sum/(n*S) that both engines perform on
+    *    identical operands, yielding bit-identical centroids.
     */
-  private def kmeansCentroids(e: DataFrame, k: Int, iters: Int): DataFrame = {
+  private[graft] val MeanScale = 1L << 20
+
+  /** LUT quantization unit for q73's ADC sums: power of two, so the
+    * de-quantizing division is IEEE-exact in any engine.
+    */
+  private[graft] val PdScale = 1L << 30
+
+  private[graft] def kmeansCentroids(e: DataFrame, k: Int,
+                                     iters: Int): DataFrame = {
     var cent = e.where(col("vec_id") < k)
       .select(col("vec_id").as("c_id"), col("v").as("cv"))
     for (_ <- 0 until iters) {
       val withN2 = cent.withColumn("cn2", squaredNorm(col("cv")))
       val assigned = e.crossJoin(broadcast(withN2))
-        .withColumn("cos_c",
-          dotProduct(col("v"), col("cv")) / sqrt(col("n2") * col("cn2")))
+        .withColumn("cos_c", round(
+          dotProduct(col("v"), col("cv")) / sqrt(col("n2") * col("cn2")), 4))
         .withColumn("rn", row_number().over(
           Window.partitionBy(col("vec_id")).orderBy(col("cos_c").desc, col("c_id"))))
         .where(col("rn") === 1)
@@ -87,13 +108,141 @@ object VectorOps {
       // and choke the optimizer, the standard iterative-algorithm trap.
       cent = assigned
         .select(col("c_id"), posexplode(col("v")).as(Seq("i", "x")))
-        .groupBy(col("c_id"), col("i")).agg(avg(col("x")).as("m"))
+        .groupBy(col("c_id"), col("i"))
+        .agg(sum(round(col("x") * MeanScale).cast("long")).as("sx"),
+             count(lit(1)).as("n"))
+        .withColumn("m", col("sx").cast("double") /
+          (col("n") * MeanScale).cast("double"))
         .groupBy(col("c_id"))
         .agg(expr("transform(array_sort(collect_list(struct(i, m))), s -> s.m)")
           .as("cv"))
         .localCheckpoint()
     }
     cent
+  }
+
+  /** q42's oracle: the Lloyd-trained IVF build + probe, training rounds
+    * unrolled. The centroid mean replays the engine's integer mean
+    * exactly: per-dimension CAST(round(v[i]*S) AS BIGINT) sums divided
+    * by (n*S) in ONE double division — identical operands, identical
+    * IEEE result in both engines. Assignments rank on round(cos, 4)
+    * with c_id tie-breaks throughout (the q86 parity contract).
+    */
+  private[graft] def ivfLloydSql(k: Int, iters: Int, nprobe: Int): String = {
+    val S = MeanScale
+    val rounds = (1 to iters).map { r =>
+      val prev = if (r == 1) "c0" else s"c${r - 1}"
+      s"""a$r AS (SELECT vec_id, v, c_id FROM (
+         |  SELECT e.vec_id, e.v, c.c_id,
+         |         row_number() OVER (PARTITION BY e.vec_id
+         |           ORDER BY round(list_cosine_similarity(e.v, c.cv), 4) DESC,
+         |                    c.c_id) AS rn
+         |  FROM e, $prev c) WHERE rn = 1),
+         |m$r AS (SELECT c_id, i,
+         |          CAST(sum(CAST(round(v[i] * $S) AS BIGINT)) AS DOUBLE)
+         |            / CAST(count(*) * $S AS DOUBLE) AS m
+         |        FROM a$r, unnest(range(1, 65)) AS r(i)
+         |        GROUP BY c_id, i),
+         |c$r AS (SELECT c_id, list(m ORDER BY i) AS cv FROM m$r GROUP BY c_id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |c0 AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < $k),
+       |$rounds,
+       |ranked AS MATERIALIZED (
+       |  SELECT e.vec_id, e.v, c.c_id,
+       |         row_number() OVER (PARTITION BY e.vec_id
+       |           ORDER BY round(list_cosine_similarity(e.v, c.cv), 4) DESC,
+       |                    c.c_id) AS rn
+       |  FROM e, c$iters c),
+       |asg AS MATERIALIZED (
+       |  SELECT vec_id, v, c_id AS bucket FROM ranked WHERE rn = 1),
+       |q AS (SELECT vec_id AS q_id, v AS qv, c_id AS bucket
+       |      FROM ranked WHERE vec_id < 10 AND rn <= $nprobe),
+       |sc AS (SELECT q.q_id, a.vec_id AS n_id,
+       |              round(list_cosine_similarity(a.v, q.qv), 4) AS cos_r,
+       |              row_number() OVER (PARTITION BY q.q_id
+       |                ORDER BY round(list_cosine_similarity(a.v, q.qv), 4) DESC,
+       |                         a.vec_id) AS rn
+       |       FROM q JOIN asg a ON a.bucket = q.bucket
+       |       WHERE a.vec_id <> q.q_id)
+       |SELECT q_id, n_id, cos_r FROM sc WHERE rn <= 3
+       |ORDER BY q_id, cos_r DESC, n_id""".stripMargin
+  }
+
+  /** q73's oracle: codebook training (one Lloyd round per 16-dim
+    * subspace — the integer-mean/rounded-cos recurrence of
+    * [[kmeansCentroids]]), PQ encode on round(score, 6) with c_id
+    * tie-breaks, EXACT integer ADC sums over quantized LUT entries,
+    * rounded ADC ranking, exact top-25 rescore. Every comparison both
+    * engines make is over a rounded or integer-exact quantity.
+    */
+  private[graft] def pqLloydSql: String = {
+    val S = MeanScale
+    val P = PdScale
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |sub AS MATERIALIZED (
+       |  SELECT vec_id, m, v[(m*16+1):(m*16+16)] AS sv
+       |  FROM e, unnest(range(0, 4)) AS mm(m)),
+       |cb0 AS (SELECT m, vec_id AS c_id, sv AS cv FROM sub WHERE vec_id < 16),
+       |a1 AS (SELECT m, vec_id, sv, c_id FROM (
+       |  SELECT s.m, s.vec_id, s.sv, c.c_id,
+       |         row_number() OVER (PARTITION BY s.m, s.vec_id
+       |           ORDER BY round(list_cosine_similarity(s.sv, c.cv), 4) DESC,
+       |                    c.c_id) AS rn
+       |  FROM sub s JOIN cb0 c ON s.m = c.m) WHERE rn = 1),
+       |m1 AS (SELECT m, c_id, i,
+       |         CAST(sum(CAST(round(sv[i] * $S) AS BIGINT)) AS DOUBLE)
+       |           / CAST(count(*) * $S AS DOUBLE) AS mu
+       |       FROM a1, unnest(range(1, 17)) AS r(i)
+       |       GROUP BY m, c_id, i),
+       |cb AS MATERIALIZED (
+       |  SELECT m, c_id, list(mu ORDER BY i) AS cv,
+       |         list_inner_product(list(mu ORDER BY i),
+       |                            list(mu ORDER BY i)) AS cn2
+       |  FROM m1 GROUP BY m, c_id),
+       |codes AS MATERIALIZED (
+       |  SELECT vec_id, m, c_id AS code FROM (
+       |    SELECT s.vec_id, s.m, c.c_id,
+       |      row_number() OVER (PARTITION BY s.vec_id, s.m
+       |        ORDER BY round(c.cn2 - 2 * list_inner_product(s.sv, c.cv), 6),
+       |                 c.c_id) AS rn
+       |    FROM sub s JOIN cb c ON s.m = c.m) WHERE rn = 1),
+       |n2t AS MATERIALIZED (
+       |  SELECT vec_id, list_inner_product(v, v) AS n2 FROM e),
+       |lut AS MATERIALIZED (
+       |  SELECT s.vec_id AS q_id, s.m, c.c_id AS code,
+       |         CAST(round(list_inner_product(s.sv, c.cv) * $P) AS BIGINT)
+       |           AS pdu
+       |  FROM sub s JOIN cb c ON s.m = c.m WHERE s.vec_id < 10),
+       |approx AS (
+       |  SELECT l.q_id, co.vec_id, sum(l.pdu) AS adotu
+       |  FROM codes co JOIN lut l ON co.m = l.m AND co.code = l.code
+       |  WHERE co.vec_id <> l.q_id
+       |  GROUP BY l.q_id, co.vec_id),
+       |ascored AS (
+       |  SELECT a.q_id, a.vec_id,
+       |         round((CAST(a.adotu AS DOUBLE) / $P)
+       |               / sqrt(n.n2 * qn.n2), 6) AS ascore
+       |  FROM approx a
+       |  JOIN n2t n ON a.vec_id = n.vec_id
+       |  JOIN n2t qn ON a.q_id = qn.vec_id),
+       |cand AS (SELECT q_id, vec_id FROM (
+       |  SELECT q_id, vec_id,
+       |         row_number() OVER (PARTITION BY q_id
+       |           ORDER BY ascore DESC, vec_id) AS rn
+       |  FROM ascored) WHERE rn <= 25),
+       |sc AS (SELECT c.q_id, c.vec_id AS n_id,
+       |              round(list_cosine_similarity(ev.v, eq.v), 4) AS cos_r,
+       |              row_number() OVER (PARTITION BY c.q_id
+       |                ORDER BY round(list_cosine_similarity(ev.v, eq.v), 4)
+       |                  DESC, c.vec_id) AS rn
+       |       FROM cand c
+       |       JOIN e ev ON c.vec_id = ev.vec_id
+       |       JOIN e eq ON c.q_id = eq.vec_id)
+       |SELECT q_id, n_id, cos_r FROM sc WHERE rn <= 3
+       |ORDER BY q_id, cos_r DESC, n_id""".stripMargin
   }
 
   val defs: Seq[Q] = Seq(
@@ -280,28 +429,36 @@ object VectorOps {
               expr(s"slice(v, ${m * subDim + 1}, $subDim)").as("sv"))): _*)).as("ms"))
           .select(col("vec_id"), col("n2"), col("ms.m").as("m"), col("ms.sv").as("sv"))
         // encode: nearest sub-centroid by Euclidean (cn2 - 2·dot; |sv|² is
-        // constant within the argmin)
+        // constant within the argmin). Rounded score + c_id tie-break =
+        // the oracle-parity contract (q86/q42 pattern).
         val codes = subs.join(broadcast(cb), "m")
-          .withColumn("score", col("cn2") - lit(2) * dotProduct(col("sv"), col("cv")))
+          .withColumn("score", round(
+            col("cn2") - lit(2) * dotProduct(col("sv"), col("cv")), 6))
           .withColumn("rn", row_number().over(
             Window.partitionBy(col("vec_id"), col("m"))
               .orderBy(col("score"), col("c_id"))))
           .where(col("rn") === 1)
           .select(col("vec_id"), col("n2"), col("m"), col("c_id").as("code"))
-        // per-query LUT: dot(q_m, centroid) for all (m, centroid)
+        // per-query LUT: dot(q_m, centroid) for all (m, centroid),
+        // quantized to integer units so the 4-term ADC sum below is
+        // EXACT — a float sum's value depends on summation order, the
+        // last FP-order hole between engine and oracle
         val lut = subs.where(col("vec_id") < 10)
           .select(col("vec_id").as("q_id"), col("m"), col("sv").as("qv"))
           .join(broadcast(cb), "m")
           .select(col("q_id"), col("m"), col("c_id").as("code"),
-                  dotProduct(col("qv"), col("cv")).as("pd"))
+            round(dotProduct(col("qv"), col("cv")) * PdScale).cast("long")
+              .as("pdu"))
         val qn = e.where(col("vec_id") < 10)
           .select(col("vec_id").as("q_id"), col("n2").as("qn2"))
         val approx = codes.join(broadcast(lut), Seq("m", "code"))
           .where(col("vec_id") =!= col("q_id"))
           .groupBy(col("q_id"), col("vec_id"), col("n2"))
-          .agg(sum(col("pd")).as("adot"))
+          .agg(sum(col("pdu")).as("adotu"))
           .join(broadcast(qn), "q_id")
-          .withColumn("ascore", col("adot") / sqrt(col("n2") * col("qn2")))
+          .withColumn("ascore", round(
+            (col("adotu").cast("double") / PdScale) /
+              sqrt(col("n2") * col("qn2")), 6))
         val cand = approx.withColumn("rn", row_number().over(
             Window.partitionBy(col("q_id")).orderBy(col("ascore").desc, col("vec_id"))))
           .where(col("rn") <= 25)
@@ -318,13 +475,19 @@ object VectorOps {
           .select(col("q_id"), col("vec_id").as("n_id"), col("cos_r"))
           .orderBy(col("q_id"), col("cos_r").desc, col("n_id"))
       },
-      None),
+      Some(pqLloydSql)),
 
-    // ---- E3 scale path: IVF-bucketed approximate NN (rows-only check) -----
+    // ---- E3 scale path: IVF-bucketed approximate NN (FULL oracle) --------
+    // Round 6 closes the last no_oracle rows: the Lloyd trainer is now
+    // an exact deterministic recurrence (rounded-cos assignment,
+    // integer-mean centroid update — see kmeansCentroids), so DuckDB
+    // unrolls the two training rounds as CTEs (MATERIALIZED where a
+    // CTE is referenced more than once — the q110/q130 lesson) and
+    // replays index build + probe row for row.
     Q(
       "q42_embed_ivf_ann",
       (s, d) => ivfTopK(s, d, nprobe = 1),
-      None),
+      Some(ivfLloydSql(k = 8, iters = 2, nprobe = 1))),
 
     // ---- E3: int8 embedding quantization (full oracle) -------------------
     // Max-abs symmetric quantization to int8 — the standard storage /
