@@ -51,11 +51,21 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val picked = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-    val results = picked.map { case (name, fn) =>
+    // A failed query must NOT land as a (fast) timing row — round 6's
+    // BENCH had three analysis-exception latencies masquerading as
+    // sub-100ms successes, poisoning round-over-round comparison. Omit
+    // the row and report the failure on stderr + in a "failed" field.
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
+    val results = picked.flatMap { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).collect() }
-      catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
-      name -> (System.nanoTime() - t0) / 1e9
+      try {
+        fn(spark, sfDir).collect()
+        Some(name -> (System.nanoTime() - t0) / 1e9)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name: $e")
+        failed += name
+        None
+      }
     }
     // The composed end-to-end curation pipeline as its own bench row
     // (round-4 advice: operators evolve — the funnel's wall-time must
@@ -77,7 +87,8 @@ object Bench {
     val qs = (results ++ curation).map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = (results ++ curation).map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

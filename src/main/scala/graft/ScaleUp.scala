@@ -88,14 +88,15 @@ object ScaleUp {
       d.withColumn("l_orderkey", col("l_orderkey") + lit(i * ok))
         .withColumn("l_partkey", col("l_partkey") + lit(i * pk))
         .withColumn("l_suppkey", col("l_suppkey") + lit(i * sk)) }, "lineitem")
-    // ts arrives as raw INT64 nanos (nanosAsLong); write it out as a
-    // microsecond TimestampType so BOTH engines see a timestamp in the
-    // derived rung (Tables.events passes it through; DuckDB oracles
-    // date_trunc it like the fixture's TIMESTAMP(NANOS))
-    write(copies("events") { (d, i) =>
-      d.withColumn("event_id", col("event_id") + lit(i * ek))
+    // ts normalizes through the shared reader (nanos-long / NTZ micros /
+    // tz'd micros → one microsecond TimestampType, see Tables.events) so
+    // the derived rung always carries a plain timestamp column that both
+    // engines read identically
+    val evNorm = Tables.events(spark, srcDir)
+    write((0 until factor).map { i =>
+      evNorm.withColumn("event_id", col("event_id") + lit(i * ek))
         .withColumn("user_id", col("user_id") + lit(i * uk))
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)")) }, "events")
+    }.reduce(_ unionByName _), "events")
 
     write(copies("documents") { (d, i) =>
       val salted =

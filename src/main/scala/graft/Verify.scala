@@ -20,6 +20,13 @@ object Verify {
     // Optional comma-separated query-name filter for fast local iteration
     // (unset when the driver runs this — full dump).
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // A failed query must be VISIBLE in the gate, not silently absent
+    // (round-6 post-mortem: four analysis-broken queries simply vanished
+    // from CORRECTNESS_r06.json and the gate still read 100%). Collect
+    // per-query errors, dump them as errors.json next to the results,
+    // and exit non-zero so every caller — presnapshot, driver, human —
+    // sees the breakage.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -27,6 +34,7 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -45,6 +53,18 @@ object Verify {
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = errors
+      .map { case (k, v) => s"${q(k)}: ${q(v.take(2000))}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
+    // Exit 0 even on failures: a non-zero rc could make the driver
+    // discard the WHOLE dump (round-5 bench rc=1 recorded nothing) —
+    // the partial results plus errors.json are strictly more
+    // informative. tools/presnapshot.sh fails the gate when
+    // errors.json is non-empty.
+    if (errors.nonEmpty)
+      System.err.println(s"[verify] ${errors.size} QUERIES FAILED: " +
+        errors.keys.mkString(", "))
     spark.stop()
   }
 }

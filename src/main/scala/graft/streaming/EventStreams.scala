@@ -63,14 +63,15 @@ object EventStreams {
   def readEventStream(spark: SparkSession, path: String,
                       maxFilesPerTrigger: Int = 0): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val tsIsNanosLong =
-      spark.read.parquet(path).schema("ts").dataType == LongType
-    val rawSchema =
-      if (!tsIsNanosLong) eventSchema
-      else StructType(eventSchema.fields.map {
-        case f if f.name == "ts" => f.copy(dataType = LongType)
-        case f => f
-      })
+    // Mirror graft.Tables.events: the fixture's ts has shipped as
+    // nanos-long, TIMESTAMP_NTZ micros, and tz'd micros across
+    // generations — detect the on-disk type from the footer and declare
+    // the stream schema to match, then normalize below.
+    val tsType = spark.read.parquet(path).schema("ts").dataType
+    val rawSchema = StructType(eventSchema.fields.map {
+      case f if f.name == "ts" => f.copy(dataType = tsType)
+      case f => f
+    })
     // The file stream source accepts a directory or a glob, not a plain
     // file path: turn a file path into an equivalent glob.
     val f = new java.io.File(path)
@@ -81,9 +82,16 @@ object EventStreams {
     if (maxFilesPerTrigger > 0)
       reader.option("maxFilesPerTrigger", maxFilesPerTrigger)
     val stream = reader.parquet(streamPath)
-    if (tsIsNanosLong)
-      stream.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else stream
+    tsType match {
+      case LongType =>
+        stream.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType =>
+        // NTZ wall-clock IS the UTC instant; wall-clock diff against the
+        // NTZ epoch is session-timezone-independent (see Tables.events).
+        stream.withColumn("ts", expr(
+          "timestamp_micros(timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts))"))
+      case _ => stream
+    }
   }
 
   /** E6: tumbling 1-hour windows per event type with a watermark; late
