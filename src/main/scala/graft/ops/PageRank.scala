@@ -79,4 +79,64 @@ object PageRank {
     }
     r.select(col("node"), col("rank").as("rank_units"))
   }
+
+  /** Weighted, personalized PageRank — same exact fixed-point integer
+    * discipline as [[ranks]], with two generalizations:
+    *
+    *  - **edge weights**: each out-edge carries an integer weight `w`;
+    *    a node's rank splits proportionally to weight instead of
+    *    uniformly:  contrib(u→v) = (85 * r(u) * w(u,v)) div (100 * W(u))
+    *    where W(u) = Σ_v w(u,v). Exact-overflow bound: the product
+    *    85 * r(u) * w needs r(u)·w < 2^63/85 ≈ 1.1e17; with total mass
+    *    1e12 that admits per-edge weights up to ~1e5 even if one node
+    *    held ALL the mass — and in practice r(u) shrinks as 1/N, so the
+    *    bound loosens linearly with graph size (100 TB-safe for any
+    *    count-like weight).
+    *  - **personalization**: the teleport term lands only on a seed set
+    *    S (restart distribution uniform over S), and the initial mass
+    *    starts on S:  r'(v) = [v∈S]·(15·Mass) div (100·|S|) + Σ contribs.
+    *    Ranks then measure proximity to S through weighted trade flow —
+    *    the standard personalized-PageRank semantics (Page et al. 1999,
+    *    §6 "personalized" E vector), in the same dangling-mass-removed
+    *    variant as [[ranks]].
+    *
+    * `edges`: (`src` long, `dst` long, `w` long ≥ 1). `seeds`: (`node`
+    * long); seeds outside the graph's node set are ignored (they could
+    * never receive or emit mass). Returns (`node`, `rank_units`).
+    */
+  def personalized(edges: DataFrame, seeds: DataFrame, k: Int): DataFrame = {
+    require(k >= 0, s"pagerank rounds must be >= 0, got $k")
+    val wsum = edges.groupBy(col("src")).agg(sum(col("w")).as("tw"))
+    val ed = edges.join(wsum, "src").localCheckpoint()
+    val nodes = ed.select(col("src").as("node"))
+      .unionByName(ed.select(col("dst").as("node")))
+      .distinct()
+    // seed flag materialized once onto the node list (nodes are the
+    // small side; the per-round join reuses this checkpointed frame)
+    val nodesS = nodes
+      .join(seeds.select(col("node"), lit(1L).as("seed1")).distinct(),
+        Seq("node"), "left")
+      .select(col("node"), coalesce(col("seed1"), lit(0L)).as("seed"))
+      .localCheckpoint()
+    val ns = nodesS.where(col("seed") === 1L).count()
+    require(ns > 0, "personalized pagerank needs at least one in-graph seed")
+    val teleport = (15L * Mass) / (100L * ns)
+
+    var r = nodesS.select(col("node"),
+      (col("seed") * lit(Mass / ns)).as("rank"))
+    var i = 0
+    while (i < k) {
+      val contribs = ed.join(r, ed("src") === r("node"))
+        .select(ed("dst").as("node"),
+          expr("(85 * rank * w) div (100 * tw)").as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("sc"))
+      r = nodesS.join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (col("seed") * lit(teleport) + coalesce(col("sc"), lit(0L)))
+            .as("rank"))
+        .localCheckpoint()
+      i += 1
+    }
+    r.select(col("node"), col("rank").as("rank_units"))
+  }
 }

@@ -63,6 +63,56 @@ object GraphOps {
        |LIMIT 20""".stripMargin
   }
 
+  /** Rounds for the personalized variant (6: the seed-proximity ranking
+    * stabilizes faster than the global one — mass starts AT the seeds).
+    */
+  private val PRounds = 6
+
+  /** Seed segment for q132: ranks measure weighted-trade proximity to
+    * BUILDING-segment customers.
+    */
+  private val SeedSegment = "BUILDING"
+
+  private def personalizedOracleSql(k: Int): String = {
+    val teleportNum = 15L * PageRank.Mass
+    val iters = (1 to k).map { i =>
+      s"""p$i AS MATERIALIZED (
+         |  SELECT n.node, n.seed * ($teleportNum // (100 * ns.n)) + COALESCE(c.sc, 0) AS rank
+         |  FROM nodesS n CROSS JOIN ns
+         |  LEFT JOIN (SELECT e.dst AS node,
+         |                    CAST(sum((85 * r.rank * e.w) // (100 * e.tw)) AS BIGINT) AS sc
+         |             FROM ed e JOIN p${i - 1} r ON e.src = r.node
+         |             GROUP BY e.dst) c ON n.node = c.node)""".stripMargin
+    }
+    s"""WITH pw AS MATERIALIZED (
+       |  SELECT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS sp, count(*) AS w
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  GROUP BY 1, 2),
+       |edges AS (SELECT c AS src, sp AS dst, w FROM pw
+       |          UNION ALL
+       |          SELECT sp AS src, c AS dst, w FROM pw),
+       |wsum AS (SELECT src, CAST(sum(w) AS BIGINT) AS tw FROM edges GROUP BY src),
+       |ed AS MATERIALIZED (
+       |  SELECT e.src, e.dst, CAST(e.w AS BIGINT) AS w, s.tw
+       |  FROM edges e JOIN wsum s ON e.src = s.src),
+       |nodes AS (SELECT DISTINCT src AS node FROM edges),
+       |seeds AS (SELECT c_custkey * 2 AS node FROM customer
+       |          WHERE c_mktsegment = '$SeedSegment'),
+       |nodesS AS MATERIALIZED (
+       |  SELECT n.node, CASE WHEN s.node IS NOT NULL THEN 1 ELSE 0 END AS seed
+       |  FROM nodes n LEFT JOIN seeds s ON n.node = s.node),
+       |ns AS (SELECT CAST(sum(seed) AS BIGINT) AS n FROM nodesS),
+       |p0 AS MATERIALIZED (
+       |  SELECT node, seed * (${PageRank.Mass} // ns.n) AS rank
+       |  FROM nodesS CROSS JOIN ns),
+       |${iters.mkString(",\n")}
+       |SELECT s.s_suppkey, s.s_name, r.rank AS rank_units
+       |FROM p$k r JOIN supplier s ON (r.node - 1) // 2 = s.s_suppkey
+       |WHERE r.node % 2 = 1
+       |ORDER BY rank_units DESC, s_suppkey
+       |LIMIT 20""".stripMargin
+  }
+
   val defs: Seq[Q] = Seq(
     // ---- PageRank over the customer↔supplier trade graph -----------------
     // Nodes: custkey*2 / suppkey*2+1 (disjoint BIGINT spaces, no string
@@ -91,6 +141,42 @@ object GraphOps {
           .limit(20)
       },
       Some(pagerankOracleSql(Rounds))),
+
+    // ---- Weighted personalized PageRank from a customer segment ----------
+    // Same trade graph, two upgrades (SURVEY §2 extension; VERDICT r6
+    // next-steps #7): edges weighted by lineitem count (trade intensity —
+    // the graph the BI layer's activity rankings implicitly use), and
+    // teleport restricted to BUILDING-segment customers. Ranks measure
+    // weighted proximity to that segment; output the top-20 suppliers —
+    // "which suppliers does this market segment's demand actually
+    // concentrate on", a query the unpersonalized q130 cannot express.
+    // Exact integer fixed-point throughout, so the oracle replays the
+    // 6-round fixpoint hash-exactly (same unrolled MATERIALIZED chain).
+    Q(
+      "q132_personalized_pagerank",
+      (s, d) => {
+        val pw = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_suppkey"))
+          .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy((col("o_custkey") * 2).as("c"),
+            (col("l_suppkey") * 2 + 1).as("sp"))
+          .agg(count(lit(1)).as("w"))
+        val edges = pw.select(col("c").as("src"), col("sp").as("dst"), col("w"))
+          .unionByName(pw.select(col("sp").as("src"), col("c").as("dst"), col("w")))
+        val seeds = Tables.customer(s, d)
+          .where(col("c_mktsegment") === SeedSegment)
+          .select((col("c_custkey") * 2).as("node"))
+        PageRank.personalized(edges, seeds, PRounds)
+          .where(col("node") % 2 === 1)
+          .select(expr("(node - 1) div 2").as("s_suppkey"), col("rank_units"))
+          .join(broadcast(Tables.supplier(s, d).select(col("s_suppkey"), col("s_name"))),
+            Seq("s_suppkey"))
+          .select(col("s_suppkey"), col("s_name"), col("rank_units"))
+          .orderBy(col("rank_units").desc, col("s_suppkey"))
+          .limit(20)
+      },
+      Some(personalizedOracleSql(PRounds))),
 
     // ---- Triangle census of the near-dup pair graph -----------------------
     // Dedup QA: a near-dup relation that were truly transitive would make

@@ -67,6 +67,70 @@ class PageRankSpec extends SparkSpec {
     assert(r(1L) > r(4L) && r.values.forall(_ >= teleport))
   }
 
+  /** Sequential reference for the weighted personalized recurrence. */
+  private def seqPersonalized(edges: Seq[(Long, Long, Long)], seeds: Set[Long],
+                              k: Int): Map[Long, Long] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val tw = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._3).sum }
+    val inSeeds = nodes.filter(seeds).toSet
+    val ns = inSeeds.size.toLong
+    val teleport = (15L * PageRank.Mass) / (100L * ns)
+    var r = nodes.map(v => v -> (if (inSeeds(v)) PageRank.Mass / ns else 0L)).toMap
+    (1 to k).foreach { _ =>
+      val in = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _, w) =>
+          (85L * r(src) * w) / (100L * tw(src))
+        }.sum
+      }
+      r = nodes.map(v =>
+        v -> ((if (inSeeds(v)) teleport else 0L) + in.getOrElse(v, 0L))).toMap
+    }
+    r
+  }
+
+  private def sparkPersonalized(edges: Seq[(Long, Long, Long)],
+                                seeds: Seq[Long], k: Int): Map[Long, Long] =
+    PageRank.personalized(edges.toDF("src", "dst", "w"), seeds.toDF("node"), k)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  // Weighted version of g: the 5→1 edge dominates 5's out-mass 9:1.
+  private val wg: Seq[(Long, Long, Long)] =
+    Seq((1L, 2L, 3L), (2L, 1L, 1L), (2L, 3L, 2L), (3L, 1L, 5L),
+        (5L, 1L, 9L), (5L, 4L, 1L), (3L, 4L, 4L))
+
+  test("personalized ranks equal the sequential weighted recurrence exactly") {
+    // seed 99 is outside the graph: must be ignored, not divide the mass
+    for (k <- Seq(0, 1, 3, 6)) {
+      assert(sparkPersonalized(wg, Seq(5L, 2L, 99L), k) ==
+        seqPersonalized(wg, Set(5L, 2L, 99L), k), s"k=$k")
+    }
+  }
+
+  test("personalized with uniform weights and all-node seeds = global ranks") {
+    val uni = g.map { case (s, d) => (s, d, 1L) }
+    val all = (g.map(_._1) ++ g.map(_._2)).distinct
+    assert(sparkPersonalized(uni, all, 5) == seqRanks(g, 5))
+  }
+
+  test("personalized mass concentrates near the seed set") {
+    // seed only node 5: its direct 9:1-weighted neighbor 1 must outrank
+    // node 4 (reachable from 5 only through the 1-weight edge)
+    val r = sparkPersonalized(wg, Seq(5L), 6)
+    assert(r(1L) > r(4L))
+    // non-seed, non-reachable-from-seed nodes hold no teleport mass:
+    // node 5 has no in-edges, so after round 1 its rank is exactly teleport
+    assert(r(5L) == (15L * PageRank.Mass) / 100L)
+  }
+
+  test("q132 registered query returns segment-proximate suppliers at sf0.001") {
+    val out = queries.Registry.byName("q132_personalized_pagerank")
+      .run(spark, sfDir).collect()
+    assert(out.length > 0 && out.length <= 20)
+    val ranks = out.map(_.getLong(2))
+    assert(ranks.sameElements(ranks.sortBy(-_)), "sorted by rank desc")
+    assert(ranks.forall(_ >= 0))
+  }
+
   test("q130 registered query returns ranked suppliers at sf0.001") {
     val out = queries.Registry.byName("q130_pagerank").run(spark, sfDir).collect()
     assert(out.length > 0 && out.length <= 20)
