@@ -11,53 +11,62 @@ import org.apache.spark.sql.functions.expr
   * call works over `s3a://` globs; the FileIndex handles listing.
   */
 object Tables {
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // Harmless unless a column is TIMESTAMP(NANOS) — which Spark 4
+    // otherwise refuses to read at all; with it, nanos surface as raw
+    // longs that normTs converts. Set here so EVERY table survives a
+    // fixture regeneration to nanos, not just events.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** Normalize the named timestamp columns across every layout the
+    * driver fixtures have shipped (round-6 post-mortem — the fixture
+    * generator changed parquet timestamp annotation between rounds and
+    * silently broke every epoch-arithmetic query on `events.ts`; the
+    * reference's only timestamp handling is "accept what arrives",
+    * reference src/transform.py:102-103):
+    *
+    *  - raw INT64 (a TIMESTAMP(NANOS) column under `nanosAsLong`):
+    *    truncate to micros in exact long arithmetic (doubles lose
+    *    precision above 2^53);
+    *  - TIMESTAMP_NTZ (micros, isAdjustedToUTC=false — the CURRENT
+    *    layout): the wall-clock IS the UTC instant; reinterpret via a
+    *    wall-clock `timestampdiff` against the NTZ epoch, which is
+    *    deterministic regardless of session/host timezone (a plain
+    *    cast would route through the session zone);
+    *  - TimestampType (tz'd micros): already an instant; pass through.
+    *
+    * Every downstream `cast(col as long)` / `unix_micros` / date-part
+    * then behaves identically on all three, matching the DuckDB
+    * oracle's layout-stable reads.
+    */
+  private def normTs(df: DataFrame, cols: String*): DataFrame =
+    cols.filter(df.columns.contains).foldLeft(df) { (d, c) =>
+      d.schema(c).dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          d.withColumn(c, expr(s"timestamp_micros($c div 1000)"))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          d.withColumn(c, expr(
+            s"timestamp_micros(timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', $c))"))
+        case _ => d
+      }
+    }
 
   def region(s: SparkSession, d: String): DataFrame   = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame   = load(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")
   def supplier(s: SparkSession, d: String): DataFrame = load(s, d, "supplier")
   def part(s: SparkSession, d: String): DataFrame     = load(s, d, "part")
-  def orders(s: SparkSession, d: String): DataFrame   = load(s, d, "orders")
-  def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  /** `events.ts` has shipped in THREE parquet layouts across fixture
-    * generations, and the reference's only timestamp handling is
-    * "accept what arrives" (reference src/transform.py:102-103 parses
-    * with coercion) — so normalize every layout to one UTC-instant
-    * `TimestampType` column here, in the single reader every events
-    * query goes through:
-    *
-    *  - TIMESTAMP(NANOS): Spark 4 refuses to map nanos to its
-    *    microsecond TimestampType; read the raw INT64 nanos
-    *    (`nanosAsLong`) and truncate to micros in exact long
-    *    arithmetic (doubles would lose precision above 2^53).
-    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false) → Spark TIMESTAMP_NTZ
-    *    (the CURRENT fixture layout): the wall-clock value IS the UTC
-    *    instant. Reinterpret via `timestampdiff(MICROSECOND, ntz-epoch,
-    *    ts)` — a pure wall-clock difference between two NTZ values, so
-    *    the conversion is deterministic regardless of the session or
-    *    host timezone (a plain cast would route through the session
-    *    zone).
-    *  - TIMESTAMP(MICROS, isAdjustedToUTC=true) → Spark TimestampType:
-    *    already an instant; pass through.
-    *
-    * Downstream `cast(ts as long)` / `unix_micros(ts)` then work
-    * identically on all three, matching the DuckDB oracle's
-    * layout-stable `date_part('epoch', ts)` / `epoch_ns(ts)`.
+  def orders(s: SparkSession, d: String): DataFrame =
+    normTs(load(s, d, "orders"), "o_orderdate")
+  def lineitem(s: SparkSession, d: String): DataFrame =
+    normTs(load(s, d, "lineitem"), "l_shipdate")
+  /** `events.ts` is the column the round-6 fixture regeneration broke;
+    * see [[normTs]] for the three layouts handled.
     */
-  def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = load(s, d, "events")
-    raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case org.apache.spark.sql.types.TimestampNTZType =>
-        raw.withColumn("ts", expr(
-          "timestamp_micros(timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts))"))
-      case _ => raw
-    }
-  }
+  def events(s: SparkSession, d: String): DataFrame =
+    normTs(load(s, d, "events"), "ts")
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }
