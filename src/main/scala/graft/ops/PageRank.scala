@@ -45,6 +45,15 @@ object PageRank {
   /** Total rank mass in fixed-point units. */
   val Mass: Long = 1000000000000L
 
+  /** Rounds between rank localCheckpoints. Each checkpoint is an eager
+    * materialization (a scheduled job); batching 2 rounds per
+    * checkpoint halves that floor while keeping lineage O(1)-bounded
+    * (≤2 rounds deep). The arithmetic is identical either way — the
+    * checkpoint is an execution boundary, not a semantic one — which
+    * PageRankSpec's exact-equality tests pin.
+    */
+  private val CheckpointEvery = 2
+
   /** Ranks after `k` rounds over a directed edge list (`src`, `dst`:
     * long). Edges are taken as-is — callers dedup and symmetrize as
     * their graph semantics require. Nodes = every endpoint; nodes with
@@ -71,10 +80,12 @@ object PageRank {
         .select(ed("dst").as("node"),
           expr("(85 * rank) div (100 * deg)").as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("sc"))
-      r = nodes.join(contribs, Seq("node"), "left")
+      val next = nodes.join(contribs, Seq("node"), "left")
         .select(col("node"),
           (lit(teleport) + coalesce(col("sc"), lit(0L))).as("rank"))
-        .localCheckpoint()
+      r = if (i % CheckpointEvery == CheckpointEvery - 1 || i == k - 1)
+        next.localCheckpoint()
+      else next
       i += 1
     }
     r.select(col("node"), col("rank").as("rank_units"))
@@ -130,11 +141,13 @@ object PageRank {
         .select(ed("dst").as("node"),
           expr("(85 * rank * w) div (100 * tw)").as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("sc"))
-      r = nodesS.join(contribs, Seq("node"), "left")
+      val next = nodesS.join(contribs, Seq("node"), "left")
         .select(col("node"),
           (col("seed") * lit(teleport) + coalesce(col("sc"), lit(0L)))
             .as("rank"))
-        .localCheckpoint()
+      r = if (i % CheckpointEvery == CheckpointEvery - 1 || i == k - 1)
+        next.localCheckpoint()
+      else next
       i += 1
     }
     r.select(col("node"), col("rank").as("rank_units"))
