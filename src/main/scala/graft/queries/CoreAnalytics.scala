@@ -760,6 +760,28 @@ object CoreAnalytics {
              |FROM orders JOIN customer ON o_custkey = c_custkey
              |WHERE o_orderpriority = '1-URGENT'
              |GROUP BY c_mktsegment
-             |ORDER BY c_mktsegment""".stripMargin))
+             |ORDER BY c_mktsegment""".stripMargin)),
+
+    // ---- salted hot-key aggregation (skew mitigation under oracle) -------
+    // l_returnflag has 3 distinct values over the whole fact table — the
+    // maximal-skew shape where a plain groupBy sends ~1/3 of the corpus
+    // to each of three reducers. ops.Skew.saltedCountSum splits each key
+    // into 16 sub-keys for the partial aggregate, then merges partials:
+    // two narrow shuffles instead of three stragglers. Salting is pure
+    // execution strategy — the RESULT is identical to the plain groupBy,
+    // so the oracle is the unsalted query, and the hash compare proves
+    // the rewrite is semantics-preserving (l_quantity is integer-valued,
+    // so the double partial sums are exact under any grouping order).
+    Q(
+      "q133_salted_hot_keys",
+      (s, d) =>
+        graft.ops.Skew.saltedCountSum(
+            Tables.lineitem(s, d).select(col("l_returnflag"), col("l_quantity")),
+            "l_returnflag", "l_quantity")
+          .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS total
+             |FROM lineitem
+             |GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin))
   )
 }
