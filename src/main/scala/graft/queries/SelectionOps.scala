@@ -150,11 +150,19 @@ object SelectionOps {
     // the same threshold, the cluster-scoped pass sees the 7 that fall
     // inside one cell (OpsSpec asserts the containment).
     //
-    // The quantizer is q86's oracle-able seeded form (first 8 corpus
-    // vectors, rounded-cosine argmax with index tie-breaks), so the
-    // whole operator — assignment, candidate set, drop election — is a
+    // The quantizer is q86's oracle-able seeded form (first-k corpus
+    // vectors, rounded-cosine argmax with index tie-breaks) with the
+    // centroid count ADAPTIVE to the corpus: k = max(8, N div 2500),
+    // computed identically by both engines (one bounded count on the
+    // Spark side, a scalar subquery in the oracle). Fixed k makes the
+    // within-cell pair cost quadratic per decade of corpus growth
+    // (measured 7.1× per 10× at fixed k=8); k ∝ N pins the average
+    // cell near 2500 so Σc_i² ≈ 2500·N — linear by construction. The
+    // divisor keeps k = 8 through the sf1 rung, so every committed
+    // artifact is unchanged; growth engages at sf10+. The whole
+    // operator — assignment, candidate set, drop election — stays a
     // deterministic function of the data that DuckDB replays. Physical
-    // shape: one broadcast of 8 centroids + a per-vec argmax, one
+    // shape: one broadcast of k centroids + a per-vec argmax, one
     // bucket-keyed self-join (shuffle on bucket), one anti-join flag.
     Q(
       "q106_semantic_dedup",
@@ -162,11 +170,14 @@ object SelectionOps {
         val e = Tables.embeddings(s, d)
           .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
           .withColumn("n2", squaredNorm(col("v")))
+        val k = math.max(8L, e.count() / 2500L)
+        val cent = e.where(col("vec_id") < k)
+          .select(col("vec_id").as("c_id"), col("v").as("cv"), col("n2").as("cn2"))
         // materialize the assignment once: it feeds three consumers
         // (both pair-join sides + the output spine), and without the
         // checkpoint each would re-scan and re-assign the corpus —
         // the q111 bucket store is the durable form of the same idea
-        val assigned = assignSeeded(e).localCheckpoint()
+        val assigned = assignWith(e, cent).localCheckpoint()
         val a = assigned.select(col("bucket"), col("vec_id").as("a_id"),
           col("v").as("av"), col("n2").as("an2"))
         val drops = assigned.join(a, Seq("bucket"))
@@ -182,7 +193,8 @@ object SelectionOps {
           .orderBy(col("vec_id"))
       },
       Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-             |cent AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 8),
+             |cent AS (SELECT vec_id AS c_id, v AS cv FROM e
+             |         WHERE vec_id < GREATEST(8, (SELECT count(*) FROM e) // 2500)),
              |asg AS (SELECT vec_id, v, c_id AS bucket FROM (
              |          SELECT e.vec_id, e.v, c.c_id,
              |                 row_number() OVER (PARTITION BY e.vec_id
