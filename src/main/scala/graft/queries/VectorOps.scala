@@ -15,6 +15,16 @@ import org.apache.spark.sql.functions._
   * nearest coarse centroid (one shuffle), queries probe only their bucket.
   * Cosines are rounded to 4 dp and ranked on the *rounded* value with a
   * vec_id tie-break, so rank order is FP-stable across engines.
+  *
+  * Cell count: the registered IVF/PQ queries pin nlist=8 — it is a
+  * RECALL/cost tuning parameter whose oracle replay requires a fixed
+  * training run, and the fixture corpora stay in the regime where 8
+  * cells bound probe cost. Production at growing corpus sizes sets
+  * nlist ≈ √N (the standard IVF heuristic: balances cells-scanned vs
+  * vectors-per-cell at ~√N each); q106 demonstrates the
+  * corpus-adaptive-k pattern with both engines deriving k from the
+  * data, and the same construction applies here if an oracle-replayed
+  * adaptive index is ever needed (see docs/PLANS.md, sf10 rung).
   */
 object VectorOps {
 
