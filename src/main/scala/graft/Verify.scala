@@ -23,9 +23,8 @@ object Verify {
     // A failed query must be VISIBLE in the gate, not silently absent
     // (round-6 post-mortem: four analysis-broken queries simply vanished
     // from CORRECTNESS_r06.json and the gate still read 100%). Collect
-    // per-query errors, dump them as errors.json next to the results,
-    // and exit non-zero so every caller — presnapshot, driver, human —
-    // sees the breakage.
+    // per-query errors and dump them as errors.json next to the results
+    // so every caller — presnapshot, driver, human — sees the breakage.
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
