@@ -174,4 +174,29 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("salted hot-key aggregation equals plain groupBy for any data, " +
+       "partitioning, and salt width (q133 invariant)") {
+    // keys drawn from a tiny hot set + a sparse tail; integer-valued
+    // doubles so partial sums are exact under any grouping order
+    val rowGen = for {
+      key <- Gen.frequency(8 -> Gen.oneOf("HOT_A", "HOT_B"),
+                           2 -> Gen.choose(0, 50).map(i => s"k$i"))
+      qty <- Gen.choose(0, 100)
+    } yield (key, qty.toDouble)
+    val caseGen = for {
+      rows <- Gen.listOfN(200, rowGen)
+      parts <- Gen.choose(1, 13)
+      salts <- Gen.choose(1, 32)
+    } yield (rows, parts, salts)
+    forAllSeeded(caseGen, n = 10) { case (rows, parts, salts) =>
+      val df = rows.toDF("k", "qty").repartition(parts)
+      val direct = df.groupBy(col("k"))
+        .agg(count(lit(1)).as("n"), sum(col("qty")).as("total"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      val salted = graft.ops.Skew.saltedCountSum(df, "k", "qty", salts)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(salted == direct, s"parts=$parts salts=$salts")
+    }
+  }
 }
