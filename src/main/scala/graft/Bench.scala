@@ -88,7 +88,19 @@ object Bench {
       .mkString("{", ",", "}")
     val total = (results ++ curation).map(_._2).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+    // Round-7 driver run recorded "parsed": null — the JSON line landed
+    // interleaved with sbt/log4j noise. Two fixes: (1) persist the result
+    // to a file so the authoritative copy never depends on stdout at all;
+    // (2) print the JSON only AFTER spark.stop(), when no executor/log4j
+    // thread can write mid-line, as the process's final bare stdout line.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
+    System.out.flush()
+    println(json)
+    System.out.flush()
   }
 }

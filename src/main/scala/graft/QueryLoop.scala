@@ -7,7 +7,21 @@ import org.apache.spark.sql.SparkSession
   */
 object QueryLoop {
   def main(args: Array[String]): Unit = {
+    if (args.isEmpty) {
+      System.err.println("usage: graft.QueryLoop <query_name> [n_runs]\n" +
+        "  env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1), " +
+        "SPARK_GRAFT_CPUS (default 32)")
+      sys.exit(2)
+    }
     val name = args(0)
+    if (!queries.Registry.byName.contains(name)) {
+      val near = queries.Registry.byName.keys.toSeq
+        .filter(k => k.contains(name) || name.contains(k.takeWhile(_ != '_')))
+        .sorted.take(5)
+      System.err.println(s"unknown query '$name'" +
+        (if (near.nonEmpty) s"; nearest: ${near.mkString(", ")}" else ""))
+      sys.exit(2)
+    }
     val n = if (args.length > 1) args(1).toInt else 5
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

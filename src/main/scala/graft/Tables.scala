@@ -17,8 +17,31 @@ object Tables {
     // longs that normTs converts. Set here so EVERY table survives a
     // fixture regeneration to nanos, not just events.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/$name.parquet")
+    normNtz(spark.read.parquet(s"$dir/$name.parquet"))
   }
+
+  /** Schema-driven half of the timestamp normalization: reinterpret EVERY
+    * TIMESTAMP_NTZ column as a UTC instant, whatever its name. Run inside
+    * [[load]] so a fixture regeneration that adds or renames a
+    * wall-clock-annotated column is normalized without touching the
+    * per-name list below (round-7 advice — the name allow-list alone
+    * would silently pass a new NTZ column through un-normalized). The
+    * nanos-long layout stays name-listed in [[normTs]]: under
+    * `nanosAsLong` a TIMESTAMP(NANOS) column is indistinguishable from a
+    * genuine LongType in the Spark schema, so only known-timestamp names
+    * can be converted — and normTs now asserts they END as TimestampType,
+    * turning any fourth fixture layout into a loud failure instead of a
+    * silent type change.
+    */
+  private def normNtz(df: DataFrame): DataFrame =
+    df.schema.fields.foldLeft(df) { (d, f) =>
+      f.dataType match {
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          d.withColumn(f.name, expr(
+            s"timestamp_micros(timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ${f.name}))"))
+        case _ => d
+      }
+    }
 
   /** Normalize the named timestamp columns across every layout the
     * driver fixtures have shipped (round-6 post-mortem — the fixture
@@ -43,14 +66,21 @@ object Tables {
     */
   private def normTs(df: DataFrame, cols: String*): DataFrame =
     cols.filter(df.columns.contains).foldLeft(df) { (d, c) =>
-      d.schema(c).dataType match {
+      val out = d.schema(c).dataType match {
         case org.apache.spark.sql.types.LongType =>
           d.withColumn(c, expr(s"timestamp_micros($c div 1000)"))
-        case org.apache.spark.sql.types.TimestampNTZType =>
-          d.withColumn(c, expr(
-            s"timestamp_micros(timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', $c))"))
+        // TIMESTAMP_NTZ is already handled schema-wide by normNtz in load
         case _ => d
       }
+      // Loud-failure guard: a named timestamp column must normalize to
+      // TimestampType. A fixture regeneration to any layout outside the
+      // three known ones fails HERE, not as a silent downstream type.
+      require(out.schema(c).dataType ==
+        org.apache.spark.sql.types.TimestampType,
+        s"fixture column $c arrived as ${df.schema(c).dataType}; expected " +
+          "nanos-long / TIMESTAMP_NTZ / TIMESTAMP — a new fixture layout " +
+          "needs a normTs case")
+      out
     }
 
   def region(s: SparkSession, d: String): DataFrame   = load(s, d, "region")

@@ -746,8 +746,11 @@ object CoreAnalytics {
     Q(
       "q29_sql_interface",
       (s, d) => {
-        Seq("orders", "customer").foreach(t =>
-          Tables.load(s, d, t).createOrReplaceTempView(t))
+        // views come from the normalized accessors, not raw load(), so
+        // any SQL query added on this path sees the same timestamp
+        // layout normalization as the DataFrame surface (round-7 advice)
+        Tables.orders(s, d).createOrReplaceTempView("orders")
+        Tables.customer(s, d).createOrReplaceTempView("customer")
         s.sql("""SELECT c_mktsegment, count(*) AS n,
                 |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS rev
                 |FROM orders JOIN customer ON o_custkey = c_custkey
