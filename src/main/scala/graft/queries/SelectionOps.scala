@@ -66,6 +66,83 @@ object SelectionOps {
       .where(col("rn") === 1)
       .select(col("vec_id"), col("v"), col("n2"), col("c_id").as("bucket"))
 
+  /** q106's adaptive centroid count: k = max(8, N div 2500) pins the
+    * average cell near 2500 members so the within-cell pair cost
+    * Σc_i² ≈ 2500·N stays linear in the corpus.
+    */
+  private[graft] def adaptiveK(n: Long): Long = math.max(8L, n / 2500L)
+
+  /** Super-cell count for the two-level quantizer: ⌊√k⌋ (≥1). IEEE sqrt
+    * is correctly rounded, so perfect squares floor identically in the
+    * JVM and DuckDB.
+    */
+  private[graft] def superK(k: Long): Long =
+    math.max(1L, math.sqrt(k.toDouble).toLong)
+
+  /** Two-level seeded coarse quantizer (round-7 verdict #1): with
+    * k ∝ N centroids, the FLAT argmax costs N·k = N²/2500 cosines —
+    * linear pair cost bought by a quadratic assignment term (fine
+    * through ~sf100, dominant at 1000×). The hierarchy caps it:
+    *
+    *  1. k1 = ⌊√k⌋ super-centroids = the first k1 corpus vectors;
+    *  2. each of the k centroids (first k corpus vectors) assigns to
+    *     its argmax super-cell — except centroids 0..k1-1, which ARE
+    *     the super-centroids and self-assign, guaranteeing every
+    *     super-cell is non-empty (no vector can reach a cell with
+    *     zero candidate centroids);
+    *  3. each vector assigns to its argmax super-cell (N·k1 cosines),
+    *     then argmax-es only that cell's member centroids (N·k/k1
+    *     expected) — N·2√k total, vs N·k flat.
+    *
+    * Every argmax is the same rounded-cosine row_number with id
+    * tie-breaks as the flat form, so the whole hierarchy remains a
+    * deterministic function of the data that DuckDB replays verbatim.
+    * The price is quantization quality, not correctness: a vector is
+    * routed through its super-cell, so it can land on a different (but
+    * deterministic) centroid than the flat argmax would pick — the
+    * classic IVF coarse/fine trade (Jégou et al., PQ/IVFADC).
+    * Physical shape: super-centroids and the k-row centroid→cell map
+    * both broadcast; the two windows shuffle N·k1 and N·k/k1 rows on
+    * vec_id instead of N·k.
+    */
+  private[graft] def assignTwoLevel(e: org.apache.spark.sql.DataFrame,
+                                    k: Long): org.apache.spark.sql.DataFrame = {
+    val k1 = superK(k)
+    val cent = e.where(col("vec_id") < k)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("n2").as("cn2"))
+    val sup = cent.where(col("c_id") < k1)
+      .select(col("c_id").as("s_id"), col("cv").as("sv"), col("cn2").as("sn2"))
+    val casg = cent.crossJoin(broadcast(sup))
+      .withColumn("cos_s", round(dotProduct(col("cv"), col("sv")) /
+        sqrt(col("cn2") * col("sn2")), 4))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("c_id")).orderBy(col("cos_s").desc, col("s_id"))))
+      .where(col("rn") === 1)
+      .select(col("c_id"), col("cv"), col("cn2"),
+        when(col("c_id") < k1, col("c_id")).otherwise(col("s_id")).as("scell"))
+    val vsup = e.crossJoin(broadcast(sup))
+      .withColumn("cos_s", round(dotProduct(col("v"), col("sv")) /
+        sqrt(col("n2") * col("sn2")), 4))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("cos_s").desc, col("s_id"))))
+      .where(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("n2"), col("s_id").as("scell"))
+    vsup.join(broadcast(casg), Seq("scell"))
+      .withColumn("cos_c", round(dotProduct(col("v"), col("cv")) /
+        sqrt(col("n2") * col("cn2")), 4))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("cos_c").desc, col("c_id"))))
+      .where(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("n2"), col("c_id").as("bucket"))
+  }
+
+  /** q106's full assignment: adaptive k over the two-level quantizer
+    * (shared with SelectionOpsSpec's witness check).
+    */
+  private[graft] def q106Assign(e: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    assignTwoLevel(e, adaptiveK(e.count()))
+
   /** q107's tokenized form: (doc_id, toks) with empty tokens dropped. */
   private[graft] def tokedDocs(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame =
@@ -150,34 +227,35 @@ object SelectionOps {
     // the same threshold, the cluster-scoped pass sees the 7 that fall
     // inside one cell (OpsSpec asserts the containment).
     //
-    // The quantizer is q86's oracle-able seeded form (first-k corpus
-    // vectors, rounded-cosine argmax with index tie-breaks) with the
-    // centroid count ADAPTIVE to the corpus: k = max(8, N div 2500),
-    // computed identically by both engines (one bounded count on the
-    // Spark side, a scalar subquery in the oracle). Fixed k makes the
-    // within-cell pair cost quadratic per decade of corpus growth
-    // (measured 7.1× per 10× at fixed k=8); k ∝ N pins the average
-    // cell near 2500 so Σc_i² ≈ 2500·N — linear by construction. The
-    // divisor keeps k = 8 through the sf1 rung, so every committed
-    // artifact is unchanged; growth engages at sf10+. The whole
-    // operator — assignment, candidate set, drop election — stays a
-    // deterministic function of the data that DuckDB replays. Physical
-    // shape: one broadcast of k centroids + a per-vec argmax, one
-    // bucket-keyed self-join (shuffle on bucket), one anti-join flag.
+    // The quantizer is q86's oracle-able seeded construction (first-k
+    // corpus vectors as centroids, rounded-cosine argmax with index
+    // tie-breaks) with the centroid count ADAPTIVE to the corpus:
+    // k = max(8, N div 2500), computed identically by both engines.
+    // Fixed k makes the within-cell pair cost quadratic per decade of
+    // corpus growth (measured 7.1× per 10× at fixed k=8); k ∝ N pins
+    // the average cell near 2500 so Σc_i² ≈ 2500·N — linear by
+    // construction. With k ∝ N, a FLAT argmax assignment would itself
+    // cost N·k = N²/2500 cosines (the round-7 verdict's scale-killer:
+    // 1.6e15 cosines at 2B vectors), so assignment is the TWO-LEVEL
+    // seeded quantizer (assignTwoLevel): ⌊√k⌋ super-cells route each
+    // vector to a cell, then argmax only that cell's member centroids —
+    // N·2√k work, same deterministic construction, replayed verbatim by
+    // the oracle's CTE chain. Physical shape: two broadcasts (k1
+    // super-centroids, k-row centroid→cell map) + two vec_id windows,
+    // one bucket-keyed self-join (shuffle on bucket), one anti-join
+    // flag.
     Q(
       "q106_semantic_dedup",
       (s, d) => {
         val e = Tables.embeddings(s, d)
           .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
           .withColumn("n2", squaredNorm(col("v")))
-        val k = math.max(8L, e.count() / 2500L)
-        val cent = e.where(col("vec_id") < k)
-          .select(col("vec_id").as("c_id"), col("v").as("cv"), col("n2").as("cn2"))
+        val k = adaptiveK(e.count())
         // materialize the assignment once: it feeds three consumers
         // (both pair-join sides + the output spine), and without the
         // checkpoint each would re-scan and re-assign the corpus —
         // the q111 bucket store is the durable form of the same idea
-        val assigned = assignWith(e, cent).localCheckpoint()
+        val assigned = assignTwoLevel(e, k).localCheckpoint()
         val a = assigned.select(col("bucket"), col("vec_id").as("a_id"),
           col("v").as("av"), col("n2").as("an2"))
         val drops = assigned.join(a, Seq("bucket"))
@@ -193,13 +271,32 @@ object SelectionOps {
           .orderBy(col("vec_id"))
       },
       Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |kk AS (SELECT GREATEST(8, count(*) // 2500) AS k,
+             |              GREATEST(1, CAST(floor(sqrt(GREATEST(8, count(*) // 2500))) AS BIGINT)) AS k1
+             |       FROM e),
              |cent AS (SELECT vec_id AS c_id, v AS cv FROM e
-             |         WHERE vec_id < GREATEST(8, (SELECT count(*) FROM e) // 2500)),
+             |         WHERE vec_id < (SELECT k FROM kk)),
+             |sup AS (SELECT c_id AS s_id, cv AS sv FROM cent
+             |        WHERE c_id < (SELECT k1 FROM kk)),
+             |casg AS (SELECT c_id, cv,
+             |                CASE WHEN c_id < (SELECT k1 FROM kk) THEN c_id
+             |                     ELSE s_id END AS scell
+             |         FROM (SELECT c.c_id, c.cv, s.s_id,
+             |                      row_number() OVER (PARTITION BY c.c_id
+             |                        ORDER BY round(list_cosine_similarity(c.cv, s.sv), 4) DESC, s.s_id) AS rn
+             |               FROM cent c, sup s)
+             |         WHERE rn = 1),
+             |vsup AS (SELECT vec_id, v, s_id AS scell FROM (
+             |           SELECT e.vec_id, e.v, s.s_id,
+             |                  row_number() OVER (PARTITION BY e.vec_id
+             |                    ORDER BY round(list_cosine_similarity(e.v, s.sv), 4) DESC, s.s_id) AS rn
+             |           FROM e, sup s)
+             |         WHERE rn = 1),
              |asg AS (SELECT vec_id, v, c_id AS bucket FROM (
-             |          SELECT e.vec_id, e.v, c.c_id,
-             |                 row_number() OVER (PARTITION BY e.vec_id
-             |                   ORDER BY round(list_cosine_similarity(e.v, c.cv), 4) DESC, c.c_id) AS rn
-             |          FROM e, cent c)
+             |          SELECT w.vec_id, w.v, c.c_id,
+             |                 row_number() OVER (PARTITION BY w.vec_id
+             |                   ORDER BY round(list_cosine_similarity(w.v, c.cv), 4) DESC, c.c_id) AS rn
+             |          FROM vsup w JOIN casg c ON w.scell = c.scell)
              |        WHERE rn = 1),
              |drops AS (SELECT DISTINCT b.vec_id
              |          FROM asg a JOIN asg b

@@ -21,7 +21,7 @@ class SelectionOpsSpec extends SparkSpec {
     val dropped = out.where(col("keep") === 0).select(col("vec_id"))
     // both outcomes occur on the fixture
     assert(out.where(col("keep") === 1).count() > 0 && dropped.count() > 0)
-    val assigned = SelectionOps.assignSeeded(embFrame)
+    val assigned = SelectionOps.q106Assign(embFrame)
     val a = assigned.select(col("bucket"), col("vec_id").as("a_id"),
       col("v").as("av"), col("n2").as("an2"))
     val witnessed = assigned.join(dropped, Seq("vec_id"))
@@ -54,6 +54,44 @@ class SelectionOpsSpec extends SparkSpec {
     // dropped than the exact b-sides (pairs split across cluster
     // borders are missed — the documented SemDeDup cost)
     assert(dropped.count() < exactDropSides.count())
+  }
+
+  test("q106: two-level assignment routes through the vector's super-cell") {
+    // hierarchy consistency: a vector's bucket must be a centroid that
+    // itself maps to the vector's super-cell — the structural invariant
+    // that makes the N·2√k assignment a real restriction of the flat
+    // argmax (and the property the DuckDB oracle replays via CTEs)
+    val e = embFrame
+    val k = SelectionOps.adaptiveK(e.count())
+    val k1 = SelectionOps.superK(k)
+    assert(k1 >= 1 && k1 * k1 <= k)
+    val cent = e.where(col("vec_id") < k)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"),
+        col("n2").as("cn2"))
+    val sup = cent.where(col("c_id") < k1)
+      .select(col("c_id").as("s_id"), col("cv").as("sv"),
+        col("cn2").as("sn2"))
+    // independent recomputation of both levels' argmax via assignWith
+    // (the flat helper) on renamed frames
+    val vSup = SelectionOps.assignWith(
+      e, sup.select(col("s_id").as("c_id"), col("sv").as("cv"),
+        col("sn2").as("cn2")))
+      .select(col("vec_id"), col("bucket").as("vcell"))
+    val cSup = SelectionOps.assignWith(
+      cent.select(col("c_id").as("vec_id"), col("cv").as("v"),
+        col("cn2").as("n2")),
+      sup.select(col("s_id").as("c_id"), col("sv").as("cv"),
+        col("sn2").as("cn2")))
+      .select(col("vec_id").as("bucket"),
+        when(col("vec_id") < k1, col("vec_id")).otherwise(col("bucket"))
+          .as("ccell"))
+    val viol = SelectionOps.q106Assign(e)
+      .join(vSup, Seq("vec_id")).join(cSup, Seq("bucket"))
+      .where(col("vcell") =!= col("ccell")).count()
+    assert(viol == 0L, s"$viol vectors bucketed outside their super-cell")
+    // and every super-cell owns at least its self-assigned centroid
+    val cells = cSup.select(col("ccell")).distinct().count()
+    assert(cells == k1, s"$cells non-empty super-cells, expected $k1")
   }
 
   test("q107: hand-checked conditional bit costs and no-evidence guard") {
