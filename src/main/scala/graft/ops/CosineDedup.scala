@@ -117,9 +117,28 @@ object CosineDedup {
     } yield (a.bucket, b.bucket)
   }
 
+  /** Hard ceiling on the input row count (overridable per call). The
+    * operator's WORST CASE is exact blocked all-pairs — O(n²) kernel
+    * work when the cap bound prunes nothing (adversarially uniform
+    * corpora) — and the round-7 sf1→sf10 measurements show the
+    * quadratic term is real (31.7× / 24.1× cost per 10× rows). The
+    * guard makes the exact path an explicit decision instead of a
+    * footgun: at corpus scale, route through the cluster-scoped
+    * q106_semantic_dedup or the banded q129 MinHash prefilter and
+    * reserve this operator for verifying their candidates on bounded
+    * panels.
+    */
+  val DefaultMaxRows: Long = 2L * 1000 * 1000
+
   /** All unordered pairs of `e`'s vectors with round(cosine, 4) ≥
     * threshold, as (vec_a, vec_b, cos_r) with vec_a < vec_b. Exact — no
     * false negatives at any corpus shape.
+    *
+    * Refuses inputs above `maxRows` (see [[DefaultMaxRows]]): this is
+    * the exact-verification twin of the q106/q129 approximate paths,
+    * quadratic by design, and must not be invokable by accident on a
+    * corpus-scale table. Callers that really want a bigger exact run
+    * pass maxRows explicitly.
     */
   def pairsAbove(
       e: DataFrame,
@@ -127,8 +146,16 @@ object CosineDedup {
       dim: Int,
       signBits: Int = 3,
       targetBlock: Int = 512,
-      seed: Long = 7L): DataFrame = {
+      seed: Long = 7L,
+      maxRows: Long = DefaultMaxRows): DataFrame = {
 
+    val nRows = e.count()
+    require(nRows <= maxRows,
+      s"CosineDedup.pairsAbove: input has $nRows rows > maxRows=$maxRows. " +
+        "This operator is the EXACT quadratic verification path; at this " +
+        "scale run the cluster-scoped prefilter (q106_semantic_dedup) or " +
+        "the banded MinHash-LSH path (q129) and rescore only their " +
+        "candidates, or pass maxRows explicitly to override.")
     val planes = signPlanes(dim, signBits, seed)
     // Compute the bucket assignment once and truncate lineage so the two
     // stats passes and the block build share one materialization (at

@@ -179,6 +179,21 @@ class OpsSpec extends SparkSpec {
     assert(brute.size >= 3 * (20 * 19 / 2)) // every intra-cluster pair qualifies
   }
 
+  test("pairsAbove refuses corpus-scale input and names the approximate routes") {
+    // the exact path is quadratic by design; the guard makes running it
+    // on an unbounded corpus an explicit decision, not an accident
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("n2", expr("aggregate(v, 0D, (acc, x) -> acc + x * x)"))
+    val ex = intercept[IllegalArgumentException] {
+      graft.ops.CosineDedup.pairsAbove(e, 0.45, dim = 64, maxRows = 10L)
+    }
+    assert(ex.getMessage.contains("q106") && ex.getMessage.contains("q129"))
+    // an explicit override admits the same input
+    assert(graft.ops.CosineDedup
+      .pairsAbove(e, 0.45, dim = 64, maxRows = 1000L).count() > 0)
+  }
+
   test("large-star/small-star CC: correct clusters in logarithmic rounds") {
     // A 32-node path (diameter 31) plus a triangle and an isolated edge:
     // label propagation needs ~31 rounds; star rounds collapse it in
