@@ -365,6 +365,26 @@ object TextOps {
        |FROM documents d LEFT JOIN prior p ON d.doc_id = p.db
        |ORDER BY doc_id""".stripMargin
 
+  /** q134's oracle: min-label fixpoint (recursive CTE) over the same
+    * q70 pair set that drives q129 — the batch ground truth the
+    * incrementally folded label snapshots must converge to. Folding
+    * order cannot matter (components of a union are independent of
+    * edge arrival order), which is what makes the streaming answer
+    * closed-form replayable.
+    */
+  private[graft] def incCcOracleSql: String =
+    s"""${minhashPairsCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |edges AS (SELECT da AS a, db AS b FROM pairs
+       |          UNION ALL SELECT db, da FROM pairs),
+       |reach(a, b) AS (SELECT a, a FROM (SELECT DISTINCT a FROM edges) t
+       |                UNION
+       |                SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+       |labeled AS (SELECT a AS doc_id, min(b) AS cluster_rep FROM reach GROUP BY a)
+       |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |       CAST(cluster_rep AS BIGINT) AS cluster_rep
+       |FROM labeled
+       |ORDER BY doc_id""".stripMargin
+
   /** Exact near-dup pairs at the given Jaccard threshold. All-pairs via
     * the shingle equi-join; set sizes ride along with each shingle row,
     * so the whole computation is two shuffles (join + pair groupBy).
@@ -617,6 +637,29 @@ object TextOps {
         } finally s.conf.set("spark.sql.shuffle.partitions", prev)
       },
       Some(minhashDedupOracleSql)),
+
+    // ---- E2/E6: incremental connected components over the pair stream ----
+    // Closes the dedup-QA loop on q129 (round-7 verdict #6): each
+    // micro-batch's confirmed near-dup pairs fold into a cluster-label
+    // snapshot via large-star/small-star CC, where the fold input is
+    // the PREVIOUS snapshot re-read as edges (a converged star forest
+    // is an equivalent smaller edge set) plus the new pairs — per-batch
+    // work is O(labeled nodes + new pairs), never a replay of the pair
+    // history. The final snapshot equals batch CC over the full q70
+    // pair set: components of a union don't depend on edge arrival
+    // order, so the DuckDB recursive-CTE fixpoint replays the whole
+    // stream, cross-batch store state included.
+    Q(
+      "q134_incremental_cc_stream",
+      (s, d) => {
+        val prev = s.conf.get("spark.sql.shuffle.partitions")
+        try {
+          s.conf.set("spark.sql.shuffle.partitions", "8")
+          graft.streaming.MinHashDedupStream.runClustersOn(
+            s, Tables.documents(s, d), nSplits = 2)
+        } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      },
+      Some(incCcOracleSql)),
 
     // ---- E2: SimHash with a FULL DuckDB oracle ----------------------------
     // 60-bit simhash from the dual portable token hashes (bits 0-29 from

@@ -84,6 +84,38 @@ object MinHashDedupStream {
   def run(spark: SparkSession, inputDir: String, workDir: String,
           nBuckets: Int = 16,
           pruneThresholdBytes: Long = PruneThresholdBytes): DataFrame = {
+    runStream(spark, inputDir, workDir, nBuckets, pruneThresholdBytes,
+      foldCc = false)
+    spark.read.parquet(s"$workDir/out")
+      .select(col("doc_id"), col("n_dup_prior"), col("kept"))
+      .orderBy("doc_id")
+  }
+
+  /** q134: run the same stream with the incremental connected-components
+    * fold enabled and return the FINAL label snapshot — every doc that
+    * appears in some confirmed near-dup pair, labeled with its
+    * component's minimum doc_id. Equal to batch CC over the full q70
+    * pair set (the stream-equals-batch spec + DuckDB recursive-CTE
+    * oracle both certify it).
+    */
+  def runClusters(spark: SparkSession, inputDir: String, workDir: String,
+                  nBuckets: Int = 16,
+                  pruneThresholdBytes: Long = PruneThresholdBytes)
+      : DataFrame = {
+    runStream(spark, inputDir, workDir, nBuckets, pruneThresholdBytes,
+      foldCc = true)
+    val last = new java.io.File(s"$workDir/labels").listFiles()
+      .map(_.getName).filter(_.startsWith("batch="))
+      .map(_.stripPrefix("batch=").toLong).max
+    spark.read.parquet(s"$workDir/labels/batch=$last")
+      .select(col("node").cast("long").as("doc_id"),
+        col("cluster_rep").cast("long").as("cluster_rep"))
+      .orderBy("doc_id")
+  }
+
+  private def runStream(spark: SparkSession, inputDir: String,
+                        workDir: String, nBuckets: Int,
+                        pruneThresholdBytes: Long, foldCc: Boolean): Unit = {
     val stream = spark.readStream
       .schema(spark.read.parquet(inputDir).schema)
       .option("maxFilesPerTrigger", "1")
@@ -91,15 +123,12 @@ object MinHashDedupStream {
     val q = stream.writeStream
       .foreachBatch { (batch0: DataFrame, batchId: Long) =>
         processBatch(spark, batch0, batchId, workDir, nBuckets,
-          pruneThresholdBytes)
+          pruneThresholdBytes, foldCc)
       }
       .option("checkpointLocation", s"$workDir/ckpt")
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.read.parquet(s"$workDir/out")
-      .select(col("doc_id"), col("n_dup_prior"), col("kept"))
-      .orderBy("doc_id")
   }
 
   /** One micro-batch of the incremental near-dup dedup — the
@@ -113,7 +142,8 @@ object MinHashDedupStream {
   private[graft] def processBatch(spark: SparkSession, batch0: DataFrame,
                                   batchId: Long, workDir: String,
                                   nBuckets: Int,
-                                  pruneThresholdBytes: Long): Unit = {
+                                  pruneThresholdBytes: Long,
+                                  foldCc: Boolean = false): Unit = {
     val bandStoreDir = s"$workDir/band_store"
     val packStoreDir = s"$workDir/pack_store"
     val outDir = s"$workDir/out"
@@ -190,7 +220,7 @@ object MinHashDedupStream {
       cand.select(pmod(col("da"), lit(nBuckets.toLong)).cast("int")
         .as("bucket")).distinct().collect().map(_.getInt(0)).toSeq)
     val partnerPacks = histPacks.unionByName(batchPacks)
-    val dups = cand
+    val qual0 = cand
       .join(partnerPacks.as("sa"), col("da") === col("sa.doc_id"))
       .join(batchPacks.as("sb"), col("db") === col("sb.doc_id") &&
         col("sa.pack") === col("sb.pack"))
@@ -198,6 +228,12 @@ object MinHashDedupStream {
       .agg(count(lit(1)).as("cmn"))
       .where(round(col("cmn") * lit(1.0) /
         (col("na") + col("nb") - col("cmn")), 4) >= Threshold)
+      .select(col("da"), col("db"))
+    // under the CC fold the confirmed pairs feed three consumers
+    // (verdicts, pair store, label fold) — materialize once; the plain
+    // q129 path keeps the single lazy chain it always had
+    val qual = if (foldCc) qual0.localCheckpoint() else qual0
+    val dups = qual
       .groupBy(col("db").as("doc_id"))
       .agg(count(lit(1)).as("n_dup_prior"))
 
@@ -218,6 +254,35 @@ object MinHashDedupStream {
     Load.writeBatchPartial(
       batchPacks.withColumn("bucket", docBucket).repartition(col("bucket")),
       packStoreDir, batchId, Seq("bucket"))
+
+    // q134 incremental connected components: the batch's confirmed
+    // pairs land in a pair store (batch= partial, retry-idempotent) and
+    // fold into a label SNAPSHOT via large-star/small-star. The fold's
+    // input is the PREVIOUS snapshot re-read as edges (node →
+    // cluster_rep preserves components — the converged star forest is
+    // an equivalent, much smaller edge set) plus this batch's pairs, so
+    // per-batch CC work is O(labeled nodes + new pairs), never a replay
+    // of the full pair history. Snapshots write to labels/batch=<id>
+    // with Overwrite and READ batch=<id-1>: a retried batch recomputes
+    // bit-identically from pre-batch state (same contract as the
+    // bucketed stores; RetryIdempotenceSpec covers it).
+    if (foldCc) {
+      val labelsDir = s"$workDir/labels"
+      Load.writeBatchPartial(
+        qual.select(col("da").cast("long"), col("db").cast("long")),
+        s"$workDir/pair_store", batchId)
+      val prevEdges =
+        if (batchId > 0)
+          spark.read.parquet(s"$labelsDir/batch=${batchId - 1}")
+            .select(col("node").as("src"), col("cluster_rep").as("dst"))
+        else
+          emptyFrame(spark, StructType(Seq(
+            StructField("src", LongType), StructField("dst", LongType))))
+      val edges = prevEdges.unionByName(qual.select(
+        col("da").cast("long").as("src"), col("db").cast("long").as("dst")))
+      graft.ops.ConnectedComponents.clusters(edges)
+        .write.mode("overwrite").parquet(s"$labelsDir/batch=$batchId")
+    }
     bands.unpersist(); base.unpersist(); batch.unpersist()
     ()
     }
@@ -233,6 +298,17 @@ object MinHashDedupStream {
       .createTempDirectory("q129_minhash_stream").toString
     SpanDedupStream.stageSplits(spark, docs, s"$workDir/input", nSplits)
     run(spark, s"$workDir/input", workDir,
+      pruneThresholdBytes = pruneThresholdBytes)
+  }
+
+  /** Stage + run with the CC fold: the q134 entry. */
+  def runClustersOn(spark: SparkSession, docs: DataFrame, nSplits: Int,
+                    pruneThresholdBytes: Long = PruneThresholdBytes)
+      : DataFrame = {
+    val workDir = java.nio.file.Files
+      .createTempDirectory("q134_inc_cc_stream").toString
+    SpanDedupStream.stageSplits(spark, docs, s"$workDir/input", nSplits)
+    runClusters(spark, s"$workDir/input", workDir,
       pruneThresholdBytes = pruneThresholdBytes)
   }
 }

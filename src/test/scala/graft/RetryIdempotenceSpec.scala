@@ -82,6 +82,36 @@ class RetryIdempotenceSpec extends SparkSpec {
     assert(rows(spark.read.parquet(s"$workDir/band_store")) == bands1)
   }
 
+  test("minhash CC fold: retried batch rebuilds the identical label snapshot") {
+    // batch 1 brings a cross-batch near-dup pair (doc 10 ~ doc 0) and a
+    // same-batch pair (11 ~ 12); the retried fold must read the batch-0
+    // snapshot (not its own) and rewrite batch=1 bit-identically
+    val shared = (0 until 32).map(j => s"w${j * 3 % 23}").mkString(" ")
+    val b0 = Seq(
+      0L -> (shared + " p1 p2"),
+      1L -> ((0 until 25).map(j => s"b$j").mkString(" "))).toDF("doc_id", "text")
+    val b1 = Seq(
+      10L -> (shared + " p1 p3"),
+      11L -> (shared.replace("w", "v") + " q1"),
+      12L -> (shared.replace("w", "v") + " q2")).toDF("doc_id", "text")
+    val workDir = tmp("graft_retry_cc")
+    MinHashDedupStream.processBatch(spark, b0, 0L, workDir, 16,
+      Long.MaxValue, foldCc = true)
+    MinHashDedupStream.processBatch(spark, b1, 1L, workDir, 16,
+      Long.MaxValue, foldCc = true)
+    val labels1 = rows(spark.read.parquet(s"$workDir/labels/batch=1"))
+    val pairs1 = rows(spark.read.parquet(s"$workDir/pair_store"))
+    // the planted components actually formed: 10 -> 0, 12 -> 11
+    val got = spark.read.parquet(s"$workDir/labels/batch=1")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(10L) == 0L && got(0L) == 0L, got.toString)
+    assert(got(12L) == 11L && got(11L) == 11L, got.toString)
+    MinHashDedupStream.processBatch(spark, b1, 1L, workDir, 16,
+      Long.MaxValue, foldCc = true)
+    assert(rows(spark.read.parquet(s"$workDir/labels/batch=1")) == labels1)
+    assert(rows(spark.read.parquet(s"$workDir/pair_store")) == pairs1)
+  }
+
   test("corpus stream: retried batch recomputes identical stats partial") {
     // quality gate: >= 30 words, mean word length 3-5, >= 2 stopwords
     val text = "the of " + (0 until 38).map(j => s"tok$j").mkString(" ")

@@ -289,4 +289,28 @@ class StreamingSpec extends SparkSpec {
     val pruned = verdicts(3, 0L)
     assert(pruned == expected.toSeq)
   }
+
+  test("q134 incremental CC stream equals batch CC over the q70 pair set") {
+    val docs = Tables.documents(spark, sfDir)
+    // batch ground truth: large-star/small-star CC over the full
+    // registered pair set, computed in one shot
+    val edges = Registry.byName("q70_docs_minhash_portable")
+      .run(spark, sfDir)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val batchLabels = graft.ops.ConnectedComponents.clusters(edges)
+      .select(col("node").cast("long"), col("cluster_rep").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(batchLabels.nonEmpty, "fixture has no near-dup clusters")
+
+    def streamed(nSplits: Int): Seq[(Long, Long)] =
+      graft.streaming.MinHashDedupStream.runClustersOn(spark, docs, nSplits)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+
+    // 3 splits: pairs spanning batch boundaries must fold into the same
+    // components as the one-shot run — the incremental-fold handoff
+    // (prev snapshot re-read as edges) is what this certifies
+    assert(streamed(3) == batchLabels)
+    // and the fold is split-count invariant
+    assert(streamed(2) == batchLabels)
+  }
 }
