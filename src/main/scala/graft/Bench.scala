@@ -65,6 +65,17 @@ object Bench {
         System.err.println(s"[bench] $name: $e")
         failed += name
         None
+      } finally {
+        // Per-query isolation (same fix as Verify): localCheckpoint
+        // blocks pin storage for the whole session, so a big rung's
+        // earlier queries would otherwise shrink the execution pool the
+        // later ones aggregate in (q130 hit AGGREGATE_OUT_OF_MEMORY at
+        // sf10 behind 12 queries' accumulated blocks). Queries share no
+        // cached state by design, so this frees memory without
+        // distorting any timing.
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(
+          _.unpersist(blocking = false))
       }
     }
     // The composed end-to-end curation pipeline as its own bench row

@@ -371,10 +371,18 @@ object TextOps {
     * order cannot matter (components of a union are independent of
     * edge arrival order), which is what makes the streaming answer
     * closed-form replayable.
+    *
+    * `MATERIALIZED` on pairs/edges is load-bearing at scale: under
+    * WITH RECURSIVE, DuckDB (1.0) inlines multi-referenced CTEs, so
+    * without the hint the whole MinHash chain upstream of `pairs`
+    * re-evaluates once per reference AND once per recursion step of
+    * `reach` — measured as a >77 GB temp spill at the sf10 rung,
+    * where the materialized form completes in minutes.
     */
   private[graft] def incCcOracleSql: String =
-    s"""${minhashPairsCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
-       |edges AS (SELECT da AS a, db AS b FROM pairs
+    s"""${minhashPairsCte.replaceFirst("WITH ", "WITH RECURSIVE ")
+          .replaceFirst("pairs AS \\(", "pairs AS MATERIALIZED (")},
+       |edges AS MATERIALIZED (SELECT da AS a, db AS b FROM pairs
        |          UNION ALL SELECT db, da FROM pairs),
        |reach(a, b) AS (SELECT a, a FROM (SELECT DISTINCT a FROM edges) t
        |                UNION

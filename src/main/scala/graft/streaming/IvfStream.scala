@@ -24,6 +24,13 @@ import org.apache.spark.sql.streaming.Trigger
   * parquet and probes prune to their probed buckets; the quantizer
   * would be re-trained (and the store re-bucketed) only on drift —
   * an offline maintenance job, not an ingest-path cost.
+  *
+  * k is PINNED at 8 here, so per-vector assignment is O(k) constant
+  * and the round-7 verdict's quadratic-assignment caveat does not
+  * apply. If a variant ever scales k with the corpus (as q106's
+  * adaptive k does), route assignment through
+  * [[graft.queries.SelectionOps.assignTwoLevel]] — N·2√k instead of
+  * N·k cosines — rather than widening this flat argmax.
   */
 object IvfStream {
 
