@@ -51,12 +51,24 @@ object Load {
     * should match between co-joined tables).
     */
   def toBucketedTable(df: DataFrame, table: String, bucketCol: String,
-                      nBuckets: Int): Unit =
+                      nBuckets: Int): Unit = {
+    // Overwrite semantics must hold ACROSS sessions too: the in-memory
+    // catalog forgets the table on restart but its managed location
+    // survives, and saveAsTable refuses a fresh name whose location
+    // exists (LOCATION_ALREADY_EXISTS). Drop the catalog entry (same
+    // session) and any orphaned location (prior session) first.
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode(SaveMode.Overwrite)
       .bucketBy(nBuckets, bucketCol)
       .sortBy(bucketCol)
       .format("parquet")
       .saveAsTable(table)
+  }
 
   /** Compact a parquet store's accumulated small files (the by-product
     * of every incremental append pattern — daily loads, streaming

@@ -104,6 +104,51 @@ object LayoutOps {
              |       CAST(sum(CASE WHEN ck BETWEEN 100 AND 299 AND dy BETWEEN d_lo AND d_hi
              |                AND NOT (z BETWEEN z_lo AND z_hi)
              |                THEN 1 ELSE 0 END) AS BIGINT) AS n_escaped
-             |FROM z CROSS JOIN b""".stripMargin))
+             |FROM z CROSS JOIN b""".stripMargin)),
+
+    // ---- bucketed co-located fact-fact join ------------------------------
+    // The other half of the layout surface: q127/q128 buy range-scan
+    // pruning, bucketing buys shuffle-free recurring joins. Both facts
+    // are written bucketed by the orderkey (Load.toBucketedTable — the
+    // ingest-side operator PhysicalLayoutSpec proves exchange-free on
+    // the executed plan), so the lineitem⋈orders merge join reads
+    // bucket-aligned files with zero Exchange under the join; at 100 TB
+    // that's the fact shuffle paid ONCE at ingest and amortized over
+    // every keyed join/agg after it. The registered result is a
+    // priority-level revenue summary off that join; only the final
+    // 5-row aggregate shuffles. The write cost stays inside the query —
+    // the honest ingest price of the layout. The oracle replays the
+    // semantics on the raw parquet: layout must never change answers,
+    // which is exactly what the gate proves.
+    Q(
+      "q136_bucketed_join",
+      (s, d) => {
+        import graft.pipeline.Load
+        // per-rung table names so sf0.01/sf1 runs in one session don't
+        // collide; sessions share one JVM-wide warehouse dir (gitignored)
+        val tag = (d.hashCode.toLong & 0xffffffffL).toString
+        Load.toBucketedTable(
+          graft.Tables.lineitem(s, d)
+            .select(col("l_orderkey"), col("l_extendedprice")), s"li_b_$tag",
+          "l_orderkey", 8)
+        Load.toBucketedTable(
+          graft.Tables.orders(s, d)
+            .select(col("o_orderkey"), col("o_orderpriority")), s"ord_b_$tag",
+          "o_orderkey", 8)
+        s.table(s"li_b_$tag")
+          .join(s.table(s"ord_b_$tag"), col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_items"),
+               (sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
+                  .cast("decimal(38,0)")).cast("double") / 100.0).as("gross_rev"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""SELECT o_orderpriority,
+             |       count(*) AS n_items,
+             |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+             |         / 100.0 AS gross_rev
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin))
   )
 }

@@ -545,6 +545,67 @@ object VectorOps {
              |       max(CAST(floor(abs(x - code * scale / 127) * 1000000000) AS BIGINT)) AS max_err_1e9
              |FROM c
              |GROUP BY vec_id, label, scale
-             |ORDER BY vec_id""".stripMargin))
+             |ORDER BY vec_id""".stripMargin)),
+
+    // ---- E3: binary (1-bit) quantization + packed Hamming top-k ----------
+    // The last rung of the compression ladder (float32 -> int8 (q83) ->
+    // PQ (q73) -> 1 bit/dim): keep only each component's sign, pack the
+    // 64 sign bits into two 32-bit halves (two BIGINTs — no 64th-bit
+    // sign-overflow games in either engine), and rank by Hamming
+    // distance = popcount(xor). At 1 bit/dim the corpus codes are 32x
+    // smaller than float32, the scan is pure integer xor+popcount
+    // (whole-stage codegen, no float math), and sign-Hamming is a
+    // monotone proxy for angular distance (SimHash with axis-aligned
+    // hyperplanes). Plan shape: broadcast the bounded query set, scan
+    // the corpus once, and keep top-5 per query with the bounded-heap
+    // aggregate (q65's TypedImperativeAggregate) — each map task ships
+    // at most 5 rows per query, NOT the |Q|x|corpus| score matrix a
+    // window-rank plan would shuffle and sort. At corpus scale the same
+    // codes slot behind the IVF candidate generator (q42/q86) or the
+    // q71-style band join as the rerank tier; the brute scan here is
+    // the bounded-|Q| search API. Oracle replays the semantic
+    // definition (count of dims whose signs disagree) — same answer as
+    // the packed popcount, independently derived.
+    Q(
+      "q135_hamming_topk",
+      (s, d) => {
+        import graft.functions.TopKBy.topKBy
+        val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding").as("v"))
+        // pack sign bits i..i+31 of v into one long (bit j set iff
+        // component i+j is non-negative)
+        def half(off: Int): Column = expr(
+          s"aggregate(sequence(0, 31), 0L, (acc, i) -> " +
+            s"acc + IF(element_at(v, i + $off + 1) >= 0, shiftleft(1L, i), 0L))")
+        val codes = e.select(col("vec_id"), half(0).as("lo"), half(32).as("hi"))
+        val qset = codes.where(col("vec_id") % 29 === 0)
+          .select(col("vec_id").as("qid"), col("lo").as("qlo"), col("hi").as("qhi"))
+        codes.crossJoin(broadcast(qset))
+          .where(col("vec_id") =!= col("qid"))
+          .withColumn("hamming",
+            (bit_count(col("lo").bitwiseXOR(col("qlo"))) +
+             bit_count(col("hi").bitwiseXOR(col("qhi")))).cast("long"))
+          // combined key (hamming, vec_id) totally orders candidates;
+          // negated so the keep-largest heap keeps the SMALLEST distances
+          .withColumn("key", col("hamming") * lit(4294967296L) + col("vec_id"))
+          .groupBy(col("qid"))
+          .agg(topKBy(col("key"), -col("key"), 5).as("keys"))
+          .select(col("qid"), posexplode(col("keys")).as(Seq("pos", "key")))
+          .select(col("qid"), (col("pos") + 1).cast("long").as("rnk"),
+                  pmod(col("key"), lit(4294967296L)).as("vec_id"),
+                  expr("key div 4294967296").as("hamming"))
+          .orderBy(col("qid"), col("rnk"))
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 29 = 0),
+             |h AS (SELECT qid, e.vec_id AS vec_id,
+             |        CAST(length(list_filter(range(64),
+             |               i -> (qv[i + 1] >= 0) <> (e.v[i + 1] >= 0))) AS BIGINT) AS hamming
+             |      FROM q JOIN e ON e.vec_id <> qid),
+             |r AS (SELECT qid, vec_id, hamming,
+             |        row_number() OVER (PARTITION BY qid ORDER BY hamming, vec_id) AS rn
+             |      FROM h)
+             |SELECT qid, CAST(rn AS BIGINT) AS rnk, vec_id, hamming
+             |FROM r WHERE rn <= 5
+             |ORDER BY qid, rnk""".stripMargin))
   )
 }

@@ -341,6 +341,37 @@ class OpsSpec extends SparkSpec {
     assert(heap == window)
   }
 
+  test("binary quantization: packed popcount equals semantic sign disagreement") {
+    // q135's scan kernel: two 32-bit halves of sign bits, hamming =
+    // popcount(xor). The invariant under test is that the PACKED integer
+    // path computes exactly the semantic definition (count of dims whose
+    // signs disagree) for every pair — the oracle independently replays
+    // only the semantic side.
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").as("v"))
+    def half(off: Int) = expr(
+      s"aggregate(sequence(0, 31), 0L, (acc, i) -> " +
+        s"acc + IF(element_at(v, i + $off + 1) >= 0, shiftleft(1L, i), 0L))")
+    val codes = e.select(col("vec_id"), col("v"),
+      half(0).as("lo"), half(32).as("hi"))
+    val pairs = codes.as("a").join(codes.as("b"),
+      col("a.vec_id") < col("b.vec_id"))
+    val mismatches = pairs.select(
+        (bit_count(col("a.lo").bitwiseXOR(col("b.lo"))) +
+         bit_count(col("a.hi").bitwiseXOR(col("b.hi")))).cast("long").as("packed"),
+        expr("aggregate(sequence(0, 63), 0L, (acc, i) -> " +
+          "acc + IF((element_at(a.v, i + 1) >= 0) != (element_at(b.v, i + 1) >= 0), 1L, 0L))")
+          .as("semantic"))
+      .where(col("packed") =!= col("semantic")).count()
+    assert(mismatches == 0)
+    // self-distance through the packed path is identically zero
+    val selfNonZero = codes.select(
+        (bit_count(col("lo").bitwiseXOR(col("lo"))) +
+         bit_count(col("hi").bitwiseXOR(col("hi")))).as("h"))
+      .where(col("h") =!= 0).count()
+    assert(selfNonZero == 0)
+  }
+
   test("bloom probe brackets the exact semi-join; q66 output is exact") {
     val urgent = Tables.orders(spark, sfDir)
       .where(col("o_orderpriority") === "1-URGENT")

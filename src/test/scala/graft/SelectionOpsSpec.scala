@@ -56,11 +56,12 @@ class SelectionOpsSpec extends SparkSpec {
     assert(dropped.count() < exactDropSides.count())
   }
 
-  test("q106: two-level assignment routes through the vector's super-cell") {
+  test("q106: two-level assignment routes through the vector's top-2 super-cells") {
     // hierarchy consistency: a vector's bucket must be a centroid that
-    // itself maps to the vector's super-cell — the structural invariant
-    // that makes the N·2√k assignment a real restriction of the flat
-    // argmax (and the property the DuckDB oracle replays via CTEs)
+    // itself maps to one of the vector's TWO probed super-cells — the
+    // structural invariant that makes the N·3√k assignment a real
+    // restriction of the flat argmax (and the property the DuckDB
+    // oracle replays via CTEs)
     val e = embFrame
     val k = SelectionOps.adaptiveK(e.count())
     val k1 = SelectionOps.superK(k)
@@ -71,12 +72,18 @@ class SelectionOpsSpec extends SparkSpec {
     val sup = cent.where(col("c_id") < k1)
       .select(col("c_id").as("s_id"), col("cv").as("sv"),
         col("cn2").as("sn2"))
-    // independent recomputation of both levels' argmax via assignWith
-    // (the flat helper) on renamed frames
-    val vSup = SelectionOps.assignWith(
-      e, sup.select(col("s_id").as("c_id"), col("sv").as("cv"),
-        col("sn2").as("cn2")))
-      .select(col("vec_id"), col("bucket").as("vcell"))
+    // independent top-2 super ranking via the window formulation (the
+    // slow exploded path the fold-based operator replaced)
+    val vSup2 = e.crossJoin(sup)
+      .withColumn("cs", round(
+        graft.functions.VectorFunctions.dotProduct(col("v"), col("sv")) /
+          sqrt(col("n2") * col("sn2")), 4))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("vec_id"))
+          .orderBy(col("cs").desc, col("s_id"))))
+      .where(col("rn") <= 2)
+      .select(col("vec_id"), col("s_id").as("vcell"))
+    // each centroid's cell via the flat helper on renamed frames
     val cSup = SelectionOps.assignWith(
       cent.select(col("c_id").as("vec_id"), col("cv").as("v"),
         col("cn2").as("n2")),
@@ -85,10 +92,18 @@ class SelectionOpsSpec extends SparkSpec {
       .select(col("vec_id").as("bucket"),
         when(col("vec_id") < k1, col("vec_id")).otherwise(col("bucket"))
           .as("ccell"))
-    val viol = SelectionOps.q106Assign(e)
-      .join(vSup, Seq("vec_id")).join(cSup, Seq("bucket"))
-      .where(col("vcell") =!= col("ccell")).count()
-    assert(viol == 0L, s"$viol vectors bucketed outside their super-cell")
+    val asg = SelectionOps.q106Assign(e)
+    // bucket's cell must appear among the vector's two probed cells
+    val viol = asg.join(cSup, Seq("bucket"))
+      .join(vSup2, Seq("vec_id"), "left_semi")
+      .count()
+    val inProbe = asg.join(cSup, Seq("bucket"))
+      .join(vSup2.withColumnRenamed("vcell", "ccell"),
+        Seq("vec_id", "ccell"), "left_semi")
+      .count()
+    assert(viol == inProbe,
+      s"${viol - inProbe} vectors bucketed outside their top-2 super-cells")
+    assert(viol == e.count())
     // and every super-cell owns at least its self-assigned centroid
     val cells = cSup.select(col("ccell")).distinct().count()
     assert(cells == k1, s"$cells non-empty super-cells, expected $k1")

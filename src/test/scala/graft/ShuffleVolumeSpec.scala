@@ -270,6 +270,63 @@ class ShuffleVolumeSpec extends SparkSpec {
       s"registered=$registeredB bytes vs gram-string-window=$naiveB bytes")
   }
 
+  /** Total shuffle records written while running `action`. */
+  private def shuffleRecords(action: => Unit): Long = {
+    val records = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
+        records.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.recordsWritten)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      action
+      org.apache.spark.sql.graftbridge.ListenerBridge
+        .waitUntilEmpty(spark.sparkContext, 30000)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    records.get()
+  }
+
+  test("algebraic hot keys: map-side combine already bounds the exchange; salting only adds rows") {
+    // The measured half of Skew.saltedCountSum's scaladoc caveat. A
+    // 90%-hot key through a plain groupBy(count,sum): partial
+    // aggregation collapses every map task's hot rows to ONE partial
+    // row, so the exchange carries <= keys x map-partitions records no
+    // matter how skewed the input — reduce-side skew cannot exist for
+    // an algebraic aggregate with partial agg active. The salted plan
+    // pays the same bounded exchange TIMES the salt fan-out, plus a
+    // second exchange for the de-salt aggregate. Salting earns its keep
+    // only when the map-side hash map itself is the casualty (hot key
+    // PLUS ~millions of distinct keys per task spilling the partial
+    // map, or a plan where partial aggregation is absent) — not on
+    // skew alone. This cert is what stops a reader from salting every
+    // skewed groupBy reflexively.
+    val dir = java.nio.file.Files.createTempDirectory("graft_salt").toString + "/skewed"
+    Tables.lineitem(spark, sfDir)
+      .withColumn("k", when(col("l_orderkey") % 10 < 9, lit("HOT"))
+        .otherwise(col("l_orderkey").cast("string")))
+      .select(col("k"), col("l_quantity"))
+      .repartition(8)
+      .write.parquet(dir)
+    val skewed = spark.read.parquet(dir)
+    val nKeys = skewed.select(col("k")).distinct().count()
+    val nMapParts = skewed.rdd.getNumPartitions.toLong
+
+    val unsalted = shuffleRecords {
+      skewed.groupBy(col("k"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("total"))
+        .collect()
+    }
+    val salted = shuffleRecords {
+      graft.ops.Skew.saltedCountSum(skewed, "k", "l_quantity").collect()
+    }
+    assert(unsalted > 0 && unsalted <= nKeys * nMapParts,
+      s"partial agg should bound the exchange: $unsalted records for " +
+        s"$nKeys keys x $nMapParts map partitions")
+    assert(unsalted <= salted,
+      s"salting should never shrink an algebraic exchange: " +
+        s"unsalted=$unsalted salted=$salted")
+  }
+
   test("vec_sum moves a fraction of the posexplode dimension-stats bytes") {
     import graft.functions.VectorAgg.vecSum
     val e = Tables.embeddings(spark, sfDir)
