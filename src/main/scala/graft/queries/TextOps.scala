@@ -890,6 +890,115 @@ object TextOps {
              |       count(*) AS n
              |FROM scored
              |GROUP BY lang, pred
-             |ORDER BY lang, pred""".stripMargin))
+             |ORDER BY lang, pred""".stripMargin)),
+
+    // ---- E4: TRAINED classifier gate (multinomial Naive Bayes) -----------
+    // The trained-classifier rung the quality-filter family is missing:
+    // q38 scores a FIXED dictionary, the GPT-3/CCNet-style gate trains a
+    // linear classifier on labeled data and filters by its prediction.
+    // Multinomial NB over the token multiset, trained on the
+    // deterministic doc_id%5<4 split, scored on the held-out fifth —
+    // every quantity an integer so both engines replay it exactly:
+    // add-one-smoothed token cost = ladder((c1_c + V) div (c2 + 1)),
+    // prior cost = ladder(N div n_c), prediction = min (cost, class)
+    // struct — associative, so the argmin is one map-side-combined
+    // aggregate with a total lexicographic tie-break, not a window.
+    // Classes come from the data (no hardcoded label set). Physical
+    // shape at scale: the model is vocab×classes rows (Zipf-truncate
+    // vocab in production, as q97's learned-vocab path does) and
+    // broadcasts; scoring is one scan of the test corpus — explode,
+    // two broadcast joins, two map-side-combined aggregates; nothing
+    // shuffles more than (test docs × classes) rows.
+    Q(
+      "q137_nb_classifier",
+      (s, d) => {
+        def ladder(r: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+          log2Ladder.foldLeft(lit(0L)) { case (acc, p) =>
+            when(r >= (1L << p), lit(p.toLong)).otherwise(acc)
+          }
+        val base = docs(s, d).select(col("doc_id"), col("lang"), col("text"))
+        val train = base.where(col("doc_id") % 5 =!= 4)
+        val test = base.where(col("doc_id") % 5 === 4)
+        def toks(df: DataFrame): DataFrame = df
+          .select(col("doc_id"), col("lang"),
+            explode_outer(split(col("text"), " ")).as("tok"))
+          .where(col("tok").isNotNull && col("tok") =!= "")
+        val c2 = toks(train).groupBy(col("lang").as("cls"), col("tok"))
+          .agg(count(lit(1)).as("c2"))
+        val c1 = c2.groupBy(col("cls")).agg(sum(col("c2")).as("c1"))
+        val vocabN = c2.select(col("tok")).distinct()
+          .agg(count(lit(1)).as("v"))
+        val nTrain = train.agg(count(lit(1)).as("n"))
+        val priors = train.groupBy(col("lang").as("cls"))
+          .agg(count(lit(1)).as("ndoc"))
+        val clsFrame = c1.join(priors, Seq("cls"))
+          .crossJoin(vocabN).crossJoin(nTrain)
+          .withColumn("bits0", ladder(col("c1") + col("v")))
+          .withColumn("pbits", ladder(expr("n div ndoc")))
+        val model = c2
+          .join(clsFrame.select(col("cls"), col("c1"), col("v")), Seq("cls"))
+          .withColumn("bits", ladder(expr("(c1 + v) div (c2 + 1)")))
+          .select(col("cls"), col("tok"), col("bits"))
+        val contrib = toks(test)
+          .crossJoin(broadcast(
+            clsFrame.select(col("cls"), col("bits0"), col("pbits"))))
+          .join(broadcast(model), Seq("cls", "tok"), "left")
+          .withColumn("b", coalesce(col("bits"), col("bits0")))
+        contrib
+          .groupBy(col("doc_id"), col("lang"), col("cls"))
+          .agg((sum(col("b")) + min(col("pbits"))).as("cost"))
+          .groupBy(col("doc_id"), col("lang"))
+          .agg(min(struct(col("cost"), col("cls"))).as("m"))
+          .select(col("lang"), col("m.cls").as("pred"))
+          .groupBy(col("lang"), col("pred"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("lang"), col("pred"))
+      },
+      Some {
+        def ladderSql(r: String): String =
+          log2Ladder.reverse.map(p =>
+            s"WHEN ($r) >= ${1L << p} THEN $p")
+            .mkString("(CASE ", " ", " ELSE 0 END)")
+        s"""WITH train AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 5 <> 4),
+           |test AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 5 = 4),
+           |ttok AS (SELECT lang, tok FROM (
+           |           SELECT lang, unnest(string_split(text, ' ')) AS tok FROM train)
+           |         WHERE tok <> ''),
+           |c2 AS (SELECT lang AS cls, tok, CAST(count(*) AS BIGINT) AS c2
+           |       FROM ttok GROUP BY 1, 2),
+           |c1 AS (SELECT cls, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+           |vocab AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v FROM c2),
+           |nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM train),
+           |priors AS (SELECT lang AS cls, CAST(count(*) AS BIGINT) AS ndoc
+           |           FROM train GROUP BY 1),
+           |clsf AS (SELECT c1.cls, c1.c1, v,
+           |           ${ladderSql("c1.c1 + v")} AS bits0,
+           |           ${ladderSql("n // ndoc")} AS pbits
+           |         FROM c1 JOIN priors ON priors.cls = c1.cls, vocab, nt),
+           |model AS (SELECT c2.cls, c2.tok,
+           |            ${ladderSql("(clsf.c1 + clsf.v) // (c2.c2 + 1)")} AS bits
+           |          FROM c2 JOIN clsf ON clsf.cls = c2.cls),
+           |stok AS (SELECT doc_id, lang, tok FROM (
+           |           SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+           |           FROM test)
+           |         WHERE tok <> ''),
+           |contrib AS (SELECT s.doc_id, s.lang, k.cls,
+           |              coalesce(m.bits, k.bits0) AS b, k.pbits
+           |            FROM stok s CROSS JOIN clsf k
+           |            LEFT JOIN model m ON m.cls = k.cls AND m.tok = s.tok),
+           |cost AS (SELECT doc_id, lang, cls,
+           |           CAST(sum(b) + min(pbits) AS BIGINT) AS cost
+           |         FROM contrib GROUP BY 1, 2, 3),
+           |pred AS (SELECT doc_id, lang, cls AS pred FROM (
+           |           SELECT doc_id, lang, cls,
+           |             row_number() OVER (PARTITION BY doc_id
+           |               ORDER BY cost, cls) AS rn
+           |           FROM cost)
+           |         WHERE rn = 1)
+           |SELECT lang, pred, count(*) AS n
+           |FROM pred
+           |GROUP BY lang, pred
+           |ORDER BY lang, pred""".stripMargin
+      })
   )
 }
