@@ -892,6 +892,27 @@ object TextOps {
              |GROUP BY lang, pred
              |ORDER BY lang, pred""".stripMargin)),
 
+    // ---- E4/E6: streaming twin of the NB classifier's TRAINING -----------
+    // q137's continuous-ingestion form, the q122 pattern applied to the
+    // classifier family: NB's sufficient statistics are pure additive
+    // counts — per-(class, token) and per-class doc counts — so each
+    // micro-batch appends tiny partial-count files and the folded store
+    // EQUALS the batch statistics exactly; the model rebuilds from the
+    // fold and scores the held-out fifth identically to q137, which is
+    // why both share one oracle. State is the vocab×classes TYPE table
+    // (Zipf-bounded), not per-doc streaming state.
+    Q(
+      "q138_nb_stream",
+      (s, d) => {
+        val prev = s.conf.get("spark.sql.shuffle.partitions")
+        try {
+          s.conf.set("spark.sql.shuffle.partitions", "8")
+          graft.streaming.NbClassifierStream.runOn(
+            s, docs(s, d), nSplits = 2)
+        } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      },
+      Some(nbOracleSql)),
+
     // ---- E4: TRAINED classifier gate (multinomial Naive Bayes) -----------
     // The trained-classifier rung the quality-filter family is missing:
     // q38 scores a FIXED dictionary, the GPT-3/CCNet-style gate trains a
@@ -912,93 +933,108 @@ object TextOps {
     Q(
       "q137_nb_classifier",
       (s, d) => {
-        def ladder(r: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-          log2Ladder.foldLeft(lit(0L)) { case (acc, p) =>
-            when(r >= (1L << p), lit(p.toLong)).otherwise(acc)
-          }
         val base = docs(s, d).select(col("doc_id"), col("lang"), col("text"))
         val train = base.where(col("doc_id") % 5 =!= 4)
         val test = base.where(col("doc_id") % 5 === 4)
-        def toks(df: DataFrame): DataFrame = df
-          .select(col("doc_id"), col("lang"),
-            explode_outer(split(col("text"), " ")).as("tok"))
-          .where(col("tok").isNotNull && col("tok") =!= "")
-        val c2 = toks(train).groupBy(col("lang").as("cls"), col("tok"))
+        val c2 = nbToks(train).groupBy(col("lang").as("cls"), col("tok"))
           .agg(count(lit(1)).as("c2"))
-        val c1 = c2.groupBy(col("cls")).agg(sum(col("c2")).as("c1"))
-        val vocabN = c2.select(col("tok")).distinct()
-          .agg(count(lit(1)).as("v"))
-        val nTrain = train.agg(count(lit(1)).as("n"))
         val priors = train.groupBy(col("lang").as("cls"))
           .agg(count(lit(1)).as("ndoc"))
-        val clsFrame = c1.join(priors, Seq("cls"))
-          .crossJoin(vocabN).crossJoin(nTrain)
-          .withColumn("bits0", ladder(col("c1") + col("v")))
-          .withColumn("pbits", ladder(expr("n div ndoc")))
-        val model = c2
-          .join(clsFrame.select(col("cls"), col("c1"), col("v")), Seq("cls"))
-          .withColumn("bits", ladder(expr("(c1 + v) div (c2 + 1)")))
-          .select(col("cls"), col("tok"), col("bits"))
-        val contrib = toks(test)
-          .crossJoin(broadcast(
-            clsFrame.select(col("cls"), col("bits0"), col("pbits"))))
-          .join(broadcast(model), Seq("cls", "tok"), "left")
-          .withColumn("b", coalesce(col("bits"), col("bits0")))
-        contrib
-          .groupBy(col("doc_id"), col("lang"), col("cls"))
-          .agg((sum(col("b")) + min(col("pbits"))).as("cost"))
-          .groupBy(col("doc_id"), col("lang"))
-          .agg(min(struct(col("cost"), col("cls"))).as("m"))
-          .select(col("lang"), col("m.cls").as("pred"))
-          .groupBy(col("lang"), col("pred"))
-          .agg(count(lit(1)).as("n"))
-          .orderBy(col("lang"), col("pred"))
+        nbConfusion(c2, priors, nbToks(test))
       },
-      Some {
-        def ladderSql(r: String): String =
-          log2Ladder.reverse.map(p =>
-            s"WHEN ($r) >= ${1L << p} THEN $p")
-            .mkString("(CASE ", " ", " ELSE 0 END)")
-        s"""WITH train AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 5 <> 4),
-           |test AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 5 = 4),
-           |ttok AS (SELECT lang, tok FROM (
-           |           SELECT lang, unnest(string_split(text, ' ')) AS tok FROM train)
-           |         WHERE tok <> ''),
-           |c2 AS (SELECT lang AS cls, tok, CAST(count(*) AS BIGINT) AS c2
-           |       FROM ttok GROUP BY 1, 2),
-           |c1 AS (SELECT cls, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
-           |vocab AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v FROM c2),
-           |nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM train),
-           |priors AS (SELECT lang AS cls, CAST(count(*) AS BIGINT) AS ndoc
-           |           FROM train GROUP BY 1),
-           |clsf AS (SELECT c1.cls, c1.c1, v,
-           |           ${ladderSql("c1.c1 + v")} AS bits0,
-           |           ${ladderSql("n // ndoc")} AS pbits
-           |         FROM c1 JOIN priors ON priors.cls = c1.cls, vocab, nt),
-           |model AS (SELECT c2.cls, c2.tok,
-           |            ${ladderSql("(clsf.c1 + clsf.v) // (c2.c2 + 1)")} AS bits
-           |          FROM c2 JOIN clsf ON clsf.cls = c2.cls),
-           |stok AS (SELECT doc_id, lang, tok FROM (
-           |           SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
-           |           FROM test)
-           |         WHERE tok <> ''),
-           |contrib AS (SELECT s.doc_id, s.lang, k.cls,
-           |              coalesce(m.bits, k.bits0) AS b, k.pbits
-           |            FROM stok s CROSS JOIN clsf k
-           |            LEFT JOIN model m ON m.cls = k.cls AND m.tok = s.tok),
-           |cost AS (SELECT doc_id, lang, cls,
-           |           CAST(sum(b) + min(pbits) AS BIGINT) AS cost
-           |         FROM contrib GROUP BY 1, 2, 3),
-           |pred AS (SELECT doc_id, lang, cls AS pred FROM (
-           |           SELECT doc_id, lang, cls,
-           |             row_number() OVER (PARTITION BY doc_id
-           |               ORDER BY cost, cls) AS rn
-           |           FROM cost)
-           |         WHERE rn = 1)
-           |SELECT lang, pred, count(*) AS n
-           |FROM pred
-           |GROUP BY lang, pred
-           |ORDER BY lang, pred""".stripMargin
-      })
+      Some(nbOracleSql))
   )
+
+  /** q137/q138 token table: one (doc_id, lang, tok) row per occurrence. */
+  private[graft] def nbToks(df: DataFrame): DataFrame = df
+    .select(col("doc_id"), col("lang"),
+      explode_outer(split(col("text"), " ")).as("tok"))
+    .where(col("tok").isNotNull && col("tok") =!= "")
+
+  private def nbLadder(r: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    log2Ladder.foldLeft(lit(0L)) { case (acc, p) =>
+      when(r >= (1L << p), lit(p.toLong)).otherwise(acc)
+    }
+
+  /** The NB model build + held-out scoring from the classifier's
+    * SUFFICIENT STATISTICS — per-(class, token) counts `c2` and
+    * per-class doc counts `priors` — shared by batch q137 and the
+    * streaming q138 (whose folded stores reproduce these statistics
+    * exactly, counts being additive). Returns the confusion matrix.
+    */
+  private[graft] def nbConfusion(c2: DataFrame, priors: DataFrame,
+                                 testToks: DataFrame): DataFrame = {
+    val c1 = c2.groupBy(col("cls")).agg(sum(col("c2")).as("c1"))
+    val vocabN = c2.select(col("tok")).distinct().agg(count(lit(1)).as("v"))
+    val nTrain = priors.agg(sum(col("ndoc")).as("n"))
+    val clsFrame = c1.join(priors, Seq("cls"))
+      .crossJoin(vocabN).crossJoin(nTrain)
+      .withColumn("bits0", nbLadder(col("c1") + col("v")))
+      .withColumn("pbits", nbLadder(expr("n div ndoc")))
+    val model = c2
+      .join(clsFrame.select(col("cls"), col("c1"), col("v")), Seq("cls"))
+      .withColumn("bits", nbLadder(expr("(c1 + v) div (c2 + 1)")))
+      .select(col("cls"), col("tok"), col("bits"))
+    testToks
+      .crossJoin(broadcast(
+        clsFrame.select(col("cls"), col("bits0"), col("pbits"))))
+      .join(broadcast(model), Seq("cls", "tok"), "left")
+      .withColumn("b", coalesce(col("bits"), col("bits0")))
+      .groupBy(col("doc_id"), col("lang"), col("cls"))
+      .agg((sum(col("b")) + min(col("pbits"))).as("cost"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(min(struct(col("cost"), col("cls"))).as("m"))
+      .select(col("lang"), col("m.cls").as("pred"))
+      .groupBy(col("lang"), col("pred"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("pred"))
+  }
+
+  /** Shared q137/q138 oracle: NB training + scoring replayed as CTEs. */
+  private[graft] def nbOracleSql: String = {
+    def ladderSql(r: String): String =
+      log2Ladder.reverse.map(p =>
+        s"WHEN ($r) >= ${1L << p} THEN $p")
+        .mkString("(CASE ", " ", " ELSE 0 END)")
+    s"""WITH train AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 5 <> 4),
+       |test AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 5 = 4),
+       |ttok AS (SELECT lang, tok FROM (
+       |           SELECT lang, unnest(string_split(text, ' ')) AS tok FROM train)
+       |         WHERE tok <> ''),
+       |c2 AS (SELECT lang AS cls, tok, CAST(count(*) AS BIGINT) AS c2
+       |       FROM ttok GROUP BY 1, 2),
+       |c1 AS (SELECT cls, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+       |vocab AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v FROM c2),
+       |nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM train),
+       |priors AS (SELECT lang AS cls, CAST(count(*) AS BIGINT) AS ndoc
+       |           FROM train GROUP BY 1),
+       |clsf AS (SELECT c1.cls, c1.c1, v,
+       |           ${ladderSql("c1.c1 + v")} AS bits0,
+       |           ${ladderSql("n // ndoc")} AS pbits
+       |         FROM c1 JOIN priors ON priors.cls = c1.cls, vocab, nt),
+       |model AS (SELECT c2.cls, c2.tok,
+       |            ${ladderSql("(clsf.c1 + clsf.v) // (c2.c2 + 1)")} AS bits
+       |          FROM c2 JOIN clsf ON clsf.cls = c2.cls),
+       |stok AS (SELECT doc_id, lang, tok FROM (
+       |           SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+       |           FROM test)
+       |         WHERE tok <> ''),
+       |contrib AS (SELECT s.doc_id, s.lang, k.cls,
+       |              coalesce(m.bits, k.bits0) AS b, k.pbits
+       |            FROM stok s CROSS JOIN clsf k
+       |            LEFT JOIN model m ON m.cls = k.cls AND m.tok = s.tok),
+       |cost AS (SELECT doc_id, lang, cls,
+       |           CAST(sum(b) + min(pbits) AS BIGINT) AS cost
+       |         FROM contrib GROUP BY 1, 2, 3),
+       |pred AS (SELECT doc_id, lang, cls AS pred FROM (
+       |           SELECT doc_id, lang, cls,
+       |             row_number() OVER (PARTITION BY doc_id
+       |               ORDER BY cost, cls) AS rn
+       |           FROM cost)
+       |         WHERE rn = 1)
+       |SELECT lang, pred, count(*) AS n
+       |FROM pred
+       |GROUP BY lang, pred
+       |ORDER BY lang, pred""".stripMargin
+  }
 }

@@ -313,4 +313,19 @@ class StreamingSpec extends SparkSpec {
     // and the fold is split-count invariant
     assert(streamed(2) == batchLabels)
   }
+
+  test("q138 streaming NB training equals the batch q137 confusion row for row") {
+    // the model rebuilds from per-batch partial token/doc counts folded
+    // at read time; equality with the batch classifier proves the
+    // additive-statistics handoff end to end (training split, smoothing
+    // denominators, priors, argmin tie-breaks)
+    val batch = Registry.byName("q137_nb_classifier").run(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    def streamed(nSplits: Int): Seq[Seq[Any]] =
+      graft.streaming.NbClassifierStream
+        .runOn(spark, Tables.documents(spark, sfDir), nSplits)
+        .collect().map(_.toSeq).toSeq
+    assert(streamed(3) == batch && batch.nonEmpty)
+    assert(streamed(2) == batch)
+  }
 }
