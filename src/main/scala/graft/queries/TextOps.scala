@@ -781,6 +781,79 @@ object TextOps {
               |GROUP BY cluster_rep
               |ORDER BY cluster_rep""".stripMargin)),
 
+    // ---- E1/E2: leakage-free (cluster-aware) train/val/test split --------
+    // q91 splits by doc hash, which puts near-duplicate documents on
+    // BOTH sides of the train/eval fence — the classic contamination
+    // path (q81 decontaminates a given test set; this prevents the
+    // leak at split time). The split key is the near-dup CLUSTER
+    // representative (q60's components over the exact-Jaccard pairs;
+    // singletons key on their own doc_id), so a whole duplicate
+    // cluster lands in one split by construction. Same portable
+    // 80/10/10 hash as q91 — membership stays a map-side column after
+    // the one-time label join. The leaked_pairs column PROVES the
+    // guarantee on the data: pairs whose endpoints landed in different
+    // splits (0 by construction, and the oracle recomputes it rather
+    // than trusts it). At corpus scale the labels come from the
+    // incremental store (q134) instead of a one-shot CC.
+    Q(
+      "q139_cluster_split",
+      (s, d) => {
+        val M = graft.functions.TextHash.Mod
+        val (hA, hB) = (982451653L, 12345L)
+        val pairs = jaccardPairs(s, d, 0.8)
+          .select(col("doc_a"), col("doc_b"))
+        val labels = graft.ops.ConnectedComponents.clusters(
+          pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+        val keyed = docs(s, d).select(col("doc_id"))
+          .join(labels, col("doc_id") === col("node"), "left")
+          .select(col("doc_id"),
+            coalesce(col("cluster_rep"), col("doc_id")).as("k"))
+          .withColumn("h", (lit(hA) * col("k") + lit(hB)) % M % 100)
+          .withColumn("split",
+            when(col("h") < 80, "train").when(col("h") < 90, "val")
+              .otherwise("test"))
+        val leaked = pairs
+          .join(keyed.select(col("doc_id").as("doc_a"), col("split").as("sa")),
+            Seq("doc_a"))
+          .join(keyed.select(col("doc_id").as("doc_b"), col("split").as("sb")),
+            Seq("doc_b"))
+          .agg(coalesce(sum(when(col("sa") =!= col("sb"), 1L).otherwise(0L)),
+            lit(0L)).as("leaked_pairs"))
+        keyed.groupBy(col("split"))
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("k")).as("n_clusters"))
+          .crossJoin(leaked)
+          .orderBy(col("split"))
+      },
+      Some(s"""${shingleSqlCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+              |common AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS cmn
+              |           FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              |           GROUP BY da, db),
+              |pairs AS (SELECT da, db FROM common
+              |          JOIN sizes sa ON da = sa.doc_id
+              |          JOIN sizes sb ON db = sb.doc_id
+              |          WHERE round(cmn * 1.0 / (sa.n + sb.n - cmn), 4) >= 0.8),
+              |edges AS (SELECT da AS a, db AS b FROM pairs
+              |          UNION ALL SELECT db, da FROM pairs),
+              |reach(a, b) AS (SELECT a, a FROM (SELECT DISTINCT a FROM edges) t
+              |                UNION
+              |                SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+              |labeled AS (SELECT a AS node, min(b) AS cluster_rep FROM reach GROUP BY a),
+              |keyed AS (SELECT d.doc_id, coalesce(l.cluster_rep, d.doc_id) AS k
+              |          FROM documents d LEFT JOIN labeled l ON l.node = d.doc_id),
+              |sp AS (SELECT doc_id, k,
+              |         CASE WHEN (982451653::BIGINT * k + 12345) % ${graft.functions.TextHash.Mod} % 100 < 80 THEN 'train'
+              |              WHEN (982451653::BIGINT * k + 12345) % ${graft.functions.TextHash.Mod} % 100 < 90 THEN 'val'
+              |              ELSE 'test' END AS split
+              |       FROM keyed),
+              |leak AS (SELECT CAST(coalesce(sum(CASE WHEN a.split <> b.split THEN 1 ELSE 0 END), 0) AS BIGINT) AS leaked_pairs
+              |         FROM pairs p JOIN sp a ON p.da = a.doc_id JOIN sp b ON p.db = b.doc_id)
+              |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+              |       CAST(count(DISTINCT k) AS BIGINT) AS n_clusters, leaked_pairs
+              |FROM sp, leak
+              |GROUP BY split, leaked_pairs
+              |ORDER BY split""".stripMargin)),
+
     // ---- E4: TF-IDF top terms per document --------------------------------
     // tf is an exact integer and idf a per-row scalar function, so tfidf
     // is one FP multiply — deterministic across engines. The document

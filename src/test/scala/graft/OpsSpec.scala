@@ -341,6 +341,26 @@ class OpsSpec extends SparkSpec {
     assert(heap == window)
   }
 
+  test("cluster-aware split leaks zero near-dup pairs; the doc-hash split leaks") {
+    // q139's guarantee on data, plus the contrast that motivates it:
+    // the SAME 80/10/10 hash keyed on doc_id (q91's split) puts
+    // near-duplicate pairs on both sides of the train/eval fence
+    val out = Registry.byName("q139_cluster_split").run(spark, sfDir).collect()
+    assert(out.nonEmpty && out.forall(_.getAs[Long]("leaked_pairs") == 0L))
+    val m = graft.functions.TextHash.Mod
+    val naive = Tables.documents(spark, sfDir).select(col("doc_id"))
+      .withColumn("h", (lit(982451653L) * col("doc_id") + lit(12345L)) % m % 100)
+      .withColumn("split", when(col("h") < 80, "train")
+        .when(col("h") < 90, "val").otherwise("test"))
+    val pairs = Registry.byName("q34_docs_jaccard_pairs").run(spark, sfDir)
+      .select(col("doc_a"), col("doc_b"))
+    val naiveLeaked = pairs
+      .join(naive.select(col("doc_id").as("doc_a"), col("split").as("sa")), Seq("doc_a"))
+      .join(naive.select(col("doc_id").as("doc_b"), col("split").as("sb")), Seq("doc_b"))
+      .where(col("sa") =!= col("sb")).count()
+    assert(naiveLeaked > 0, "fixture should make the doc-hash split leak")
+  }
+
   test("binary quantization: packed popcount equals semantic sign disagreement") {
     // q135's scan kernel: two 32-bit halves of sign bits, hamming =
     // popcount(xor). The invariant under test is that the PACKED integer
