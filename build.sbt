@@ -1,4 +1,10 @@
 ThisBuild / scalaVersion := "2.13.17"
+// Keep Bench's JSON as the FINAL stdout line: sbt otherwise appends
+// "[success] Total time: ..." after the forked JVM exits, which breaks
+// the driver's parse-last-line contract for BENCH_r{N}.json.
+Global / showSuccess := false
+Global / showTiming := false
+Global / excludeLintKeys ++= Set(showSuccess, showTiming)
 ThisBuild / version := "0.1.0"
 name := "avkjobskillanalyticsspark"
 // Spark jars ship with the image at /opt/spark/jars (zero-egress):
@@ -11,6 +17,9 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked JVM's stdout straight through (no "[info] " prefix,
+// no log-level filtering) so Bench's JSON line reaches the driver raw.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
