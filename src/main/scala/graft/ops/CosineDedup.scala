@@ -196,8 +196,20 @@ object CosineDedup {
       .select(col("A.items").as("ia"), col("B.items").as("ib"),
               (col("ba") === col("bb") && col("sa") === col("sb")).as("same"))
 
-    // Emit slightly below threshold so 4-dp HALF_UP rounding at the edge
-    // is decided by the SQL filter, not the kernel.
+    scoreBlocks(joined, dim, threshold)
+  }
+
+  /** The blocked exact-rescore kernel shared by [[pairsAbove]] and the
+    * cluster-scoped [[pairsAboveAuto]] route: each input row is one
+    * block pair (`ia`, `ib`, `same`); a tight primitive loop scores
+    * every cross pair and emits (vec_a, vec_b, cos_r) at 4-dp ≥
+    * threshold. Emits slightly below threshold so 4-dp HALF_UP rounding
+    * at the edge is decided by the SQL filter, not the kernel.
+    */
+  private def scoreBlocks(joined: DataFrame, dim: Int,
+                          threshold: Double): DataFrame = {
+    val spark = joined.sparkSession
+    import spark.implicits._
     val emitFloor = threshold - 1e-4
     val scored = joined.flatMap { row =>
       def decode(i: Int): Array[(Long, Array[Double], Double)] =
@@ -231,5 +243,66 @@ object CosineDedup {
       .withColumn("cos_r", round(col("cos"), 4))
       .where(col("cos_r") >= threshold)
       .select(col("vec_a"), col("vec_b"), col("cos_r"))
+  }
+
+  /** [[pairsAbove]] that runs at ANY scale instead of refusing: at or
+    * below `maxRows` it IS the exact operator; above, it routes through
+    * the q106-style two-level seeded quantizer (adaptive k = n/2500,
+    * zero-exchange broadcast-fold assignment) and exact-verifies only
+    * WITHIN each cluster — the SemDeDup shape with this operator's
+    * blocked kernel as the verifier.
+    *
+    * Semantics of the routed path: results are a SUBSET of the exact
+    * pair set (identical cos_r on every emitted pair — same kernel);
+    * pairs straddling a cluster border are missed. That recall trade is
+    * the price of linear cost: k ∝ n pins the mean cell near 2500, so
+    * kernel work is Σ c_b²/2 ≈ n·1250 — linear in n where exact
+    * all-pairs is n²/2 — and the top-2-probe routing bounds the cell
+    * skew that would concentrate it (measured: max cell ≈ 2.2× flat's
+    * 3K at sf10). CosineDedupSpec measures the recall on the planted-
+    * cluster fixture. Callers needing guaranteed-complete pairs at
+    * scale keep the explicit maxRows override and pay the quadratic.
+    */
+  def pairsAboveAuto(
+      e: DataFrame,
+      threshold: Double,
+      dim: Int,
+      signBits: Int = 3,
+      targetBlock: Int = 512,
+      seed: Long = 7L,
+      maxRows: Long = DefaultMaxRows): DataFrame = {
+    val nRows = e.count()
+    if (nRows <= maxRows)
+      return pairsAbove(e, threshold, dim, signBits, targetBlock, seed, maxRows)
+
+    val k = graft.queries.SelectionOps.adaptiveK(nRows)
+    val assigned = graft.queries.SelectionOps.assignTwoLevel(e, k)
+      .localCheckpoint(false)
+    // per-cluster sub-block counts: k = n/2500 rows — joined back (not a
+    // driver-built when-chain, which would not scale past a few dozen
+    // buckets) so the plan shape survives corpus-scale k
+    val counts = assigned.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("m", greatest(lit(1L),
+        ceil(col("n").cast("double") / targetBlock).cast("long")).cast("int"))
+      .select(col("bucket"), col("m"))
+    val blocks = assigned.join(counts, Seq("bucket"))
+      .withColumn("sub", pmod(xxhash64(col("vec_id")), col("m")).cast("int"))
+      .groupBy(col("bucket"), col("sub"))
+      .agg(collect_list(struct(col("vec_id"), col("v"), col("n2"))).as("items"))
+    // within-cluster block pairs (sa <= sb), generated distributed
+    val pairsDf = counts
+      .select(col("bucket"), col("m"),
+        explode(sequence(lit(0), col("m") - 1)).as("sa"))
+      .select(col("bucket"), col("sa"),
+        explode(sequence(col("sa"), col("m") - 1)).as("sb"))
+    val joined = blocks.as("A")
+      .join(pairsDf.as("P"),
+        col("A.bucket") === col("P.bucket") && col("A.sub") === col("P.sa"))
+      .join(blocks.as("B"),
+        col("B.bucket") === col("P.bucket") && col("B.sub") === col("P.sb"))
+      .select(col("A.items").as("ia"), col("B.items").as("ib"),
+        (col("P.sa") === col("P.sb")).as("same"))
+    scoreBlocks(joined, dim, threshold)
   }
 }

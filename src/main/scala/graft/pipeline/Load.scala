@@ -58,9 +58,27 @@ object Load {
     // exists (LOCATION_ALREADY_EXISTS). Drop the catalog entry (same
     // session) and any orphaned location (prior session) first.
     val spark = df.sparkSession
+    // The conventional-location fallback below only holds for simple
+    // names in the default database — a qualified db.table (or a
+    // non-default current database) would resolve to a different
+    // managed path and the delete would hit the wrong directory.
+    require(!table.contains("."),
+      s"toBucketedTable takes a simple unqualified table name, got '$table'")
+    // Prefer the catalog's own idea of the location (covers a live
+    // same-session table wherever it lives); fall back to the
+    // default-database convention only for the orphaned-location case
+    // where the restarted in-memory catalog has no entry.
+    val catalogLoc =
+      if (spark.catalog.tableExists(table))
+        scala.util.Try(spark.sql(s"DESCRIBE TABLE EXTENDED $table")
+          .where(col("col_name") === "Location")
+          .select(col("data_type")).collect().headOption.map(_.getString(0)))
+          .toOption.flatten
+      else None
     spark.sql(s"DROP TABLE IF EXISTS $table")
-    val loc = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val loc = catalogLoc.map(new org.apache.hadoop.fs.Path(_)).getOrElse(
+      new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase))
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode(SaveMode.Overwrite)
@@ -174,6 +192,31 @@ object Load {
     fs.listStatus(rootPath).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$key="))
       .filter(_.getPath.getName.stripPrefix(s"$key=") < cutoff)
+      .map { s => fs.delete(s.getPath, true); s.getPath.getName }
+      .sorted
+  }
+
+  /** Numeric twin of [[expirePartitions]] for `batch=<id>`-keyed stores:
+    * drop partitions whose NUMERIC value is strictly below `keepFrom`
+    * (lexical order misorders unpadded ids at 10+). The q134 label
+    * snapshots use it with keepFrom = batchId - 1: only the previous
+    * snapshot is ever read (the fold's input, and what a retried batch
+    * recomputes from), so keep-last-2 bounds the store at O(nodes)
+    * instead of O(batches x nodes) on a long-running stream.
+    *
+    * @return the relative partition names removed
+    */
+  def expireNumericPartitions(spark: SparkSession, root: String, key: String,
+                              keepFrom: Long): Seq[String] = {
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rootPath = fs.makeQualified(new org.apache.hadoop.fs.Path(root))
+    if (!fs.exists(rootPath)) Seq.empty
+    else fs.listStatus(rootPath).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$key="))
+      .filter(s => scala.util.Try(
+        s.getPath.getName.stripPrefix(s"$key=").toLong).toOption
+        .exists(_ < keepFrom))
       .map { s => fs.delete(s.getPath, true); s.getPath.getName }
       .sorted
   }

@@ -208,10 +208,17 @@ object SelectionOps {
         col("t2.i1").as("s1"), col("t2.i2").as("s2"))
       .join(broadcast(cellArr.select(col("scell").as("s1"),
         col("members").as("m1"))), Seq("s1"))
+      // LEFT probe for the second cell: with fewer than 2 super-cells
+      // (k1=1, or a corpus missing the low seed ids) top2Of leaves
+      // i2=Long.MaxValue which matches no cell — an inner join here
+      // would silently drop every vector; instead b2 degrades to b1
+      // (single-probe), matching the replaced window form's behavior
       .join(broadcast(cellArr.select(col("scell").as("s2"),
-        col("members").as("m2"))), Seq("s2"))
+        col("members").as("m2"))), Seq("s2"), "left")
       .withColumn("b1", bestOf(col("m1"), col("v"), col("n2")))
-      .withColumn("b2", bestOf(col("m2"), col("v"), col("n2")))
+      .withColumn("b2",
+        when(col("m2").isNotNull, bestOf(col("m2"), col("v"), col("n2")))
+          .otherwise(col("b1")))
       .select(col("vec_id"), col("v"), col("n2"),
         when(col("b1.cos") > col("b2.cos") ||
             (col("b1.cos") === col("b2.cos") &&

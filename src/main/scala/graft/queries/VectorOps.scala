@@ -585,14 +585,18 @@ object VectorOps {
             (bit_count(col("lo").bitwiseXOR(col("qlo"))) +
              bit_count(col("hi").bitwiseXOR(col("qhi")))).cast("long"))
           // combined key (hamming, vec_id) totally orders candidates;
-          // negated so the keep-largest heap keeps the SMALLEST distances
-          .withColumn("key", col("hamming") * lit(4294967296L) + col("vec_id"))
+          // negated so the keep-largest heap keeps the SMALLEST distances.
+          // hamming <= 64 needs 7 bits, so a 2^56 shift leaves 56 bits
+          // for vec_id — corpus ids up to 7.2e16 decode exactly (the
+          // old 2^32 shift silently corrupted ids >= 4.3e9)
+          .withColumn("key",
+            col("hamming") * lit(72057594037927936L) + col("vec_id"))
           .groupBy(col("qid"))
           .agg(topKBy(col("key"), -col("key"), 5).as("keys"))
           .select(col("qid"), posexplode(col("keys")).as(Seq("pos", "key")))
           .select(col("qid"), (col("pos") + 1).cast("long").as("rnk"),
-                  pmod(col("key"), lit(4294967296L)).as("vec_id"),
-                  expr("key div 4294967296").as("hamming"))
+                  pmod(col("key"), lit(72057594037927936L)).as("vec_id"),
+                  expr("key div 72057594037927936").as("hamming"))
           .orderBy(col("qid"), col("rnk"))
       },
       Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

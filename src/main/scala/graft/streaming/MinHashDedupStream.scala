@@ -282,6 +282,11 @@ object MinHashDedupStream {
         col("da").cast("long").as("src"), col("db").cast("long").as("dst")))
       graft.ops.ConnectedComponents.clusters(edges)
         .write.mode("overwrite").parquet(s"$labelsDir/batch=$batchId")
+      // keep-last-2 retention: only batch=<id-1> is ever read (the
+      // next fold's input, and what a RETRY of this batch recomputes
+      // from), so older snapshots are dead weight — without this a
+      // long-running stream stores O(batches x nodes)
+      Load.expireNumericPartitions(spark, labelsDir, "batch", batchId - 1)
     }
     bands.unpersist(); base.unpersist(); batch.unpersist()
     ()

@@ -194,6 +194,55 @@ class OpsSpec extends SparkSpec {
       .pairsAbove(e, 0.45, dim = 64, maxRows = 1000L).count() > 0)
   }
 
+  test("pairsAboveAuto: exact below the guard, cluster-scoped subset above it") {
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("n2", expr("aggregate(v, 0D, (acc, x) -> acc + x * x)"))
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = pairSet(graft.ops.CosineDedup.pairsAbove(e, 0.45, dim = 64))
+    // at-or-below maxRows: auto IS the exact operator
+    assert(pairSet(graft.ops.CosineDedup.pairsAboveAuto(e, 0.45, dim = 64))
+      == exact)
+    // force the routed path on the same corpus: instead of refusing
+    // (the r8 behavior) it must RUN and return a subset of the exact
+    // pairs with identical rounded cosines — the cluster prefilter only
+    // loses border pairs, never invents or rescores
+    val routed = pairSet(graft.ops.CosineDedup
+      .pairsAboveAuto(e, 0.45, dim = 64, maxRows = 100L))
+    assert(routed.nonEmpty && routed.subsetOf(exact),
+      s"extra=${(routed -- exact).take(5)}")
+  }
+
+  test("pairsAboveAuto: measured recall on the planted-cluster fixture") {
+    // three tight clusters interleaved over the id space so the seeded
+    // centroids (first adaptiveK = 8 ids) span all three — the corpus
+    // shape the SemDeDup route is for. Recall is deterministic here
+    // (seeded quantizer, fixed fixture): every missed pair straddles a
+    // cell border within one planted cluster.
+    val dim = 64
+    def mk(id: Long): (Long, Seq[Double]) = {
+      val axis = Seq(0, 21, 42)((id % 3).toInt)
+      val v = Array.tabulate(dim)(k =>
+        (if (k == axis) 10d else 0d) + 0.05 * math.sin(1d + id * dim + k))
+      (id, v.toSeq)
+    }
+    val e = (0L until 60L).map(mk).toDF("vec_id", "v")
+      .withColumn("n2", expr("aggregate(v, 0D, (acc, x) -> acc + x * x)"))
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = pairSet(graft.ops.CosineDedup.pairsAbove(e, 0.9, dim = dim))
+    val routed = pairSet(graft.ops.CosineDedup
+      .pairsAboveAuto(e, 0.9, dim = dim, maxRows = 10L))
+    assert(routed.subsetOf(exact))
+    val recall = routed.size.toDouble / exact.size
+    info(f"planted-cluster recall: ${routed.size}/${exact.size} = $recall%.3f")
+    // the planted intra-cluster mass is recovered in meaningful part
+    // (cells split each cluster across its same-axis centroids, so
+    // recall < 1 by construction — the documented border loss)
+    assert(recall >= 0.25 && recall < 1.0, f"recall $recall%.3f")
+  }
+
   test("large-star/small-star CC: correct clusters in logarithmic rounds") {
     // A 32-node path (diameter 31) plus a triangle and an isolated edge:
     // label propagation needs ~31 rounds; star rounds collapse it in

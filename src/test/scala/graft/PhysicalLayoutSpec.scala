@@ -118,4 +118,25 @@ class PhysicalLayoutSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS b_lineagg")
     }
   }
+
+  test("toBucketedTable refuses qualified names and reuses the catalog location") {
+    // a db.table name would resolve to a different managed path than the
+    // warehouse-dir convention the orphan cleanup assumes — refuse it
+    // rather than delete the wrong directory
+    intercept[IllegalArgumentException] {
+      Load.toBucketedTable(
+        Tables.region(spark, sfDir), "somedb.b_region", "r_regionkey", 2)
+    }
+    // same-session overwrite goes through the catalog's own location:
+    // write twice, second write must land (not LOCATION_ALREADY_EXISTS)
+    // and read back the fresh rows
+    try {
+      Load.toBucketedTable(
+        Tables.region(spark, sfDir), "b_region", "r_regionkey", 2)
+      val n1 = spark.table("b_region").count()
+      Load.toBucketedTable(
+        Tables.region(spark, sfDir).limit(2), "b_region", "r_regionkey", 2)
+      assert(n1 > 2 && spark.table("b_region").count() == 2)
+    } finally spark.sql("DROP TABLE IF EXISTS b_region")
+  }
 }

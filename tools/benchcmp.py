@@ -52,7 +52,10 @@ def main():
             print(f"  {k}: {old[k]:.2f}s -> {new[k]:.2f}s (+{d:.2f}s)")
     else:
         print("zero regressions (>0.3s and >30% filter)")
-    sys.exit(2 if (regs or new_failed) else 0)
+    # old-side failures gate too: an old run with failed queries is not
+    # a clean baseline, and a CI wrapper keying on the exit status must
+    # see the "flagged loudly" condition, not just the printed banner
+    sys.exit(2 if (regs or new_failed or old_failed) else 0)
 
 
 if __name__ == "__main__":
