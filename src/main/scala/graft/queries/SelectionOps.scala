@@ -72,6 +72,41 @@ object SelectionOps {
     */
   private[graft] def adaptiveK(n: Long): Long = math.max(8L, n / 2500L)
 
+  /** Oracle CTE chain replaying [[assignTwoLevel]] with adaptive k —
+    * `WITH e, kk, cent, sup, casg, vsup, asg`; `asg` = (vec_id, v,
+    * bucket). Shared by q106 (appends the drop join) and q140 (appends
+    * the within-bucket exact pair join).
+    */
+  private[graft] val twoLevelAsgCtes: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |kk AS (SELECT GREATEST(8, count(*) // 2500) AS k,
+      |              GREATEST(1, CAST(floor(sqrt(GREATEST(8, count(*) // 2500))) AS BIGINT)) AS k1
+      |       FROM e),
+      |cent AS (SELECT vec_id AS c_id, v AS cv FROM e
+      |         WHERE vec_id < (SELECT k FROM kk)),
+      |sup AS (SELECT c_id AS s_id, cv AS sv FROM cent
+      |        WHERE c_id < (SELECT k1 FROM kk)),
+      |casg AS (SELECT c_id, cv,
+      |                CASE WHEN c_id < (SELECT k1 FROM kk) THEN c_id
+      |                     ELSE s_id END AS scell
+      |         FROM (SELECT c.c_id, c.cv, s.s_id,
+      |                      row_number() OVER (PARTITION BY c.c_id
+      |                        ORDER BY round(list_cosine_similarity(c.cv, s.sv), 4) DESC, s.s_id) AS rn
+      |               FROM cent c, sup s)
+      |         WHERE rn = 1),
+      |vsup AS (SELECT vec_id, v, s_id AS scell FROM (
+      |           SELECT e.vec_id, e.v, s.s_id,
+      |                  row_number() OVER (PARTITION BY e.vec_id
+      |                    ORDER BY round(list_cosine_similarity(e.v, s.sv), 4) DESC, s.s_id) AS rn
+      |           FROM e, sup s)
+      |         WHERE rn <= 2),
+      |asg AS (SELECT vec_id, v, c_id AS bucket FROM (
+      |          SELECT w.vec_id, w.v, c.c_id,
+      |                 row_number() OVER (PARTITION BY w.vec_id
+      |                   ORDER BY round(list_cosine_similarity(w.v, c.cv), 4) DESC, c.c_id) AS rn
+      |          FROM vsup w JOIN casg c ON w.scell = c.scell)
+      |        WHERE rn = 1)""".stripMargin
+
   /** Super-cell count for the two-level quantizer: ⌊√k⌋ (≥1). IEEE sqrt
     * is correctly rounded, so perfect squares floor identically in the
     * JVM and DuckDB.
@@ -360,34 +395,7 @@ object SelectionOps {
             when(col("dropped").isNull, 1L).otherwise(0L).as("keep"))
           .orderBy(col("vec_id"))
       },
-      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-             |kk AS (SELECT GREATEST(8, count(*) // 2500) AS k,
-             |              GREATEST(1, CAST(floor(sqrt(GREATEST(8, count(*) // 2500))) AS BIGINT)) AS k1
-             |       FROM e),
-             |cent AS (SELECT vec_id AS c_id, v AS cv FROM e
-             |         WHERE vec_id < (SELECT k FROM kk)),
-             |sup AS (SELECT c_id AS s_id, cv AS sv FROM cent
-             |        WHERE c_id < (SELECT k1 FROM kk)),
-             |casg AS (SELECT c_id, cv,
-             |                CASE WHEN c_id < (SELECT k1 FROM kk) THEN c_id
-             |                     ELSE s_id END AS scell
-             |         FROM (SELECT c.c_id, c.cv, s.s_id,
-             |                      row_number() OVER (PARTITION BY c.c_id
-             |                        ORDER BY round(list_cosine_similarity(c.cv, s.sv), 4) DESC, s.s_id) AS rn
-             |               FROM cent c, sup s)
-             |         WHERE rn = 1),
-             |vsup AS (SELECT vec_id, v, s_id AS scell FROM (
-             |           SELECT e.vec_id, e.v, s.s_id,
-             |                  row_number() OVER (PARTITION BY e.vec_id
-             |                    ORDER BY round(list_cosine_similarity(e.v, s.sv), 4) DESC, s.s_id) AS rn
-             |           FROM e, sup s)
-             |         WHERE rn <= 2),
-             |asg AS (SELECT vec_id, v, c_id AS bucket FROM (
-             |          SELECT w.vec_id, w.v, c.c_id,
-             |                 row_number() OVER (PARTITION BY w.vec_id
-             |                   ORDER BY round(list_cosine_similarity(w.v, c.cv), 4) DESC, c.c_id) AS rn
-             |          FROM vsup w JOIN casg c ON w.scell = c.scell)
-             |        WHERE rn = 1),
+      Some(s"""$twoLevelAsgCtes,
              |drops AS (SELECT DISTINCT b.vec_id
              |          FROM asg a JOIN asg b
              |            ON a.bucket = b.bucket AND a.vec_id < b.vec_id
@@ -396,6 +404,36 @@ object SelectionOps {
              |       CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
              |FROM asg LEFT JOIN drops d ON asg.vec_id = d.vec_id
              |ORDER BY asg.vec_id""".stripMargin)),
+
+    // ---- Any-scale exact-pair auto-route under oracle (round-9 W27) ------
+    // The routed branch of CosineDedup.pairsAboveAuto pinned to the
+    // DuckDB gate: maxRows=100 forces the cluster route on every
+    // fixture, so the hash-compared answer IS the over-guard behavior —
+    // two-level assignment (same CTE chain as q106) followed by the
+    // exact blocked kernel WITHIN each cell. Results are a determinate
+    // subset of q43b's exact pair set (border pairs missed — the
+    // documented SemDeDup trade); identical cos_r on every emitted pair
+    // because it is the same kernel. Scale shape: the only exchanges
+    // are the bucket-keyed block groupBy and the block-pair join —
+    // kernel work ~n·1250 (k ∝ n pins mean cell near 2500) vs the
+    // exact path's n²/2.
+    Q(
+      "q140_pairs_auto_routed",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+          .withColumn("n2", squaredNorm(col("v")))
+        graft.ops.CosineDedup
+          .pairsAboveAuto(e, threshold = 0.45, dim = 64, maxRows = 100L)
+          .orderBy(col("vec_a"), col("vec_b"))
+      },
+      Some(s"""$twoLevelAsgCtes
+             |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             |       round(list_cosine_similarity(a.v, b.v), 4) AS cos_r
+             |FROM asg a JOIN asg b
+             |  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+             |WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.45
+             |ORDER BY vec_a, vec_b""".stripMargin)),
 
     // ---- Conditional-model quality gate (bigram-LM perplexity) -----------
     // The next rung past q105's unigram filter: score every document

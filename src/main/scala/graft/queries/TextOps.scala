@@ -762,15 +762,20 @@ object TextOps {
           .agg(count(lit(1)).as("n_members"))
           .orderBy(col("cluster_rep"))
       },
+      // MATERIALIZED is load-bearing at scale (same finding as q134's
+      // oracle): under WITH RECURSIVE DuckDB inlines multi-referenced
+      // CTEs, so without the hints the shingle chain re-evaluates per
+      // reference AND per recursion step of `reach` — an unbounded temp
+      // spill at the sf10 rung.
       Some(s"""${shingleSqlCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
               |common AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS cmn
               |           FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
               |           GROUP BY da, db),
-              |pairs AS (SELECT da, db FROM common
+              |pairs AS MATERIALIZED (SELECT da, db FROM common
               |          JOIN sizes sa ON da = sa.doc_id
               |          JOIN sizes sb ON db = sb.doc_id
               |          WHERE round(cmn * 1.0 / (sa.n + sb.n - cmn), 4) >= 0.8),
-              |edges AS (SELECT da AS a, db AS b FROM pairs
+              |edges AS MATERIALIZED (SELECT da AS a, db AS b FROM pairs
               |          UNION ALL SELECT db, da FROM pairs),
               |reach(a, b) AS (SELECT a, a FROM (SELECT DISTINCT a FROM edges) t
               |                UNION
@@ -825,23 +830,27 @@ object TextOps {
           .crossJoin(leaked)
           .orderBy(col("split"))
       },
+      // MATERIALIZED hints as in q60/q134 (recursive-CTE inlining spill
+      // at sf10), plus on `sp`: it is referenced three times (both leak
+      // join sides + the final aggregate), and each inlined copy would
+      // re-run the whole recursive fixpoint.
       Some(s"""${shingleSqlCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
               |common AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS cmn
               |           FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
               |           GROUP BY da, db),
-              |pairs AS (SELECT da, db FROM common
+              |pairs AS MATERIALIZED (SELECT da, db FROM common
               |          JOIN sizes sa ON da = sa.doc_id
               |          JOIN sizes sb ON db = sb.doc_id
               |          WHERE round(cmn * 1.0 / (sa.n + sb.n - cmn), 4) >= 0.8),
-              |edges AS (SELECT da AS a, db AS b FROM pairs
+              |edges AS MATERIALIZED (SELECT da AS a, db AS b FROM pairs
               |          UNION ALL SELECT db, da FROM pairs),
               |reach(a, b) AS (SELECT a, a FROM (SELECT DISTINCT a FROM edges) t
               |                UNION
               |                SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
-              |labeled AS (SELECT a AS node, min(b) AS cluster_rep FROM reach GROUP BY a),
+              |labeled AS MATERIALIZED (SELECT a AS node, min(b) AS cluster_rep FROM reach GROUP BY a),
               |keyed AS (SELECT d.doc_id, coalesce(l.cluster_rep, d.doc_id) AS k
               |          FROM documents d LEFT JOIN labeled l ON l.node = d.doc_id),
-              |sp AS (SELECT doc_id, k,
+              |sp AS MATERIALIZED (SELECT doc_id, k,
               |         CASE WHEN (982451653::BIGINT * k + 12345) % ${graft.functions.TextHash.Mod} % 100 < 80 THEN 'train'
               |              WHEN (982451653::BIGINT * k + 12345) % ${graft.functions.TextHash.Mod} % 100 < 90 THEN 'val'
               |              ELSE 'test' END AS split
