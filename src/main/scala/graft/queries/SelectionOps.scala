@@ -14,14 +14,17 @@ import org.apache.spark.sql.functions._
   * oracle-parity rules: rounded cosines with index tie-breaks, integer
   * bit costs via the shared log2 ladder.
   *
-  * Deliberate exclusion, recorded like §2.14's OPQ note: DSIR-style
-  * importance resampling (target-vs-raw n-gram LM log-ratio selection)
-  * is untestable on this fixture — all five langs draw from ONE shared
-  * 31-token vocabulary with near-identical frequency mixes (measured
-  * mean per-token log-ratio ±0.002), so the contrast score is noise and
-  * no selection assertion would hold. The machinery it needs (unigram
-  * costs q105, hash split q91, per-doc aggregate) is all present; the
-  * operator is one extra vocab join if a real target corpus exists.
+  * Round 9 closes the DSIR exclusion recorded here since round 4. The
+  * old note was right that a LANG-defined target is untestable on this
+  * fixture (all five langs draw from one shared 31-token vocabulary
+  * with near-identical mixes — measured mean per-token log-ratio
+  * ±0.002, pure noise), but DSIR's actual use case is a CONTENT-defined
+  * target: "select raw docs that resemble this small seed sample". The
+  * fixture has exactly one content-skewed subpopulation — the planted
+  * near-dup family, marked by the rare token "dup" (26 occurrences in
+  * 25 of 500 docs vs 854-964 for every other token) — so target =
+  * docs containing "dup" produces a real, oracle-replayable contrast
+  * and the selection is meaningful, not noise. q141 below.
   */
 /** One MMR pick: selection order, the picked vector, its query
   * relevance, and the round's winning score (rank 1's score is its
@@ -434,6 +437,69 @@ object SelectionOps {
              |  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
              |WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.45
              |ORDER BY vec_a, vec_b""".stripMargin)),
+
+    // ---- DSIR importance selection (target-vs-raw hashed-n-gram LM) ------
+    // Data Selection via Importance Resampling (Xie et al. 2023): given
+    // a small TARGET sample inside a large raw corpus, score every raw
+    // document by how target-like its token distribution is —
+    // sum over tokens of log p_target(bucket) / p_raw(bucket) under two
+    // hashed-unigram bag models — and keep the top k. The curation
+    // stage that bootstraps a domain corpus from a seed sample.
+    //
+    // Integer-exact variant (the q105/q107 ladder rules): tokens hash
+    // to 256 buckets via the portable polynomial; a bucket's weight is
+    // the floor-log2 DIFFERENCE of the cross-multiplied smoothed counts
+    // ladder((tc+1)(rt+dim)) - ladder((rc+1)(tt+dim)) ~ log2(p_t/p_r)
+    // (add-one smoothing keeps unseen-in-target buckets finite), and a
+    // doc is scored by its per-token MEAN weight in centibits
+    // (cb = (100*(score + 64*n_tok)) div n_tok, offset so the truncating
+    // div is floor on both engines) — the raw importance-weight sum
+    // drifts with doc length, so top-k by sum degenerates to shortest-
+    // docs-first (measured; the doc comment on dsirSelect records both
+    // design forks). Every output is a BIGINT — both engines replay it
+    // bit for bit. Target here is CONTENT-defined (docs containing the
+    // rare token "dup", the planted near-dup family): the one fixture
+    // subpopulation with a genuinely skewed distribution, so selection
+    // carries real signal — 18 of 25 dup docs in the top-50 vs a 6.7%
+    // base rate, 10.7x enrichment (the old §2.15 exclusion note
+    // documents why a LANG-defined target cannot discriminate here).
+    //
+    // Scale shape: ONE token pass feeds both models (target ⊆ raw, so
+    // raw + target bucket counts come from the same map-side-combined
+    // aggregate — 256 rows); the λ table broadcasts to a second narrow
+    // scoring pass; selection is the O(k)-state TopKBy threshold (kth
+    // largest packed (score, doc_id) key, 1 row, broadcast) + a
+    // map-side flag — NO global rank window, no corpus sort. The
+    // oracle's row_number() formulation is the replay path; key order
+    // equals (score DESC, doc_id ASC) because doc_id < 2^32 packs into
+    // the low word.
+    Q(
+      "q141_dsir_select",
+      (s, d) => dsirSelect(
+        Tables.documents(s, d),
+        isTarget = array_contains(split(col("text"), " "), "dup"),
+        dim = 256, k = 50),
+      Some(dsirSql(dim = 256, k = 50))),
+
+    // ---- DSIR model training over a document STREAM ----------------------
+    // q141's continuous-ingestion twin (the q109/q122/q138 additive-
+    // statistics pattern): each micro-batch appends one 256-row partial
+    // bucket-count file; counts are additive and the totals derive from
+    // the counts, so the folded store equals the batch statistics and
+    // the rebuilt λ + selection over the arrived corpus is bit-identical
+    // to q141 — both share one oracle, which therefore checks the
+    // cross-batch count handoff AND the totals derivation end to end.
+    Q(
+      "q142_dsir_stream",
+      (s, d) => {
+        val prev = s.conf.get("spark.sql.shuffle.partitions")
+        try {
+          s.conf.set("spark.sql.shuffle.partitions", "8")
+          graft.streaming.DsirStream.runOn(
+            s, Tables.documents(s, d), nSplits = 2, dim = 256, k = 50)
+        } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      },
+      Some(dsirSql(dim = 256, k = 50))),
 
     // ---- Conditional-model quality gate (bigram-LM perplexity) -----------
     // The next rung past q105's unigram filter: score every document
@@ -1207,6 +1273,136 @@ object SelectionOps {
       }
     }
     s.createDataFrame(picks.result()).orderBy(col("sel_rank"))
+  }
+
+  /** DSIR importance selection (q141; see the registry entry for the
+    * full contract). `docs` needs (doc_id, text); `isTarget` is any
+    * boolean Column over docs' columns defining the seed sample.
+    * Output: (doc_id, n_tok, score, selected) for every doc with at
+    * least one token, ordered by doc_id, with exactly min(k, docs)
+    * rows flagged selected = 1 (top score, doc_id tie-break).
+    */
+  private[graft] def dsirSelect(docs: org.apache.spark.sql.DataFrame,
+                                isTarget: org.apache.spark.sql.Column,
+                                dim: Int, k: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val toks = dsirToks(docs, isTarget, dim)
+    // one pass trains BOTH models: the target sample is a subset of the
+    // raw corpus, so its bucket counts are a filtered sum of the same rows
+    val counts = toks.groupBy(col("b")).agg(
+      count(lit(1)).as("rc"),
+      sum(when(col("tgt"), 1L).otherwise(0L)).as("tc"))
+    dsirScore(toks, counts, dim, k)
+  }
+
+  /** Bucketed token stream for the DSIR models: (doc_id, tgt, b) per
+    * token, b the portable-polynomial hash bucket.
+    */
+  private[graft] def dsirToks(docs: org.apache.spark.sql.DataFrame,
+                              isTarget: org.apache.spark.sql.Column,
+                              dim: Int): org.apache.spark.sql.DataFrame = {
+    import graft.functions.PolyHash.polyHash
+    docs
+      .select(col("doc_id").cast("long").as("doc_id"),
+        isTarget.as("tgt"),
+        explode_outer(split(col("text"), " ")).as("tok"))
+      .where(col("tok").isNotNull && col("tok") =!= "")
+      .select(col("doc_id"), col("tgt"),
+        pmod(polyHash(col("tok")), lit(dim.toLong)).as("b"))
+  }
+
+  /** Score + select from already-folded bucket counts (b, rc, tc) —
+    * the half q142's stream shares with the batch q141: the counts are
+    * pure additive statistics, so a per-batch partial fold feeds this
+    * unchanged. Model totals derive from the counts themselves
+    * (rt = Σrc, tt = Σtc — one 256-row aggregate, not a corpus pass).
+    */
+  private[graft] def dsirScore(toks: org.apache.spark.sql.DataFrame,
+                               counts: org.apache.spark.sql.DataFrame,
+                               dim: Int, k: Int)
+      : org.apache.spark.sql.DataFrame = {
+    import graft.functions.TopKBy.topKBy
+    def ladderBits(ratio: org.apache.spark.sql.Column)
+        : org.apache.spark.sql.Column =
+      TextOps.log2Ladder.foldLeft(lit(0L)) { case (acc, p) =>
+        when(ratio >= (1L << p), lit(p.toLong)).otherwise(acc)
+      }
+    val totals = counts.agg(sum(col("rc")).as("rt"), sum(col("tc")).as("tt"))
+    // per-bucket weight ~ log2(p_target(b) / p_raw(b)), as the floor-log2
+    // DIFFERENCE of two cross-multiplied products (one floor per side on
+    // comparable magnitudes — a per-side ladder of the two RATIOS instead
+    // carries a systematic ~-1-bit/token bias because the smoothing
+    // constants shift the two fractional parts differently, which made
+    // raw-sum scores length-dominated when first measured). Products stay
+    // < 2^63 while each side's (count+1)*(total+dim) does — ~2^45 at
+    // sf10; past ~3e9 tokens scale the counts down together first.
+    val lam = counts.crossJoin(totals)
+      .withColumn("bits_t", ladderBits(expr(s"(tc + 1) * (rt + $dim)")))
+      .withColumn("bits_r", ladderBits(expr(s"(rc + 1) * (tt + $dim)")))
+      .select(col("b"), (col("bits_t") - col("bits_r")).as("lam"))
+    val scored = toks.join(broadcast(lam), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"), sum(col("lam")).as("score"))
+      // select on the per-token MEAN in centibits, not the raw sum: the
+      // unnormalized importance weight drifts with doc length (all-raw
+      // docs score ~ -c*n_tok), so top-k by sum just selects short docs.
+      // +64 offsets the numerator non-negative (|lam| <= 62 < 64), where
+      // Spark's truncating `div` and DuckDB's flooring `//` agree.
+      .withColumn("cb",
+        expr("(100 * (score + 64 * n_tok)) div n_tok"))
+      // packed selection key: orders as (cb DESC, doc_id ASC) as long
+      // as doc_id < 2^32 (5e5 at sf10)
+      .withColumn("key",
+        col("cb") * 4294967296L + (lit(4294967295L) - col("doc_id")))
+    // O(k) selection state: the kth-largest key via the bounded-heap
+    // aggregate, broadcast back as a threshold — never a global rank
+    // window over the corpus. Fewer than k docs → min key → all selected.
+    val thr = scored.agg(topKBy(col("key"), col("key"), k).as("keys"))
+      .select(array_min(col("keys")).as("thr"))
+    scored.crossJoin(broadcast(thr))
+      .select(col("doc_id"), col("n_tok"), col("score"), col("cb"),
+        (col("key") >= col("thr")).cast("long").as("selected"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q141's oracle: replay bucket hashing, both smoothed ladder costs,
+    * the per-doc weight sum, and the top-k election (row_number is the
+    * replay form of the engine's O(k) threshold — same total order).
+    */
+  private def dsirSql(dim: Int, k: Int): String = {
+    val ladderT = TextOps.log2Ladder.reverse.map(p =>
+      s"WHEN (tc + 1) * (rt + $dim) >= ${1L << p} THEN $p").mkString(" ")
+    val ladderR = TextOps.log2Ladder.reverse.map(p =>
+      s"WHEN (rc + 1) * (tt + $dim) >= ${1L << p} THEN $p").mkString(" ")
+    s"""WITH w AS (SELECT doc_id,
+       |         list_contains(string_split(text, ' '), 'dup') AS tgt,
+       |         unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+       |       FROM documents),
+       |hb AS (SELECT doc_id, tgt,
+       |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |           list_transform(range(1, len(tok)+1),
+       |             j -> CAST(unicode(tok[j]) AS BIGINT))),
+       |           (acc,x) -> (acc*31+x)%1000000007) % $dim AS b
+       |       FROM w),
+       |c AS (SELECT b, CAST(count(*) AS BIGINT) AS rc,
+       |        CAST(count(*) FILTER (tgt) AS BIGINT) AS tc
+       |      FROM hb GROUP BY b),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS rt,
+       |        CAST(count(*) FILTER (tgt) AS BIGINT) AS tt FROM hb),
+       |lam AS (SELECT b,
+       |          CAST(CASE $ladderT ELSE 0 END AS BIGINT)
+       |        - CAST(CASE $ladderR ELSE 0 END AS BIGINT) AS lam
+       |        FROM c, n),
+       |s AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+       |        CAST(sum(lam) AS BIGINT) AS score
+       |      FROM hb JOIN lam USING (b) GROUP BY doc_id),
+       |m AS (SELECT doc_id, n_tok, score,
+       |        CAST((100 * (score + 64 * n_tok)) // n_tok AS BIGINT) AS cb
+       |      FROM s)
+       |SELECT doc_id, n_tok, score, cb,
+       |  CAST(CASE WHEN row_number() OVER (ORDER BY cb DESC, doc_id) <= $k
+       |       THEN 1 ELSE 0 END AS BIGINT) AS selected
+       |FROM m ORDER BY doc_id""".stripMargin
   }
 
   /** q110's oracle, generated per round like q99's: p<r> is round r's

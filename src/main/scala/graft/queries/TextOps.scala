@@ -115,10 +115,13 @@ object TextOps {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
-  /** Powers tried by the integer log2 ladder (covers r up to 2^40 — far
-    * beyond any corpus/df ratio we'd meet).
+  /** Powers tried by the integer log2 ladder. 1..62 covers any positive
+    * int64 operand: corpus/df ratios (q105/q107) stay far below 2^40,
+    * and q141's cross-multiplied count products reach ~2^45 at sf10 —
+    * the extra branches never fire for the smaller operands, so
+    * widening the shared ladder changes no existing result.
     */
-  private[queries] val log2Ladder: Seq[Int] = 1 to 40
+  private[queries] val log2Ladder: Seq[Int] = 1 to 62
 
   /** MinHash+LSH keyed on engine-internal xxhash64 — the pure-speed
     * production variant of the registered q70 (identical banding: 32

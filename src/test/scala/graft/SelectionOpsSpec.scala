@@ -475,6 +475,59 @@ class SelectionOpsSpec extends SparkSpec {
     assert(shards.zip(shards.tail).forall { case (x, y) => y >= x })
   }
 
+  test("q141: DSIR selects the planted target-like docs on a skewed corpus") {
+    import spark.implicits._
+    // 6 target-like docs over one vocabulary (marked by "seed"), 12
+    // background docs over a disjoint one: every target-vocab bucket's
+    // weight is strongly positive and every background bucket's strongly
+    // negative, so the top-6 by mean centibits must be exactly the
+    // target-like family
+    val code = (0L until 6L).map(i =>
+      (i, s"seed zero one two zero one seed two zero one"))
+    val prose = (6L until 18L).map(i =>
+      (i, s"alpha beta gamma delta alpha beta gamma delta alpha beta"))
+    val docs = (code ++ prose).toDF("doc_id", "text")
+    val out = SelectionOps.dsirSelect(docs,
+      isTarget = array_contains(split(col("text"), " "), "seed"),
+      dim = 64, k = 6).collect()
+    assert(out.length == 18)
+    val selected = out.filter(_.getLong(4) == 1L).map(_.getLong(0)).toSet
+    assert(selected == (0L until 6L).toSet,
+      s"top-6 should be the target-vocab docs, got $selected")
+    val cb = out.map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert((0L until 6L).map(cb).min > (6L until 18L).map(cb).max,
+      "every target-like doc must out-score every background doc")
+  }
+
+  test("q141: O(k) threshold selection equals the rank-window ground truth") {
+    val out = Registry.byName("q141_dsir_select").run(spark, sfDir)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("cb"), col("doc_id"))
+    val truth = out.select(col("doc_id"), col("cb"))
+      .withColumn("sel_w", (row_number().over(w) <= 50).cast("long"))
+    val joined = out.join(truth.select(col("doc_id"), col("sel_w")), Seq("doc_id"))
+    assert(joined.where(col("selected") =!= col("sel_w")).count() == 0,
+      "threshold flag diverges from the rank window")
+    assert(out.where(col("selected") === 1).count() == 50)
+  }
+
+  test("q141: fewer docs than k selects everything; no corpus rank window") {
+    import spark.implicits._
+    val tiny = Seq((0L, "a b seed"), (1L, "c d"), (2L, "e f"))
+      .toDF("doc_id", "text")
+    val out = SelectionOps.dsirSelect(tiny,
+      isTarget = array_contains(split(col("text"), " "), "seed"),
+      dim = 64, k = 50)
+    assert(out.collect().forall(_.getLong(4) == 1L))
+    // registered plan shape: lambda join broadcasts, selection is the
+    // bounded-heap threshold — never a rank window over the corpus
+    val plan = Registry.byName("q141_dsir_select").run(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    assert(!plan.contains("Window"), plan.take(800))
+    assert(plan.contains("top_k_by"), plan.take(800))
+  }
+
   test("q118: members cohere to their own centroid more than the global one") {
     val out = Registry.byName("q118_label_scatter").run(spark, sfDir).collect()
     assert(out.length == 10)

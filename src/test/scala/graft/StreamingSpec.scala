@@ -328,4 +328,20 @@ class StreamingSpec extends SparkSpec {
     assert(streamed(3) == batch && batch.nonEmpty)
     assert(streamed(2) == batch)
   }
+
+  test("q142 streaming DSIR training equals the batch q141 selection row for row") {
+    // both models are additive bucket counts and the totals derive from
+    // the counts, so the per-batch partial fold must rebuild the exact
+    // batch λ table; equality with q141 proves the count handoff, the
+    // totals derivation, and the threshold election end to end
+    val batch = Registry.byName("q141_dsir_select").run(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    def streamed(nSplits: Int): Seq[Seq[Any]] =
+      graft.streaming.DsirStream
+        .runOn(spark, Tables.documents(spark, sfDir), nSplits,
+          dim = 256, k = 50)
+        .collect().map(_.toSeq).toSeq
+    assert(streamed(3) == batch && batch.nonEmpty)
+    assert(streamed(2) == batch)
+  }
 }
