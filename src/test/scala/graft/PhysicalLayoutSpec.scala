@@ -139,4 +139,42 @@ class PhysicalLayoutSpec extends SparkSpec {
       assert(n1 > 2 && spark.table("b_region").count() == 2)
     } finally spark.sql("DROP TABLE IF EXISTS b_region")
   }
+
+  test("AQE splits a planted skewed shuffle join (the engine's skew-join path)") {
+    // Skew.scala's contract delegates skewed JOINS to AQE's
+    // OptimizeSkewedJoin (salting is for aggregations); this pins that
+    // claim with an executed plan — a hot key holding ~50K of 60K left
+    // rows must come out of AQE with its sort-merge join marked
+    // skew=true (the hot partition split across tasks) instead of one
+    // straggler task. Thresholds are scaled to fixture bytes; at
+    // cluster scale the defaults (256MB) play the same role.
+    import org.apache.spark.sql.functions._
+    val c = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> c.getOption(k)).toMap
+    try {
+      c.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "65536")
+      c.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32768")
+      c.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      c.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val left = spark.range(0, 60000).select(
+        when(col("id") < 50000, 0L).otherwise(col("id") % 2000).as("k"),
+        col("id").as("v"))
+      val right = spark.range(0, 2000).select(
+        col("id").as("k"), (col("id") * 2).as("w"))
+      val joined = left.join(right, Seq("k"))
+      assert(joined.collect().length == 60000) // every left row matches once
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("isFinalPlan=true"), plan.take(500))
+      assert(plan.contains("skew=true"),
+        s"AQE did not split the hot partition:\n${plan.take(1500)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => c.set(k, v)
+      case (k, None)    => c.unset(k)
+    }
+  }
 }
