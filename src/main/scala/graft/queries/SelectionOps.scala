@@ -1322,6 +1322,31 @@ object SelectionOps {
                                dim: Int, k: Int)
       : org.apache.spark.sql.DataFrame = {
     import graft.functions.TopKBy.topKBy
+    val scored = dsirScored(toks, counts, dim)
+      // scored feeds two consumers (the threshold aggregate + the final
+      // flag projection); without the checkpoint each re-runs the token
+      // scan, the count aggregate, and the scoring join — 4 corpus
+      // passes instead of 2 for one small row per doc (the q106 rule)
+      .localCheckpoint()
+    // O(k) selection state: the kth-largest key via the bounded-heap
+    // aggregate, broadcast back as a threshold — never a global rank
+    // window over the corpus. Fewer than k docs → min key → all selected.
+    val thr = scored.agg(topKBy(col("key"), col("key"), k).as("keys"))
+      .select(array_min(col("keys")).as("thr"))
+    scored.crossJoin(broadcast(thr))
+      .select(col("doc_id"), col("n_tok"), col("score"), col("cb"),
+        (col("key") >= col("thr")).cast("long").as("selected"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The pre-checkpoint scoring pipeline (exposed so the plan spec can
+    * assert the broadcast λ join that the checkpoint hides from the
+    * registered query's executed plan).
+    */
+  private[graft] def dsirScored(toks: org.apache.spark.sql.DataFrame,
+                                counts: org.apache.spark.sql.DataFrame,
+                                dim: Int)
+      : org.apache.spark.sql.DataFrame = {
     def ladderBits(ratio: org.apache.spark.sql.Column)
         : org.apache.spark.sql.Column =
       TextOps.log2Ladder.foldLeft(lit(0L)) { case (acc, p) =>
@@ -1340,7 +1365,7 @@ object SelectionOps {
       .withColumn("bits_t", ladderBits(expr(s"(tc + 1) * (rt + $dim)")))
       .withColumn("bits_r", ladderBits(expr(s"(rc + 1) * (tt + $dim)")))
       .select(col("b"), (col("bits_t") - col("bits_r")).as("lam"))
-    val scored = toks.join(broadcast(lam), Seq("b"))
+    toks.join(broadcast(lam), Seq("b"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tok"), sum(col("lam")).as("score"))
       // select on the per-token MEAN in centibits, not the raw sum: the
@@ -1354,15 +1379,6 @@ object SelectionOps {
       // as doc_id < 2^32 (5e5 at sf10)
       .withColumn("key",
         col("cb") * 4294967296L + (lit(4294967295L) - col("doc_id")))
-    // O(k) selection state: the kth-largest key via the bounded-heap
-    // aggregate, broadcast back as a threshold — never a global rank
-    // window over the corpus. Fewer than k docs → min key → all selected.
-    val thr = scored.agg(topKBy(col("key"), col("key"), k).as("keys"))
-      .select(array_min(col("keys")).as("thr"))
-    scored.crossJoin(broadcast(thr))
-      .select(col("doc_id"), col("n_tok"), col("score"), col("cb"),
-        (col("key") >= col("thr")).cast("long").as("selected"))
-      .orderBy(col("doc_id"))
   }
 
   /** q141's oracle: replay bucket hashing, both smoothed ladder costs,

@@ -519,13 +519,25 @@ class SelectionOpsSpec extends SparkSpec {
       isTarget = array_contains(split(col("text"), " "), "seed"),
       dim = 64, k = 50)
     assert(out.collect().forall(_.getLong(4) == 1L))
-    // registered plan shape: lambda join broadcasts, selection is the
-    // bounded-heap threshold — never a rank window over the corpus
+    // registered plan shape: selection is the bounded-heap threshold —
+    // never a rank window over the corpus (the scoring pipeline sits
+    // behind a localCheckpoint, so its joins are asserted separately)
     val plan = Registry.byName("q141_dsir_select").run(spark, sfDir)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
     assert(!plan.contains("Window"), plan.take(800))
     assert(plan.contains("top_k_by"), plan.take(800))
+    // the λ join inside the checkpointed scoring stage broadcasts the
+    // 256-row weight table, never shuffling the corpus on the bucket key
+    val docs256 = Tables.documents(spark, sfDir)
+    val isT = array_contains(split(col("text"), " "), "dup")
+    val toks = SelectionOps.dsirToks(docs256, isT, 256)
+    val counts = toks.groupBy(col("b")).agg(
+      count(lit(1)).as("rc"),
+      sum(when(col("tgt"), 1L).otherwise(0L)).as("tc"))
+    val inner = SelectionOps.dsirScored(toks, counts, 256)
+      .queryExecution.executedPlan.toString
+    assert(inner.contains("BroadcastHashJoin"), inner.take(800))
+    assert(!inner.contains("Window"), inner.take(800))
   }
 
   test("q118: members cohere to their own centroid more than the global one") {
