@@ -32,6 +32,93 @@ object TrainingOps {
   private val HashA = 982451653L
   private val HashB = 12345L
 
+  /** Okapi BM25 (k1=1.2, b=0.75) over the document corpus for a fixed
+    * term set — the full scored frame (doc_id, n_terms, dl, score),
+    * shared by q88 (top-15 report) and q143 (lexical side of the RRF
+    * fusion). The idf uses the integer log2 ladder (1 + floor(log2(
+    * N div df))), so the only floats are per-row IEEE arithmetic on
+    * identical values in both engines; round(.,4) pins the hash.
+    * Plan: one explode + two hash aggregates + a broadcast of the tiny
+    * idf frame — no windows over the corpus.
+    */
+  private def bm25Scored(s: SparkSession, d: String,
+                         terms: Seq[String]): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode_outer(split(col("text"), " ")).as("tok"))
+      .where(col("tok").isNotNull && col("tok") =!= "")
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+                       sum(col("dl")).as("sum_dl"))
+    val tf = toks.where(col("tok").isin(terms: _*))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfc = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val r = expr("n_docs div df")
+    val idf = dfc.crossJoin(stats)
+      .withColumn("w",
+        lit(1L) + TextOps.log2Ladder.foldLeft(lit(0L)) {
+          case (acc, p) => when(r >= (1L << p), lit(p.toLong)).otherwise(acc)
+        })
+      .select(col("tok"), col("w"), col("sum_dl"), col("n_docs"))
+    val scored = tf.join(broadcast(idf), Seq("tok"))
+      .join(dl, Seq("doc_id"))
+      .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
+      .withColumn("score_t",
+        col("w") * (col("tf") * lit(2.2) /
+          (col("tf") + lit(1.2) *
+            (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))))
+    scored.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"),
+           max(col("dl")).as("dl"),
+           round(sum(col("score_t")), 4).as("score"))
+  }
+
+  /** Reciprocal Rank Fusion of two bounded rankings: each side
+    * contributes the scaled integer 100000 div (60 + rank); a doc
+    * absent from a side keeps rank 0 and contributes nothing. Returns
+    * the fused top-n by (rrf DESC, doc_id). Inputs are (doc_id,
+    * lex_rank) / (doc_id, sem_rank) with ranks >= 1.
+    */
+  private[graft] def rrfFuse(lex: DataFrame, sem: DataFrame,
+                             n: Int): DataFrame =
+    lex.join(sem, Seq("doc_id"), "outer")
+      .na.fill(0L, Seq("lex_rank", "sem_rank"))
+      .withColumn("rrf",
+        when(col("lex_rank") > 0, expr("100000 div (60 + lex_rank)"))
+          .otherwise(0L)
+        + when(col("sem_rank") > 0, expr("100000 div (60 + sem_rank)"))
+          .otherwise(0L))
+      .orderBy(desc("rrf"), col("doc_id")).limit(n)
+      .select(col("doc_id"), col("lex_rank"), col("sem_rank"),
+        col("rrf").cast("long").as("rrf"))
+
+  /** The bm25Scored chain in DuckDB form, ending at CTE `bm`
+    * (doc_id, n_terms, dl, score) — shared by q88's and q143's oracles
+    * so the replay can't drift from one copy to the other.
+    */
+  private def bm25Ctes: String =
+    s"""toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+       |              FROM documents),
+       |tk AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+       |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tk GROUP BY doc_id),
+       |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |              CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+       |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+       |       FROM tk WHERE tok IN ('dup', 'spark') GROUP BY doc_id, tok),
+       |dfc AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+       |idf AS (SELECT tok, 1 + (CASE $ladderSql ELSE 0 END) AS w,
+       |          sum_dl, n_docs
+       |        FROM dfc, st),
+       |sc AS (SELECT tf.doc_id, dl.dl,
+       |         idf.w * (tf.tf * 2.2 /
+       |           (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl /
+       |             (CAST(idf.sum_dl AS DOUBLE) / idf.n_docs)))) AS score_t
+       |       FROM tf JOIN idf ON tf.tok = idf.tok
+       |                JOIN dl ON tf.doc_id = dl.doc_id),
+       |bm AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+       |       CAST(max(dl) AS BIGINT) AS dl,
+       |       round(sum(score_t), 4) AS score
+       |       FROM sc GROUP BY doc_id)""".stripMargin
+
   /** q88's idf ladder in DuckDB form, generated from the same
     * TextOps.log2Ladder the Spark side folds over (q79's pattern) — the
     * two engines can't drift on a hand-transcribed threshold.
@@ -340,62 +427,78 @@ object TrainingOps {
     Q(
       "q88_bm25_rank",
       (s, d) => {
-        val terms = Seq("dup", "spark")
-        val toks = Tables.documents(s, d)
-          .select(col("doc_id"), explode_outer(split(col("text"), " ")).as("tok"))
-          .where(col("tok").isNotNull && col("tok") =!= "")
-        val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-        val stats = dl.agg(count(lit(1)).as("n_docs"),
-                           sum(col("dl")).as("sum_dl"))
-        val tf = toks.where(col("tok").isin(terms: _*))
-          .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
-        val dfc = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-        val r = expr("n_docs div df")
-        val idf = dfc.crossJoin(stats)
-          .withColumn("w",
-            lit(1L) + TextOps.log2Ladder.foldLeft(lit(0L)) {
-              case (acc, p) => when(r >= (1L << p), lit(p.toLong)).otherwise(acc)
-            })
-          .select(col("tok"), col("w"), col("sum_dl"), col("n_docs"))
-        val scored = tf.join(broadcast(idf), Seq("tok"))
-          .join(dl, Seq("doc_id"))
-          .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
-          .withColumn("score_t",
-            col("w") * (col("tf") * lit(2.2) /
-              (col("tf") + lit(1.2) *
-                (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))))
-        scored.groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_terms"),
-               max(col("dl")).as("dl"),
-               round(sum(col("score_t")), 4).as("score"))
+        bm25Scored(s, d, Seq("dup", "spark"))
           .orderBy(desc("score"), col("doc_id"))
           .limit(15)
           .select(col("doc_id"), col("n_terms"), col("dl"), col("score"))
       },
-      Some(s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-             |              FROM documents),
-             |tk AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
-             |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tk GROUP BY doc_id),
-             |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
-             |              CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
-             |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
-             |       FROM tk WHERE tok IN ('dup', 'spark') GROUP BY doc_id, tok),
-             |dfc AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok),
-             |idf AS (SELECT tok, 1 + (CASE $ladderSql ELSE 0 END) AS w,
-             |          sum_dl, n_docs
-             |        FROM dfc, st),
-             |sc AS (SELECT tf.doc_id, dl.dl,
-             |         idf.w * (tf.tf * 2.2 /
-             |           (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl /
-             |             (CAST(idf.sum_dl AS DOUBLE) / idf.n_docs)))) AS score_t
-             |       FROM tf JOIN idf ON tf.tok = idf.tok
-             |                JOIN dl ON tf.doc_id = dl.doc_id)
-             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
-             |       CAST(max(dl) AS BIGINT) AS dl,
-             |       round(sum(score_t), 4) AS score
-             |FROM sc GROUP BY doc_id
+      Some(s"""WITH $bm25Ctes
+             |SELECT doc_id, n_terms, dl, score
+             |FROM bm
              |ORDER BY score DESC, doc_id
              |LIMIT 15""".stripMargin)),
+
+    // ---- Hybrid retrieval: reciprocal rank fusion (lexical + semantic) ---
+    // The standard production hybrid: the SAME corpus ranked two ways —
+    // BM25 over the text (q88's scorer, shared bm25Scored) and cosine
+    // over the embeddings (q40's convention: query = vec 0, which is
+    // the same entity as doc 0) — fused with Reciprocal Rank Fusion
+    // (Cormack et al. 2009): each side contributes 1/(60+rank) for its
+    // top-20, here as the scaled integer 100000 div (60+rank) so fused
+    // scores are BIGINTs and both engines replay the election exactly.
+    // A doc missing from a side contributes 0 (rank recorded as 0).
+    //
+    // Scale shape: each side is an existing bounded retrieval — a
+    // corpus scan into TakeOrderedAndProject(k=20); the rank windows
+    // and the outer-join fusion then run over 20-row frames (bounded,
+    // never the corpus), and the output is the fused top-10.
+    Q(
+      "q143_hybrid_rrf",
+      (s, d) => {
+        val k = 20
+        val wL = Window.orderBy(desc("score"), col("doc_id"))
+        val lex = bm25Scored(s, d, Seq("dup", "spark"))
+          .orderBy(desc("score"), col("doc_id")).limit(k)
+          .withColumn("lex_rank", row_number().over(wL).cast("long"))
+          .select(col("doc_id").cast("long").as("doc_id"), col("lex_rank"))
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+          .withColumn("n2", squaredNorm(col("v")))
+        val q0 = e.where(col("vec_id") === 0)
+          .select(col("v").as("qv"), col("n2").as("qn2"))
+        val wS = Window.orderBy(desc("cos_r"), col("vec_id"))
+        val sem = e.crossJoin(broadcast(q0))
+          .where(col("vec_id") =!= 0)
+          .withColumn("cos_r",
+            round(dotProduct(col("v"), col("qv")) /
+              sqrt(col("n2") * col("qn2")), 4))
+          .orderBy(desc("cos_r"), col("vec_id")).limit(k)
+          .withColumn("sem_rank", row_number().over(wS).cast("long"))
+          .select(col("vec_id").cast("long").as("doc_id"), col("sem_rank"))
+        rrfFuse(lex, sem, n = 10)
+      },
+      Some(s"""WITH $bm25Ctes,
+             |lexr AS (SELECT doc_id, CAST(rn AS BIGINT) AS lex_rank FROM (
+             |           SELECT doc_id, row_number() OVER
+             |             (ORDER BY score DESC, doc_id) AS rn FROM bm)
+             |         WHERE rn <= 20),
+             |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |qv AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+             |semr AS (SELECT doc_id, CAST(rn AS BIGINT) AS sem_rank FROM (
+             |           SELECT e.vec_id AS doc_id, row_number() OVER
+             |             (ORDER BY round(list_cosine_similarity(e.v, q.qv), 4)
+             |                DESC, e.vec_id) AS rn
+             |           FROM e, qv q WHERE e.vec_id <> 0)
+             |         WHERE rn <= 20),
+             |f AS (SELECT coalesce(l.doc_id, s.doc_id) AS doc_id,
+             |        CAST(coalesce(l.lex_rank, 0) AS BIGINT) AS lex_rank,
+             |        CAST(coalesce(s.sem_rank, 0) AS BIGINT) AS sem_rank,
+             |        CAST(coalesce(100000 // (60 + l.lex_rank), 0)
+             |           + coalesce(100000 // (60 + s.sem_rank), 0) AS BIGINT) AS rrf
+             |      FROM lexr l FULL OUTER JOIN semr s ON l.doc_id = s.doc_id)
+             |SELECT doc_id, lex_rank, sem_rank, rrf FROM f
+             |ORDER BY rrf DESC, doc_id
+             |LIMIT 10""".stripMargin)),
 
     // ---- Duplicate-n-gram repetition signals (Gopher §A1.1 completion) ---
     // q77 gates on top-TOKEN dominance; Gopher's remaining repetition

@@ -657,4 +657,31 @@ class TrainingOpsSpec extends SparkSpec {
     // and the failed call appended nothing
     assert(new java.io.File(store).listFiles().length == 1)
   }
+
+  test("q143: RRF fusion sums both sides on overlap and tie-breaks by doc_id") {
+    import spark.implicits._
+    // doc 2 appears in both rankings: its fused score must be the exact
+    // integer sum 100000 div 61 + 100000 div 62 and must beat both
+    // single-side rank-1 docs
+    val lex = Seq((1L, 1L), (2L, 2L)).toDF("doc_id", "lex_rank")
+    val sem = Seq((2L, 1L), (3L, 2L)).toDF("doc_id", "sem_rank")
+    val out = TrainingOps.rrfFuse(lex, sem, n = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out(0) == ((2L, 2L, 1L, 100000L / 61 + 100000L / 62)))
+    // docs 1 and 3 carry identical single-side scores (both rank-gap
+    // patterns collapse to 100000 div 61 vs div 62) — doc_id breaks
+    assert(out(1) == ((1L, 1L, 0L, 100000L / 61)))
+    assert(out(2) == ((3L, 0L, 2L, 100000L / 62)))
+    // registered query invariants: 10 rows, ranks in [0, 20], rrf
+    // equals the formula from its own rank columns
+    val reg = Registry.byName("q143_hybrid_rrf").run(spark, sfDir).collect()
+    assert(reg.length == 10)
+    reg.foreach { r =>
+      val (l, s2, rrf) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(l >= 0 && l <= 20 && s2 >= 0 && s2 <= 20 && (l > 0 || s2 > 0))
+      val want = (if (l > 0) 100000L / (60 + l) else 0L) +
+        (if (s2 > 0) 100000L / (60 + s2) else 0L)
+      assert(rrf == want, s"doc ${r.getLong(0)}: rrf $rrf != $want")
+    }
+  }
 }
