@@ -489,16 +489,15 @@ object SelectionOps {
     // the rebuilt λ + selection over the arrived corpus is bit-identical
     // to q141 — both share one oracle, which therefore checks the
     // cross-batch count handoff AND the totals derivation end to end.
+    // (no session-wide shuffle-partition clamp here, unlike the store
+    // streams: the per-batch partials already run under BatchTuning's
+    // narrow shuffles inside foreachBatch, and the final scoring pass is
+    // corpus-wide — clamping it to 8 partitions cost 7x at sf10,
+    // measured 120s -> see PLANS round-9 close-out)
     Q(
       "q142_dsir_stream",
-      (s, d) => {
-        val prev = s.conf.get("spark.sql.shuffle.partitions")
-        try {
-          s.conf.set("spark.sql.shuffle.partitions", "8")
-          graft.streaming.DsirStream.runOn(
-            s, Tables.documents(s, d), nSplits = 2, dim = 256, k = 50)
-        } finally s.conf.set("spark.sql.shuffle.partitions", prev)
-      },
+      (s, d) => graft.streaming.DsirStream.runOn(
+        s, Tables.documents(s, d), nSplits = 2, dim = 256, k = 50),
       Some(dsirSql(dim = 256, k = 50))),
 
     // ---- Conditional-model quality gate (bigram-LM perplexity) -----------
@@ -1303,8 +1302,14 @@ object SelectionOps {
                               dim: Int): org.apache.spark.sql.DataFrame = {
     import graft.functions.PolyHash.polyHash
     docs
+      // evaluate the target predicate in its OWN projection, below the
+      // explode: in one select with the generator, non-generator
+      // expressions land ABOVE the Generate and run per TOKEN — for an
+      // array_contains(split(text)) predicate that re-split every doc
+      // once per token (measured 57s/batch vs 3s at sf10)
       .select(col("doc_id").cast("long").as("doc_id"),
-        isTarget.as("tgt"),
+        isTarget.as("tgt"), col("text"))
+      .select(col("doc_id"), col("tgt"),
         explode_outer(split(col("text"), " ")).as("tok"))
       .where(col("tok").isNotNull && col("tok") =!= "")
       .select(col("doc_id"), col("tgt"),

@@ -93,9 +93,10 @@ object TrainingOps {
 
   /** The bm25Scored chain in DuckDB form, ending at CTE `bm`
     * (doc_id, n_terms, dl, score) — shared by q88's and q143's oracles
-    * so the replay can't drift from one copy to the other.
+    * so the replay can't drift from one copy to the other; takes the
+    * same term list bm25Scored does for the same reason.
     */
-  private def bm25Ctes: String =
+  private def bm25Ctes(terms: Seq[String]): String =
     s"""toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
        |              FROM documents),
        |tk AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
@@ -103,7 +104,8 @@ object TrainingOps {
        |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
        |              CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
        |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
-       |       FROM tk WHERE tok IN ('dup', 'spark') GROUP BY doc_id, tok),
+       |       FROM tk WHERE tok IN (${terms.map(t => s"'$t'").mkString(", ")})
+       |       GROUP BY doc_id, tok),
        |dfc AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok),
        |idf AS (SELECT tok, 1 + (CASE $ladderSql ELSE 0 END) AS w,
        |          sum_dl, n_docs
@@ -432,7 +434,7 @@ object TrainingOps {
           .limit(15)
           .select(col("doc_id"), col("n_terms"), col("dl"), col("score"))
       },
-      Some(s"""WITH $bm25Ctes
+      Some(s"""WITH ${bm25Ctes(Seq("dup", "spark"))}
              |SELECT doc_id, n_terms, dl, score
              |FROM bm
              |ORDER BY score DESC, doc_id
@@ -477,7 +479,7 @@ object TrainingOps {
           .select(col("vec_id").cast("long").as("doc_id"), col("sem_rank"))
         rrfFuse(lex, sem, n = 10)
       },
-      Some(s"""WITH $bm25Ctes,
+      Some(s"""WITH ${bm25Ctes(Seq("dup", "spark"))},
              |lexr AS (SELECT doc_id, CAST(rn AS BIGINT) AS lex_rank FROM (
              |           SELECT doc_id, row_number() OVER
              |             (ORDER BY score DESC, doc_id) AS rn FROM bm)

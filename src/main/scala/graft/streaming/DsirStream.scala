@@ -28,6 +28,24 @@ object DsirStream {
           dim: Int, k: Int): DataFrame = {
     val cntDir = s"$workDir/dsir_counts"
     def isTarget = array_contains(split(col("text"), " "), "dup")
+    // The staged arrival is nSplits SINGLE parquet files (one per
+    // micro-batch, mtime-ordered); at the default 128MB split size a
+    // 350MB file scans as ~3 tasks, which starved both the per-batch
+    // count pass and the final corpus scoring at sf10 (measured 133s vs
+    // the batch q141's 17s). Narrow the file-split size for the run so
+    // scan parallelism matches the corpus, not the file count; restored
+    // in the finally. Production streams arrive as many files and don't
+    // need this.
+    val MaxSplit = "spark.sql.files.maxPartitionBytes"
+    val split0 = spark.conf.get(MaxSplit)
+    spark.conf.set(MaxSplit, (16L * 1024 * 1024).toString)
+    try runInner(spark, inputDir, workDir, cntDir, dim, k, isTarget)
+    finally spark.conf.set(MaxSplit, split0)
+  }
+
+  private def runInner(spark: SparkSession, inputDir: String,
+                       workDir: String, cntDir: String, dim: Int, k: Int,
+                       isTarget: => org.apache.spark.sql.Column): DataFrame = {
     val stream = spark.readStream
       .schema(spark.read.parquet(inputDir).schema)
       .option("maxFilesPerTrigger", "1")
