@@ -271,6 +271,123 @@ object SelectionOps {
       : org.apache.spark.sql.DataFrame =
     assignTwoLevel(e, adaptiveK(e.count()))
 
+  /** Exact k-smallest-by-hash selection PER GROUP without a per-group
+    * corpus rank window (q144/q145's selection core). A window
+    * partitioned by group sorts each group's FULL membership through
+    * one task — at 100 TB a group is a language (corpus/5 rows), so
+    * that shape is a straggler by construction. This is the classic
+    * distributed order-statistic instead:
+    *
+    *  1. bucket every row by `h DIV bw` (nb near-uniform hash ranges —
+    *     h is an affine map of a unique id mod a prime, so buckets are
+    *     balanced) and count per (grp, bucket): a map-side-combined
+    *     aggregate yielding ≤ grp·nb tiny rows;
+    *  2. a prefix sum over that TINY frame (window over counts, not
+    *     rows) finds, per group, which buckets are wholly inside the
+    *     target and the single PARTIAL bucket straddling it;
+    *  3. whole buckets pass with a semi-join flag; only the partial
+    *     bucket's ~n_grp/nb rows see a rank window, partitioned by
+    *     (grp, bucket) — bounded work regardless of group skew.
+    *
+    * The result is exactly the target_n smallest-h rows of each group
+    * (h injective within a group ⇒ total order, no ties), identical to
+    * the rank-window form the DuckDB oracles use. `rows` must carry
+    * (grp, id, h); `targets` (grp, target_n). The bucket-meta join is
+    * left to AQE: tiny at test SFs (broadcast), still fine shuffled —
+    * keys are (grp, bucket), finer than any group skew.
+    */
+  private[graft] def exactKPerGroup(rows: org.apache.spark.sql.DataFrame,
+                                    targets: org.apache.spark.sql.DataFrame,
+                                    nb: Long = 1024L)
+      : org.apache.spark.sql.DataFrame = {
+    val bw = graft.functions.TextHash.Mod / nb + 1L
+    val withB = rows.withColumn("gb", expr(s"h DIV ${bw}L"))
+    val bcounts = withB.groupBy(col("grp"), col("gb"))
+      .agg(count(lit(1)).as("c"))
+    val meta = bcounts
+      .withColumn("cum_before", coalesce(
+        sum(col("c")).over(Window.partitionBy(col("grp")).orderBy(col("gb"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .join(targets, Seq("grp"))
+      .where(col("cum_before") < col("target_n"))
+      .select(col("grp"), col("gb"),
+        (col("cum_before") + col("c") <= col("target_n")).as("keep_all"),
+        (col("target_n") - col("cum_before")).as("k_in"))
+    val joined = withB.join(meta, Seq("grp", "gb"))
+    val full = joined.where(col("keep_all")).select(col("grp"), col("id"), col("h"))
+    val partial = joined.where(!col("keep_all"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("grp"), col("gb")).orderBy(col("h"))))
+      .where(col("rn") <= col("k_in"))
+      .select(col("grp"), col("id"), col("h"))
+    full.unionByName(partial)
+  }
+
+  /** q144's document spine: (doc_id, lang, h) with the affine
+    * selection hash (injective mod the prime ⇒ a total per-language
+    * order with no ties).
+    */
+  private[graft] def mixDocs(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs.select(col("doc_id"), col("lang"))
+      .withColumn("h",
+        (lit(982451653L) * col("doc_id") + lit(12345L)) % lit(1000000007L))
+
+  /** q144's α=0.5 temperature apportionment over per-language counts
+    * (lang, n_lang) — shared with the q146 stream twin, whose folded
+    * per-batch partials equal these counts exactly (counts are
+    * additive). Weight w = isqrt(n) (floor(sqrt) + integer correction,
+    * identical in both engines below 2^50); budget N DIV 2 split by
+    * largest remainder with a lang tie-break; targets capped at group
+    * size. All arithmetic on the ≤|langs|-row frame.
+    */
+  private[graft] def mixtureTargets(counts: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val w = counts
+      .withColumn("s0", floor(sqrt(col("n_lang").cast("double"))).cast("long"))
+      .withColumn("w",
+        when((col("s0") + 1) * (col("s0") + 1) <= col("n_lang"), col("s0") + 1)
+          .when(col("s0") * col("s0") > col("n_lang"), col("s0") - 1)
+          .otherwise(col("s0")))
+      .drop("s0")
+    val tot = w.agg(sum(col("n_lang")).as("n_total"),
+                    sum(col("w")).as("w_total"))
+    w.crossJoin(broadcast(tot))
+      .withColumn("k_budget", expr("n_total DIV 2"))
+      .withColumn("qnum", col("k_budget") * col("w"))
+      .withColumn("base", expr("qnum DIV w_total"))
+      .withColumn("rem", expr("qnum % w_total"))
+      .withColumn("base_sum", sum(col("base")).over(Window.partitionBy()))
+      .withColumn("rk",
+        row_number().over(Window.orderBy(col("rem").desc, col("lang"))))
+      .withColumn("target_n", least(
+        col("base") +
+          when(col("rk") <= col("k_budget") - col("base_sum"), 1L)
+            .otherwise(0L),
+        col("n_lang")))
+  }
+
+  /** q144's election + summary: the target_n smallest-hash docs per
+    * language via [[exactKPerGroup]], summarized as one row per
+    * language pinning the selected SET (count + id/hash sums).
+    */
+  private[graft] def mixtureResult(docs: org.apache.spark.sql.DataFrame,
+                                   ap: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val sel = exactKPerGroup(
+      docs.select(col("lang").as("grp"), col("doc_id").as("id"), col("h")),
+      ap.select(col("lang").as("grp"), col("target_n")))
+    val kept = sel.groupBy(col("grp")).agg(
+      count(lit(1)).as("n_kept"),
+      sum(col("id")).as("sel_sum_id"),
+      sum(col("h")).as("sel_sum_h"))
+    ap.join(kept, ap("lang") === kept("grp"), "left")
+      .na.fill(0L, Seq("n_kept", "sel_sum_id", "sel_sum_h"))
+      .select(col("lang"), col("n_lang"), col("w"), col("target_n"),
+              col("n_kept"), col("sel_sum_id"), col("sel_sum_h"))
+      .orderBy(col("lang"))
+  }
+
   /** q107's tokenized form: (doc_id, toks) with empty tokens dropped. */
   private[graft] def tokedDocs(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame =
@@ -1120,8 +1237,167 @@ object SelectionOps {
             s, Tables.documents(s, d), nSplits = 2)
         } finally s.conf.set("spark.sql.shuffle.partitions", prev)
       },
-      Some(bigramSql))
+      Some(bigramSql)),
+
+    // ---- Temperature-based mixture sampling (mT5/XLM-R α-sampling) -------
+    // Multilingual pretraining corpora are head-heavy; sampling
+    // languages proportionally starves the tail, uniformly overfits
+    // it. The standard fix (mT5, XLM-R) samples language l with
+    // probability ∝ p_l^α, α≈0.5 — here integer-exact: weight
+    // w_l = isqrt(n_l) (⌊√·⌋ via floor(sqrt)+correction, identical in
+    // both engines for n < 2^50), budget K = N DIV 2 apportioned by
+    // LARGEST REMAINDER (base = K·w DIV ΣW, the Σbase..K shortfall goes
+    // to the largest K·w MOD ΣW, lang tie-break) — exact counts, not
+    // q93's rate-threshold binomial draw: this is the EXACT-COUNT rung
+    // of the mixture surface (a trainer asks for "exactly 43 French
+    // docs", not "each French doc with p=0.67"). Selection is the
+    // target_n smallest-affine-hash docs per language via
+    // exactKPerGroup — deterministic, partition-invariant, and never a
+    // per-language corpus sort. Output pins the selected SET per
+    // language (count + id/hash sums), not just its size.
+    Q(
+      "q144_temperature_mix",
+      (s, d) => {
+        val docs = mixDocs(Tables.documents(s, d))
+        val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+        mixtureResult(docs, mixtureTargets(counts))
+      },
+      Some(mixtureSql)),
+
+    // ---- Temperature mixture over a document stream (q144's twin) --------
+    // The q109/q122/q138/q142 additive-statistics pattern: per-language
+    // counts are the ONLY corpus statistic the apportionment needs and
+    // they are purely additive, so each micro-batch appends a
+    // ≤|langs|-row partial and the folded store equals the batch counts
+    // exactly — weights, targets, and the smallest-hash election over
+    // the arrived corpus are bit-identical to q144 (shared oracle).
+    Q(
+      "q146_mixture_stream",
+      (s, d) => {
+        val prev = s.conf.get("spark.sql.shuffle.partitions")
+        try {
+          s.conf.set("spark.sql.shuffle.partitions", "8")
+          graft.streaming.MixtureStream.runOn(
+            s, Tables.documents(s, d), nSplits = 2)
+        } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      },
+      Some(mixtureSql)),
+
+    // ---- Cluster-balanced downsampling (SemDeDup/DataComp curation) ------
+    // Embedding-cluster the corpus, then CAP each cluster's membership
+    // — the diversity-balancing stage the SemDeDup/DataComp pipelines
+    // run after dedup: big clusters are near-redundant topic masses,
+    // so capping them re-weights the corpus toward coverage without
+    // touching small clusters. Assignment is q106's adaptive-k
+    // two-level seeded quantizer (same oracle CTE chain); the cap is
+    // HALF THE MEAN cell size (N DIV k DIV 2, data-derived in both
+    // engines) so above-average cells genuinely downsample; member
+    // election per cluster is the target_n smallest-affine-hash
+    // vectors via exactKPerGroup (no per-cluster rank window — cluster
+    // sizes are exactly the skewed quantity being fixed). Output pins
+    // per-cluster membership (count + id sum) under the cap.
+    Q(
+      "q145_cluster_balance",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+          .withColumn("n2", squaredNorm(col("v")))
+        val n = e.count()
+        val k = adaptiveK(n)
+        val cap = math.max(1L, n / k / 2)
+        val members = assignTwoLevel(e, k)
+          .withColumn("h",
+            (lit(982451653L) * col("vec_id") + lit(12345L)) % lit(1000000007L))
+          .select(col("bucket").cast("long").as("grp"),
+                  col("vec_id").as("id"), col("h"))
+          .localCheckpoint()
+        val sizes = members.groupBy(col("grp"))
+          .agg(count(lit(1)).as("n_members"))
+        val targets = sizes
+          .withColumn("target_n", least(col("n_members"), lit(cap)))
+        val sel = exactKPerGroup(members,
+          targets.select(col("grp"), col("target_n")))
+        val kept = sel.groupBy(col("grp")).agg(
+          count(lit(1)).as("n_kept"), sum(col("id")).as("sel_sum_id"))
+        targets.join(kept, Seq("grp"), "left")
+          .na.fill(0L, Seq("n_kept", "sel_sum_id"))
+          .select(col("grp").as("bucket"), col("n_members"), col("target_n"),
+                  col("n_kept"), col("sel_sum_id"))
+          .orderBy(col("bucket"))
+      },
+      Some(s"""$twoLevelAsgCtes,
+             |m AS (SELECT CAST(bucket AS BIGINT) AS grp, vec_id,
+             |        (982451653 * vec_id + 12345) % 1000000007 AS h
+             |      FROM asg),
+             |sz AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_members
+             |       FROM m GROUP BY grp),
+             |cp AS (SELECT GREATEST(1,
+             |         ((SELECT count(*) FROM e) // (SELECT k FROM kk)) // 2)
+             |         AS cap),
+             |tg AS (SELECT grp, n_members,
+             |         LEAST(n_members, cap) AS target_n FROM sz, cp),
+             |r AS (SELECT m.*,
+             |        row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+             |      FROM m),
+             |sel AS (SELECT r.grp, CAST(count(*) AS BIGINT) AS n_kept,
+             |          CAST(sum(r.vec_id) AS BIGINT) AS sel_sum_id
+             |        FROM r JOIN tg ON r.grp = tg.grp
+             |        WHERE r.rn <= tg.target_n GROUP BY r.grp)
+             |SELECT tg.grp AS bucket, tg.n_members, tg.target_n,
+             |       CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept,
+             |       CAST(coalesce(sel_sum_id, 0) AS BIGINT) AS sel_sum_id
+             |FROM tg LEFT JOIN sel ON tg.grp = sel.grp
+             |ORDER BY bucket""".stripMargin))
   )
+
+  /** q144's oracle, shared with its streaming twin q146: DuckDB
+    * replays the isqrt weights, largest-remainder apportionment,
+    * per-language smallest-hash election (as a rank window — the
+    * replay path for exactKPerGroup's distributed order statistic),
+    * and the selected-set sums. Valid for q146 because per-language
+    * counts are additive — the folded per-batch partials equal the
+    * batch corpus counts exactly.
+    */
+  private[graft] def mixtureSql: String =
+    """WITH d AS (SELECT doc_id, lang,
+      |         (982451653 * doc_id + 12345) % 1000000007 AS h
+      |       FROM documents),
+      |c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_lang
+      |      FROM d GROUP BY lang),
+      |w AS (SELECT lang, n_lang,
+      |        CASE WHEN (s0+1)*(s0+1) <= n_lang THEN s0+1
+      |             WHEN s0*s0 > n_lang THEN s0-1 ELSE s0 END AS w
+      |      FROM (SELECT lang, n_lang,
+      |              CAST(floor(sqrt(n_lang::DOUBLE)) AS BIGINT) AS s0
+      |            FROM c)),
+      |t AS (SELECT CAST(sum(n_lang) AS BIGINT) AS n_total,
+      |             CAST(sum(w) AS BIGINT) AS w_total FROM w),
+      |a AS (SELECT lang, n_lang, w, n_total // 2 AS k_budget,
+      |             (n_total // 2) * w AS qnum, w_total FROM w, t),
+      |b AS (SELECT *, qnum // w_total AS base, qnum % w_total AS rem
+      |      FROM a),
+      |ap AS (SELECT *, sum(base) OVER () AS base_sum,
+      |              row_number() OVER (ORDER BY rem DESC, lang) AS rk
+      |       FROM b),
+      |tg AS (SELECT lang, n_lang, w,
+      |         LEAST(base + CASE WHEN rk <= k_budget - base_sum
+      |                           THEN 1 ELSE 0 END,
+      |               n_lang) AS target_n
+      |       FROM ap),
+      |r AS (SELECT d.lang, d.doc_id, d.h,
+      |        row_number() OVER (PARTITION BY d.lang ORDER BY d.h) AS rn
+      |      FROM d),
+      |sel AS (SELECT r.lang, CAST(count(*) AS BIGINT) AS n_kept,
+      |          CAST(sum(r.doc_id) AS BIGINT) AS sel_sum_id,
+      |          CAST(sum(r.h) AS BIGINT) AS sel_sum_h
+      |        FROM r JOIN tg ON r.lang = tg.lang
+      |        WHERE r.rn <= tg.target_n GROUP BY r.lang)
+      |SELECT tg.lang, tg.n_lang, tg.w, tg.target_n,
+      |       CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept,
+      |       CAST(coalesce(sel_sum_id, 0) AS BIGINT) AS sel_sum_id,
+      |       CAST(coalesce(sel_sum_h, 0) AS BIGINT) AS sel_sum_h
+      |FROM tg LEFT JOIN sel ON tg.lang = sel.lang
+      |ORDER BY tg.lang""".stripMargin
 
   /** q107's oracle, shared with its streaming twin q122: DuckDB
     * re-trains the bigram LM and re-scores every document. Valid for

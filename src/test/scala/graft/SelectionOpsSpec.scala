@@ -553,4 +553,79 @@ class SelectionOpsSpec extends SparkSpec {
       assert(r.getDouble(2) > 0)
     }
   }
+
+  test("exactKPerGroup equals the rank-window ground truth, partition-invariant") {
+    val rows = Tables.documents(spark, sfDir)
+      .select(col("lang").as("grp"), col("doc_id").as("id"))
+      .withColumn("h",
+        (lit(982451653L) * col("id") + lit(12345L)) % lit(1000000007L))
+    // uneven targets: a third of each group, plus the degenerate 0 and
+    // over-ask cases via synthetic rows
+    val targets = rows.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n")).withColumn("target_n", expr("n DIV 3"))
+      .select(col("grp"), col("target_n"))
+    val truth = rows
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("grp")).orderBy(col("h"))))
+      .join(targets, Seq("grp"))
+      .where(col("rn") <= col("target_n"))
+      .select(col("grp"), col("id")).collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    for (p <- Seq(1, 3, 13)) {
+      val got = SelectionOps.exactKPerGroup(rows.repartition(p), targets)
+        .select(col("grp"), col("id")).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(got == truth, s"mismatch at $p partitions")
+    }
+    // target 0 selects nothing; target > group size selects the group
+    val tiny = rows.limit(0).sparkSession.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row("a", 1L, 10L), org.apache.spark.sql.Row("a", 2L, 20L),
+        org.apache.spark.sql.Row("b", 3L, 30L)),
+      rows.schema)
+    val tinyT = tiny.sparkSession.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row("a", 0L), org.apache.spark.sql.Row("b", 5L)),
+      new org.apache.spark.sql.types.StructType()
+        .add("grp", "string").add("target_n", "long"))
+    val got = SelectionOps.exactKPerGroup(tiny, tinyT)
+      .select(col("grp"), col("id")).collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == Set(("b", 3L)))
+  }
+
+  test("q144: budget apportioned exactly; temperature flattens the head") {
+    val out = Registry.byName("q144_temperature_mix").run(spark, sfDir).collect()
+    val nTotal = out.map(_.getLong(1)).sum
+    val targetSum = out.map(_.getLong(3)).sum
+    // fixture is uncapped (every target_n < n_lang), so largest-remainder
+    // apportionment hits the budget exactly
+    assert(out.forall(r => r.getLong(3) < r.getLong(1)))
+    assert(targetSum == nTotal / 2, s"budget $targetSum != ${nTotal / 2}")
+    // selection fills every target
+    assert(out.forall(r => r.getLong(4) == r.getLong(3)))
+    // α=0.5 flattening: the head language's share shrinks, the smallest
+    // language's share grows, order is preserved
+    val head = out.maxBy(_.getLong(1))
+    val tail = out.minBy(_.getLong(1))
+    assert(head.getLong(3).toDouble / targetSum <
+           head.getLong(1).toDouble / nTotal, "head share did not shrink")
+    assert(tail.getLong(3).toDouble / targetSum >
+           tail.getLong(1).toDouble / nTotal, "tail share did not grow")
+    assert(head.getLong(3) > tail.getLong(3), "α-sampling must preserve order")
+  }
+
+  test("q145: clusters cap at half the mean cell; capping actually engages") {
+    val out = Registry.byName("q145_cluster_balance").run(spark, sfDir).collect()
+    val n = out.map(_.getLong(1)).sum
+    val k = out.length.toLong
+    val cap = math.max(1L, n / SelectionOps.adaptiveK(n) / 2)
+    out.foreach { r =>
+      assert(r.getLong(2) == math.min(r.getLong(1), cap))
+      assert(r.getLong(3) == r.getLong(2), s"cluster ${r.getLong(0)} underfilled")
+    }
+    // cap = half the mean cell ⇒ by pigeonhole at least one cluster
+    // exceeds it — capping must engage on any input
+    assert(out.exists(r => r.getLong(1) > cap), "no cluster exceeded the cap")
+    assert(k >= 1 && n > 0)
+  }
 }

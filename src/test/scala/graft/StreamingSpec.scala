@@ -344,4 +344,20 @@ class StreamingSpec extends SparkSpec {
     assert(streamed(3) == batch && batch.nonEmpty)
     assert(streamed(2) == batch)
   }
+
+  test("q146 streaming mixture sampling equals the batch q144 row for row") {
+    // the apportionment's only corpus statistic is the per-language
+    // count — purely additive — so the folded per-batch partials must
+    // rebuild the exact batch counts; equality with q144 proves the
+    // count handoff, the isqrt/largest-remainder arithmetic, and the
+    // smallest-hash election over the arrived corpus end to end
+    val batch = Registry.byName("q144_temperature_mix").run(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    def streamed(nSplits: Int): Seq[Seq[Any]] =
+      graft.streaming.MixtureStream
+        .runOn(spark, Tables.documents(spark, sfDir), nSplits)
+        .collect().map(_.toSeq).toSeq
+    assert(streamed(3) == batch && batch.nonEmpty)
+    assert(streamed(2) == batch)
+  }
 }
