@@ -1283,6 +1283,78 @@ object SelectionOps {
       },
       Some(mixtureSql)),
 
+    // ---- Nested ablation rungs (scaling-law data subsets) ----------------
+    // Scaling-law experiments train on 1% / 10% / 100% of the corpus
+    // and need the subsets NESTED (each rung a strict superset of the
+    // last) and deterministic, or the data mix becomes a confound
+    // between rungs. Membership is h < P·pct with ONE affine doc hash,
+    // so nesting holds by construction — no sampling state, no seed
+    // files, any executor can answer "is this doc in the 10% rung" from
+    // the row alone. Per rung the report carries the budget numbers an
+    // ablation needs: docs, exact-unique docs (how dup rate grows with
+    // scale — the effective-dataset-size question), whitespace tokens,
+    // and the planted dup-family count. ONE corpus scan: conditional
+    // aggregates per rung (map-side combined; the three count-distincts
+    // share one Expand over a narrow (h, text) projection), then a
+    // 3-row stack of the single result row.
+    Q(
+      "q147_ablation_rungs",
+      (s, d) => {
+        val t1 = 1000000007L / 100
+        val t10 = 1000000007L / 10
+        val docs = Tables.documents(s, d)
+          .withColumn("h",
+            (lit(982451653L) * col("doc_id") + lit(12345L)) % lit(1000000007L))
+          .withColumn("n_tok",
+            size(filter(split(col("text"), " "), t => t =!= "")).cast("long"))
+          .withColumn("dupfam",
+            array_contains(split(col("text"), " "), "dup"))
+        def rung(t: Long, tag: String) = Seq(
+          sum(when(col("h") < t, 1L).otherwise(0L)).as(s"d_$tag"),
+          countDistinct(when(col("h") < t, col("text"))).as(s"u_$tag"),
+          sum(when(col("h") < t, col("n_tok")).otherwise(0L)).as(s"t_$tag"),
+          sum(when(col("h") < t && col("dupfam"), 1L).otherwise(0L))
+            .as(s"f_$tag"))
+        val aggs = rung(t1, "1") ++ rung(t10, "10") ++
+          rung(1000000007L, "100")
+        docs.agg(aggs.head, aggs.tail: _*)
+          .selectExpr("""stack(3,
+            1L, d_1, u_1, t_1, f_1,
+            10L, d_10, u_10, t_10, f_10,
+            100L, d_100, u_100, t_100, f_100)
+            as (pct, n_docs, n_uniq_docs, n_tokens, n_dup_family)""")
+          .orderBy(col("pct"))
+      },
+      Some(s"""WITH d AS (SELECT doc_id, text,
+             |         (982451653 * doc_id + 12345) % 1000000007 AS h,
+             |         len(list_filter(string_split(text, ' '),
+             |             x -> x <> '')) AS n_tok,
+             |         list_contains(string_split(text, ' '), 'dup') AS dupfam
+             |       FROM documents),
+             |a AS (SELECT
+             |  CAST(sum(CASE WHEN h < ${1000000007L / 100} THEN 1 ELSE 0 END) AS BIGINT) AS d_1,
+             |  CAST(count(DISTINCT CASE WHEN h < ${1000000007L / 100} THEN text END) AS BIGINT) AS u_1,
+             |  CAST(sum(CASE WHEN h < ${1000000007L / 100} THEN n_tok ELSE 0 END) AS BIGINT) AS t_1,
+             |  CAST(sum(CASE WHEN h < ${1000000007L / 100} AND dupfam THEN 1 ELSE 0 END) AS BIGINT) AS f_1,
+             |  CAST(sum(CASE WHEN h < ${1000000007L / 10} THEN 1 ELSE 0 END) AS BIGINT) AS d_10,
+             |  CAST(count(DISTINCT CASE WHEN h < ${1000000007L / 10} THEN text END) AS BIGINT) AS u_10,
+             |  CAST(sum(CASE WHEN h < ${1000000007L / 10} THEN n_tok ELSE 0 END) AS BIGINT) AS t_10,
+             |  CAST(sum(CASE WHEN h < ${1000000007L / 10} AND dupfam THEN 1 ELSE 0 END) AS BIGINT) AS f_10,
+             |  CAST(count(*) AS BIGINT) AS d_100,
+             |  CAST(count(DISTINCT text) AS BIGINT) AS u_100,
+             |  CAST(sum(n_tok) AS BIGINT) AS t_100,
+             |  CAST(sum(CASE WHEN dupfam THEN 1 ELSE 0 END) AS BIGINT) AS f_100
+             |FROM d)
+             |SELECT * FROM (
+             |  SELECT CAST(1 AS BIGINT) AS pct, d_1 AS n_docs,
+             |         u_1 AS n_uniq_docs, t_1 AS n_tokens,
+             |         f_1 AS n_dup_family FROM a
+             |  UNION ALL
+             |  SELECT 10, d_10, u_10, t_10, f_10 FROM a
+             |  UNION ALL
+             |  SELECT 100, d_100, u_100, t_100, f_100 FROM a)
+             |ORDER BY pct""".stripMargin)),
+
     // ---- Cluster-balanced downsampling (SemDeDup/DataComp curation) ------
     // Embedding-cluster the corpus, then CAP each cluster's membership
     // — the diversity-balancing stage the SemDeDup/DataComp pipelines

@@ -628,4 +628,26 @@ class SelectionOpsSpec extends SparkSpec {
     assert(out.exists(r => r.getLong(1) > cap), "no cluster exceeded the cap")
     assert(k >= 1 && n > 0)
   }
+
+  test("q147: ablation rungs are nested, deterministic, and full at 100%") {
+    val out = Registry.byName("q147_ablation_rungs").run(spark, sfDir).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 10L, 100L))
+    val byPct = out.map(r => r.getLong(0) -> r).toMap
+    // every metric is monotone across rungs (nesting by construction)
+    for (i <- 1 to 4) {
+      assert(byPct(1L).getLong(i) <= byPct(10L).getLong(i), s"col $i 1->10")
+      assert(byPct(10L).getLong(i) <= byPct(100L).getLong(i), s"col $i 10->100")
+    }
+    val n = Tables.documents(spark, sfDir).count()
+    assert(byPct(100L).getLong(1) == n, "100% rung must be the corpus")
+    val d10 = byPct(10L).getLong(1)
+    assert(d10 > n / 50 && d10 < n * 3 / 10, s"10% rung $d10 of $n")
+    // subset property recomputed from row-level membership
+    val docs = Tables.documents(spark, sfDir)
+      .withColumn("h",
+        (lit(982451653L) * col("doc_id") + lit(12345L)) % lit(1000000007L))
+    val in1 = docs.where(col("h") < 1000000007L / 100).select("doc_id")
+    val in10 = docs.where(col("h") < 1000000007L / 10).select("doc_id")
+    assert(in1.exceptAll(in10).count() == 0, "1% rung must nest inside 10%")
+  }
 }
