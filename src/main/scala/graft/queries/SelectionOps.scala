@@ -388,6 +388,33 @@ object SelectionOps {
       .orderBy(col("lang"))
   }
 
+  /** q149's profile over any (text) frame — factored so the spec can
+    * drive planted 2-4× and 5+× repeats through every bucket branch
+    * (the driver fixture has exact repeats only from sf0.1 up).
+    */
+  private[graft] def repetitionProfile(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val g = docs
+      .withColumn("n_tok",
+        size(filter(split(col("text"), " "), t => t =!= "")).cast("long"))
+      .groupBy(col("text"))
+      .agg(count(lit(1)).as("m"), first(col("n_tok")).as("n_tok"))
+      .withColumn("bucket",
+        when(col("m") === 1, "1")
+          .when(col("m") <= 4, "2-4").otherwise("5+"))
+    val tot = g.agg(sum(col("m") * col("n_tok")).as("tot_tokens"))
+    g.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_texts"),
+           sum(col("m")).as("n_docs"),
+           sum(col("m") * col("n_tok")).as("n_tokens"))
+      .crossJoin(broadcast(tot))
+      .withColumn("permille_tokens",
+        expr("(1000 * n_tokens) DIV tot_tokens"))
+      .select(col("bucket"), col("n_texts"), col("n_docs"),
+              col("n_tokens"), col("permille_tokens"))
+      .orderBy(col("bucket"))
+  }
+
   /** q107's tokenized form: (doc_id, toks) with empty tokens dropped. */
   private[graft] def tokedDocs(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame =
@@ -1354,6 +1381,38 @@ object SelectionOps {
              |  UNION ALL
              |  SELECT 100, d_100, u_100, t_100, f_100 FROM a)
              |ORDER BY pct""".stripMargin)),
+
+    // ---- Repetition profile (data-constrained scaling accounting) --------
+    // "How much of the corpus is repeats?" broken down the way the
+    // repeat-data scaling analyses need it (Muennighoff et al. 2023:
+    // value decays with epoch count — so budget decisions need token
+    // mass BY multiplicity, not just a dup count): group exact texts,
+    // bucket by copy count (1 / 2-4 / 5+), and report per bucket the
+    // distinct texts, doc copies, token mass, and its integer permille
+    // of the corpus. One exact-dedup-shaped shuffle (groupBy text —
+    // at 100 TB the group key is the text hash + length, same shape as
+    // q15/q30) followed by a 3-row aggregate. The planted near-dup
+    // family is NEAR-dup (salted tokens), so it lands in multiplicity
+    // 1 here — exact repeats are the separate, cheaper axis this
+    // report isolates.
+    Q(
+      "q149_repetition_profile",
+      (s, d) => repetitionProfile(Tables.documents(s, d)),
+      Some("""WITH g AS (
+             |  SELECT text, CAST(count(*) AS BIGINT) AS m,
+             |         CAST(len(list_filter(string_split(text, ' '),
+             |              x -> x <> '')) AS BIGINT) AS n_tok
+             |  FROM documents GROUP BY text),
+             |b AS (SELECT CASE WHEN m = 1 THEN '1'
+             |             WHEN m <= 4 THEN '2-4' ELSE '5+' END AS bucket,
+             |        m, n_tok FROM g),
+             |t AS (SELECT CAST(sum(m * n_tok) AS BIGINT) AS tot_tokens FROM b)
+             |SELECT bucket, CAST(count(*) AS BIGINT) AS n_texts,
+             |       CAST(sum(m) AS BIGINT) AS n_docs,
+             |       CAST(sum(m * n_tok) AS BIGINT) AS n_tokens,
+             |       (1000 * CAST(sum(m * n_tok) AS BIGINT)) // tot_tokens
+             |         AS permille_tokens
+             |FROM b, t GROUP BY bucket, tot_tokens ORDER BY bucket""".stripMargin)),
 
     // ---- Cluster-balanced downsampling (SemDeDup/DataComp curation) ------
     // Embedding-cluster the corpus, then CAP each cluster's membership

@@ -1073,6 +1073,39 @@ object TrainingOps {
       },
       Some(bpeEncodeSql(6))),
 
+    // ---- Per-language tokenizer fertility (multilingual tokenizer QA) ----
+    // Fertility = subword pieces per word, THE standard per-language
+    // tokenizer-quality metric (a tokenizer trained on a head-heavy mix
+    // over-segments tail languages — high fertility = more compute per
+    // sentence and shorter effective context for that language; the
+    // mT5/NLLB reports track exactly this number). Reuses the q99/q102
+    // machinery end to end: learn the 6 BPE merges on the corpus,
+    // encode every document (narrow memoized mapPartitions, merge list
+    // in the task closure), then ONE per-language aggregate of piece
+    // and word counts — fertility as the integer permille
+    // (1000·Σpieces) DIV Σwords, engine-exact both sides. Scale shape:
+    // the q102 encode pass plus a languages-sized aggregate; nothing
+    // new moves.
+    Q(
+      "q148_tokenizer_fertility",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val words = docs
+          .select(explode_outer(split(col("text"), " ")).as("w"))
+          .where(col("w").isNotNull && col("w") =!= "")
+        val merges = graft.ops.BpeTrain.learnMerges(s, words, k = 6)
+          .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+        graft.ops.BpeTrain.encode(s, docs, merges)
+          .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+          .groupBy(col("lang"))
+          .agg(sum(col("n_words")).as("n_words"),
+               sum(col("n_pieces")).as("n_pieces"))
+          .withColumn("fert_permille",
+            expr("(1000 * n_pieces) DIV n_words"))
+          .orderBy(col("lang"))
+      },
+      Some(fertilitySql(6))),
+
     // ---- Model-based quality gate (unigram-LM "perplexity" filter) -------
     // The CCNet/LLaMA-pipeline filter family: score each document under
     // a language model TRAINED ON THE CORPUS and gate on the score.
@@ -1148,6 +1181,32 @@ object TrainingOps {
        |SELECT doc_id, n_words, n_pieces, ${ph("stream")} AS pieces_hash
        |FROM per ORDER BY doc_id""".stripMargin
   }
+
+  /** q148's oracle: the q99/q102 shared round CTEs re-learn the merges
+    * and re-encode every word type; per-language word/piece sums and
+    * the integer-permille fertility replay exactly.
+    */
+  private def fertilitySql(k: Int): String =
+    s"""WITH RECURSIVE
+       |${bpeRoundsCtes(k)},
+       |docw AS (
+       |  SELECT doc_id, words[i] AS word
+       |  FROM (SELECT doc_id,
+       |          list_filter(string_split(text, ' '), x -> x <> '') AS words
+       |        FROM documents) w1,
+       |       unnest(range(1, len(words) + 1)) AS u(i)),
+       |enc AS (SELECT d.doc_id, s.syms
+       |        FROM docw d JOIN s$k s ON d.word = s.word),
+       |per AS (SELECT e.doc_id, d2.lang,
+       |          CAST(count(*) AS BIGINT) AS n_words,
+       |          CAST(sum(len(syms)) AS BIGINT) AS n_pieces
+       |        FROM enc e JOIN documents d2 ON e.doc_id = d2.doc_id
+       |        GROUP BY e.doc_id, d2.lang)
+       |SELECT lang, CAST(sum(n_words) AS BIGINT) AS n_words,
+       |       CAST(sum(n_pieces) AS BIGINT) AS n_pieces,
+       |       (1000 * CAST(sum(n_pieces) AS BIGINT)) //
+       |         CAST(sum(n_words) AS BIGINT) AS fert_permille
+       |FROM per GROUP BY lang ORDER BY lang""".stripMargin
 
   /** q100's oracle: replay gram hashing (dual-base polynomial), the
     * first-occurrence election, the covered-position union, and the

@@ -650,4 +650,23 @@ class SelectionOpsSpec extends SparkSpec {
     val in10 = docs.where(col("h") < 1000000007L / 10).select("doc_id")
     assert(in1.exceptAll(in10).count() == 0, "1% rung must nest inside 10%")
   }
+
+  test("q149: hand-checked repetition buckets on planted repeats") {
+    import spark.implicits._
+    // "a b" x1 (2 toks), "c d e" x3 (3 toks each), "f" x6 (1 tok each)
+    val docs = (Seq("a b") ++ Seq.fill(3)("c d e") ++ Seq.fill(6)("f"))
+      .toDF("text")
+    val out = SelectionOps.repetitionProfile(docs).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // totals: 2 + 9 + 6 = 17 tokens
+    assert(out("1") == ((1L, 1L, 2L, 1000L * 2 / 17)))
+    assert(out("2-4") == ((1L, 3L, 9L, 1000L * 9 / 17)))
+    assert(out("5+") == ((1L, 6L, 6L, 1000L * 6 / 17)))
+    // fixture at this SF has no exact repeats: one honest '1' row
+    val fix = Registry.byName("q149_repetition_profile").run(spark, sfDir)
+      .collect()
+    assert(fix.map(_.getString(0)).toSet == Set("1"))
+    assert(fix(0).getLong(4) == 1000L)
+  }
 }

@@ -684,4 +684,22 @@ class TrainingOpsSpec extends SparkSpec {
       assert(rrf == want, s"doc ${r.getLong(0)}: rrf $rrf != $want")
     }
   }
+
+  test("q148: per-language fertility >= 1 piece/word; sums reconcile with q102") {
+    val out = Registry.byName("q148_tokenizer_fertility").run(spark, sfDir)
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1),
+        s"${r.getString(0)}: pieces < words")
+      assert(r.getLong(3) >= 1000L, s"${r.getString(0)}: fertility < 1000")
+      assert(r.getLong(3) ==
+        1000L * r.getLong(2) / r.getLong(1), "permille arithmetic")
+    }
+    // language sums must reconcile with q102's per-doc encode totals
+    val q102 = Registry.byName("q102_bpe_encode").run(spark, sfDir)
+      .agg(sum(col("n_words")), sum(col("n_pieces"))).collect()(0)
+    assert(out.map(_.getLong(1)).sum == q102.getLong(0))
+    assert(out.map(_.getLong(2)).sum == q102.getLong(1))
+  }
 }
