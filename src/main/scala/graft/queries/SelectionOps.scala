@@ -415,6 +415,87 @@ object SelectionOps {
       .orderBy(col("bucket"))
   }
 
+  /** q150's rank-split over a scored frame (doc_id, n_tok, sum_bits,
+    * cb): exact equal-count terciles by (cb, doc_id) order. The per-cb
+    * count frame is bounded by the score domain (cb ≤ 100·62), so the
+    * boundary election is a driver fold over ≤6201 rows — the
+    * documented bounded-collect pattern — and only the boundary
+    * scores' rows are rank-windowed.
+    */
+  private[graft] def pplTerciles(scored: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val sc = scored.localCheckpoint()
+    val counts = sc.groupBy(col("cb")).agg(count(lit(1)).as("c"))
+      .orderBy(col("cb")).collect()
+    val n = counts.map(_.getLong(1)).sum
+    // boundary k: the k-th ranked row sits at the first cb whose
+    // cumulative count reaches k; kin = rank within that cb's rows
+    def boundary(k: Long): (Long, Long) =
+      if (k <= 0) (Long.MinValue, 0L)
+      else {
+        var cum = 0L
+        var res = (Long.MaxValue, 0L)
+        var found = false
+        for (r <- counts if !found) {
+          val cb = r.getLong(0); val c = r.getLong(1)
+          if (cum < k && k <= cum + c) { res = (cb, k - cum); found = true }
+          cum += c
+        }
+        res
+      }
+    val (sb1, kin1) = boundary(n / 3)
+    val (sb2, kin2) = boundary(2 * n / 3)
+    val bnd = sc.where(col("cb") === sb1 || col("cb") === sb2)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("cb")).orderBy(col("doc_id"))))
+      .select(col("doc_id"), col("rn"))
+    val below1 = when(col("cb") < sb1, true)
+      .when(col("cb") === sb1, col("rn") <= kin1).otherwise(false)
+    val below2 = when(col("cb") < sb2, true)
+      .when(col("cb") === sb2, col("rn") <= kin2).otherwise(false)
+    sc.join(bnd, Seq("doc_id"), "left")
+      .withColumn("tercile",
+        lit(2L) - below2.cast("long") - below1.cast("long"))
+      .groupBy(col("tercile"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_tok")).as("n_toks"),
+           sum(col("sum_bits")).as("sum_bits"),
+           min(col("cb")).as("min_cb"),
+           max(col("cb")).as("max_cb"))
+      .orderBy(col("tercile"))
+  }
+
+  /** q150's oracle: DuckDB re-trains the ladder LM (q105's CTEs),
+    * re-scores in centibits, and replays the rank split as one
+    * row_number over (cb, doc_id) — the replay form of the engine's
+    * bounded-count order statistic.
+    */
+  private[graft] def tercilesSql: String =
+    s"""WITH w AS (SELECT doc_id,
+       |         unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+       |       FROM documents),
+       |f AS (SELECT tok, CAST(count(*) AS BIGINT) AS freq FROM w GROUP BY tok),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM w),
+       |b AS (SELECT tok, CAST(CASE ${TextOps.log2Ladder.reverse.map(p =>
+              s"WHEN nt // freq >= ${1L << p} THEN $p").mkString(" ")}
+       |        ELSE 0 END AS BIGINT) AS bits FROM f, n),
+       |s AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+       |        CAST(sum(bits) AS BIGINT) AS sum_bits
+       |      FROM w JOIN b USING (tok) GROUP BY doc_id),
+       |sc AS (SELECT doc_id, n_tok, sum_bits,
+       |         (100 * sum_bits) // n_tok AS cb FROM s),
+       |r AS (SELECT *, row_number() OVER (ORDER BY cb, doc_id) AS rk,
+       |        count(*) OVER () AS nn FROM sc)
+       |SELECT CAST(CASE WHEN rk <= nn // 3 THEN 0
+       |            WHEN rk <= (2 * nn) // 3 THEN 1 ELSE 2 END AS BIGINT)
+       |         AS tercile,
+       |       CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(n_tok) AS BIGINT) AS n_toks,
+       |       CAST(sum(sum_bits) AS BIGINT) AS sum_bits,
+       |       CAST(min(cb) AS BIGINT) AS min_cb,
+       |       CAST(max(cb) AS BIGINT) AS max_cb
+       |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** q107's tokenized form: (doc_id, toks) with empty tokens dropped. */
   private[graft] def tokedDocs(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame =
@@ -1413,6 +1494,44 @@ object SelectionOps {
              |       (1000 * CAST(sum(m * n_tok) AS BIGINT)) // tot_tokens
              |         AS permille_tokens
              |FROM b, t GROUP BY bucket, tot_tokens ORDER BY bucket""".stripMargin)),
+
+    // ---- Perplexity terciles (CCNet head/middle/tail bucketing) ----------
+    // CCNet's signature move: score every doc under the corpus LM, then
+    // split the corpus into equal-count head/middle/tail by perplexity
+    // RANK (not a fixed threshold — q105's gate is the threshold form),
+    // and keep/weight buckets differently downstream. Integer-exact
+    // here: per-doc mean centibits cb = (100·Σbits) DIV n_tok under
+    // q105's unigram ladder LM, ranked by (cb, doc_id); boundaries at
+    // N DIV 3 and 2N DIV 3. The split is an exact corpus ORDER
+    // STATISTIC computed without a global sort: per-cb counts (the
+    // score domain is ladder-bounded — cb ≤ 6200, so the count frame is
+    // TINY), a driver fold over that bounded frame elects each
+    // boundary's (score, within-score rank) — the q99/q110 bounded
+    // driver-step pattern — and only the ≤2 boundary scores' rows see a
+    // rank window (partitioned by cb, sized corpus/|score spread|,
+    // documented); every other row classifies scan-side by cb alone.
+    Q(
+      "q150_ppl_terciles",
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"),
+            explode_outer(split(col("text"), " ")).as("tok"))
+          .where(col("tok").isNotNull && col("tok") =!= "")
+        val freqs = toks.groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+        val nTot = toks.agg(count(lit(1)).as("nt"))
+        val r = expr("nt div freq")
+        val lm = freqs.crossJoin(broadcast(nTot))
+          .withColumn("bits", TextOps.log2Ladder.foldLeft(lit(0L)) {
+            case (acc, p) => when(r >= (1L << p), lit(p.toLong)).otherwise(acc)
+          })
+          .select(col("tok"), col("bits"))
+        val scored = toks.join(broadcast(lm), Seq("tok"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tok"), sum(col("bits")).as("sum_bits"))
+          .withColumn("cb", expr("(100 * sum_bits) DIV n_tok"))
+        pplTerciles(scored)
+      },
+      Some(tercilesSql)),
 
     // ---- Cluster-balanced downsampling (SemDeDup/DataComp curation) ------
     // Embedding-cluster the corpus, then CAP each cluster's membership

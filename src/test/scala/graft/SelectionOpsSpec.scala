@@ -669,4 +669,43 @@ class SelectionOpsSpec extends SparkSpec {
     assert(fix.map(_.getString(0)).toSet == Set("1"))
     assert(fix(0).getLong(4) == 1000L)
   }
+
+  test("q150: exact equal-count terciles, score-ordered, rank-window ground truth") {
+    val out = Registry.byName("q150_ppl_terciles").run(spark, sfDir).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L))
+    val n = out.map(_.getLong(1)).sum
+    // exact rank split: |t0| = n/3, |t1| = 2n/3 - n/3, |t2| = rest
+    assert(out(0).getLong(1) == n / 3)
+    assert(out(1).getLong(1) == 2 * n / 3 - n / 3)
+    assert(out(2).getLong(1) == n - 2 * n / 3)
+    // ranking by cb means bucket score ranges are ordered (ties may
+    // straddle a boundary, so <=)
+    assert(out(0).getLong(5) <= out(1).getLong(4), "t0.max_cb > t1.min_cb")
+    assert(out(1).getLong(5) <= out(2).getLong(4), "t1.max_cb > t2.min_cb")
+    // pplTerciles equals the rank-window ground truth on a synthetic
+    // frame with heavy score ties across several partition counts
+    import spark.implicits._
+    val scored = (1L to 200L).map(i => (i, 10L + i % 7, (i % 5) * 10L))
+      .toDF("doc_id", "n_tok", "sum_bits")
+      .withColumn("cb", expr("(100 * sum_bits) DIV n_tok"))
+    val truth = {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("cb"), col("doc_id"))
+      val nn = 200L
+      scored.withColumn("rk", row_number().over(w))
+        .withColumn("tercile",
+          when(col("rk") <= nn / 3, 0L)
+            .when(col("rk") <= 2 * nn / 3, 1L).otherwise(2L))
+        .groupBy(col("tercile"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_toks"),
+             sum(col("sum_bits")).as("sum_bits"),
+             min(col("cb")).as("min_cb"), max(col("cb")).as("max_cb"))
+        .orderBy(col("tercile")).collect().map(_.toSeq).toSeq
+    }
+    for (p <- Seq(1, 3, 13)) {
+      val got = SelectionOps.pplTerciles(scored.repartition(p))
+        .collect().map(_.toSeq).toSeq
+      assert(got == truth, s"mismatch at $p partitions")
+    }
+  }
 }
