@@ -304,6 +304,9 @@ object SelectionOps {
     val withB = rows.withColumn("gb", expr(s"h DIV ${bw}L"))
     val bcounts = withB.groupBy(col("grp"), col("gb"))
       .agg(count(lit(1)).as("c"))
+    // meta is TINY (≤ groups·nb rows) but derives from a corpus
+    // aggregate; it feeds both union branches below, so checkpoint it
+    // once instead of re-running the bucket-count scan per consumer
     val meta = bcounts
       .withColumn("cum_before", coalesce(
         sum(col("c")).over(Window.partitionBy(col("grp")).orderBy(col("gb"))
@@ -313,6 +316,7 @@ object SelectionOps {
       .select(col("grp"), col("gb"),
         (col("cum_before") + col("c") <= col("target_n")).as("keep_all"),
         (col("target_n") - col("cum_before")).as("k_in"))
+      .localCheckpoint()
     val joined = withB.join(meta, Seq("grp", "gb"))
     val full = joined.where(col("keep_all")).select(col("grp"), col("id"), col("h"))
     val partial = joined.where(!col("keep_all"))
@@ -374,14 +378,18 @@ object SelectionOps {
   private[graft] def mixtureResult(docs: org.apache.spark.sql.DataFrame,
                                    ap: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
+    // ap is ≤|langs| rows but derives from a corpus count aggregate and
+    // feeds two consumers (the election targets + the output spine) —
+    // checkpoint the tiny frame so the corpus agg runs once
+    val apC = ap.localCheckpoint()
     val sel = exactKPerGroup(
       docs.select(col("lang").as("grp"), col("doc_id").as("id"), col("h")),
-      ap.select(col("lang").as("grp"), col("target_n")))
+      apC.select(col("lang").as("grp"), col("target_n")))
     val kept = sel.groupBy(col("grp")).agg(
       count(lit(1)).as("n_kept"),
       sum(col("id")).as("sel_sum_id"),
       sum(col("h")).as("sel_sum_h"))
-    ap.join(kept, ap("lang") === kept("grp"), "left")
+    apC.join(kept, apC("lang") === kept("grp"), "left")
       .na.fill(0L, Seq("n_kept", "sel_sum_id", "sel_sum_h"))
       .select(col("lang"), col("n_lang"), col("w"), col("target_n"),
               col("n_kept"), col("sel_sum_id"), col("sel_sum_h"))
