@@ -423,6 +423,59 @@ object SelectionOps {
       .orderBy(col("bucket"))
   }
 
+  /** q152's per-label purity report over any assignment: contingency
+    * (bucket, label) counts, per-bucket majority by the deterministic
+    * (count DESC, label ASC) argmax — min(struct(-cnt, label)), the
+    * q12/q137 associative-argmax pattern, so no window — then per-label
+    * totals with labels that win no cluster kept at zero. Factored so
+    * the spec can drive a planted tie through the argmax.
+    */
+  private[graft] def clusterPurity(asg: org.apache.spark.sql.DataFrame,
+                                   lab: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val cont = asg.join(lab, Seq("vec_id"))
+      .groupBy(col("bucket"), col("label"))
+      .agg(count(lit(1)).as("cnt"))
+    val winners = cont.groupBy(col("bucket"))
+      .agg(min(struct((-col("cnt")).as("nc"), col("label").as("l"))).as("w"))
+      .select(col("bucket"), col("w.l").as("label"), (-col("w.nc")).as("wcnt"))
+    val byLabel = winners.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_clusters_won"), sum(col("wcnt")).as("n_majority"))
+    lab.groupBy(col("label")).agg(count(lit(1)).as("n_vecs"))
+      .join(byLabel, Seq("label"), "left")
+      .na.fill(0L, Seq("n_clusters_won", "n_majority"))
+      .withColumn("permille_captured", expr("(1000 * n_majority) DIV n_vecs"))
+      .select(col("label"), col("n_vecs"), col("n_clusters_won"),
+        col("n_majority"), col("permille_captured"))
+      .orderBy(col("label"))
+  }
+
+  /** The q105-family unigram-ladder-LM document scoring shared by
+    * q150 (rank split) and q151 (threshold sweep): one tokenize pass,
+    * a broadcast LM (vocab-bounded), and a per-doc aggregate to
+    * (doc_id, n_tok, sum_bits, cb) with integer mean centibits
+    * cb = (100·Σbits) DIV n_tok. Oracle twin: [[lmScoredCtes]].
+    */
+  private[graft] def lmScored(docsDf: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val toks = docsDf
+      .select(col("doc_id"),
+        explode_outer(split(col("text"), " ")).as("tok"))
+      .where(col("tok").isNotNull && col("tok") =!= "")
+    val freqs = toks.groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+    val nTot = toks.agg(count(lit(1)).as("nt"))
+    val r = expr("nt div freq")
+    val lm = freqs.crossJoin(broadcast(nTot))
+      .withColumn("bits", TextOps.log2Ladder.foldLeft(lit(0L)) {
+        case (acc, p) => when(r >= (1L << p), lit(p.toLong)).otherwise(acc)
+      })
+      .select(col("tok"), col("bits"))
+    toks.join(broadcast(lm), Seq("tok"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"), sum(col("bits")).as("sum_bits"))
+      .withColumn("cb", expr("(100 * sum_bits) DIV n_tok"))
+  }
+
   /** q150's rank-split over a scored frame (doc_id, n_tok, sum_bits,
     * cb): exact equal-count terciles by (cb, doc_id) order. The per-cb
     * count frame is bounded by the score domain (cb ≤ 100·62), so the
@@ -473,12 +526,12 @@ object SelectionOps {
       .orderBy(col("tercile"))
   }
 
-  /** q150's oracle: DuckDB re-trains the ladder LM (q105's CTEs),
-    * re-scores in centibits, and replays the rank split as one
-    * row_number over (cb, doc_id) — the replay form of the engine's
-    * bounded-count order statistic.
+  /** The q105/q150/q151 unigram-ladder-LM scoring CTEs: every doc's
+    * token count, summed ladder bits, and integer mean centibits
+    * `cb = (100·Σbits) DIV n_tok` — the shared prefix of every oracle
+    * that replays [[lmScored]].
     */
-  private[graft] def tercilesSql: String =
+  private[graft] def lmScoredCtes: String =
     s"""WITH w AS (SELECT doc_id,
        |         unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
        |       FROM documents),
@@ -491,7 +544,15 @@ object SelectionOps {
        |        CAST(sum(bits) AS BIGINT) AS sum_bits
        |      FROM w JOIN b USING (tok) GROUP BY doc_id),
        |sc AS (SELECT doc_id, n_tok, sum_bits,
-       |         (100 * sum_bits) // n_tok AS cb FROM s),
+       |         (100 * sum_bits) // n_tok AS cb FROM s)""".stripMargin
+
+  /** q150's oracle: DuckDB re-trains the ladder LM (q105's CTEs),
+    * re-scores in centibits, and replays the rank split as one
+    * row_number over (cb, doc_id) — the replay form of the engine's
+    * bounded-count order statistic.
+    */
+  private[graft] def tercilesSql: String =
+    s"""$lmScoredCtes,
        |r AS (SELECT *, row_number() OVER (ORDER BY cb, doc_id) AS rk,
        |        count(*) OVER () AS nn FROM sc)
        |SELECT CAST(CASE WHEN rk <= nn // 3 THEN 0
@@ -1520,26 +1581,148 @@ object SelectionOps {
     // documented); every other row classifies scan-side by cb alone.
     Q(
       "q150_ppl_terciles",
-      (s, d) => {
-        val toks = Tables.documents(s, d)
-          .select(col("doc_id"),
-            explode_outer(split(col("text"), " ")).as("tok"))
-          .where(col("tok").isNotNull && col("tok") =!= "")
-        val freqs = toks.groupBy(col("tok")).agg(count(lit(1)).as("freq"))
-        val nTot = toks.agg(count(lit(1)).as("nt"))
-        val r = expr("nt div freq")
-        val lm = freqs.crossJoin(broadcast(nTot))
-          .withColumn("bits", TextOps.log2Ladder.foldLeft(lit(0L)) {
-            case (acc, p) => when(r >= (1L << p), lit(p.toLong)).otherwise(acc)
-          })
-          .select(col("tok"), col("bits"))
-        val scored = toks.join(broadcast(lm), Seq("tok"))
-          .groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_tok"), sum(col("bits")).as("sum_bits"))
-          .withColumn("cb", expr("(100 * sum_bits) DIV n_tok"))
-        pplTerciles(scored)
-      },
+      (s, d) => pplTerciles(lmScored(Tables.documents(s, d))),
       Some(tercilesSql)),
+
+    // ---- Quality-gate operating curve in ONE corpus scan (q151) ----------
+    // Choosing a perplexity-filter operating point (CCNet/Gopher-style)
+    // needs kept-docs/kept-tokens at MANY candidate thresholds — and at
+    // 100 TB you cannot afford one corpus pass per candidate. The whole
+    // sweep costs exactly one q105-shaped scan here: score docs under
+    // the shared unigram ladder LM, bucket the integer centibit score
+    // at step 5 (the ladder bounds cb ≤ 6200, so the per-bucket count
+    // frame is ≤ 1240 rows), and a prefix-sum window over that TINY frame
+    // turns the histogram into the full cumulative operating curve —
+    // every threshold's exact doc/token retention, plus its permille of
+    // the corpus. The orderBy-only window sees ≤ 1240 rows by
+    // construction (score-domain-bounded, same argument as q150's
+    // boundary election), never corpus rows.
+    Q(
+      "q151_gate_sweep",
+      (s, d) => {
+        val g = lmScored(Tables.documents(s, d))
+          .withColumn("tb", expr("cb DIV 5"))
+          .groupBy(col("tb"))
+          .agg(count(lit(1)).as("nd"), sum(col("n_tok")).as("ntk"))
+        val tot = g.agg(sum(col("nd")).as("td"), sum(col("ntk")).as("tt"))
+        val w = Window.orderBy(col("tb"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        g.crossJoin(broadcast(tot))
+          .withColumn("n_docs_kept", sum(col("nd")).over(w))
+          .withColumn("n_toks_kept", sum(col("ntk")).over(w))
+          .select(((col("tb") + 1) * 5).as("threshold_cb"),
+            col("n_docs_kept"), col("n_toks_kept"),
+            expr("(1000 * n_docs_kept) DIV td").as("permille_docs"),
+            expr("(1000 * n_toks_kept) DIV tt").as("permille_toks"))
+          .orderBy(col("threshold_cb"))
+      },
+      Some(s"""$lmScoredCtes,
+             |g AS (SELECT cb // 5 AS tb, CAST(count(*) AS BIGINT) AS nd,
+             |        CAST(sum(n_tok) AS BIGINT) AS ntk FROM sc GROUP BY 1),
+             |t AS (SELECT CAST(sum(nd) AS BIGINT) AS td,
+             |        CAST(sum(ntk) AS BIGINT) AS tt FROM g)
+             |SELECT (tb + 1) * 5 AS threshold_cb,
+             |       CAST(sum(nd) OVER w AS BIGINT) AS n_docs_kept,
+             |       CAST(sum(ntk) OVER w AS BIGINT) AS n_toks_kept,
+             |       (1000 * CAST(sum(nd) OVER w AS BIGINT)) // td AS permille_docs,
+             |       (1000 * CAST(sum(ntk) OVER w AS BIGINT)) // tt AS permille_toks
+             |FROM g, t
+             |WINDOW w AS (ORDER BY tb ROWS UNBOUNDED PRECEDING)
+             |ORDER BY threshold_cb""".stripMargin)),
+
+    // ---- Cluster↔label agreement: purity of the semantic index (q152) ----
+    // The q106/q145 machinery is only as good as its clusters, and the
+    // embeddings table carries ground-truth labels — so evaluate the
+    // two-level quantizer's cells against them (the standard external
+    // clustering metric: purity = Σ_cells max-label mass / N, reported
+    // per label). Per-cell majority is a deterministic argmax
+    // (count DESC, label ASC — min(struct(-cnt, label)), the q12/q137
+    // pattern), so DuckDB replays it as a rank window. Physical shape:
+    // assignment is the zero-exchange broadcast fold (assignTwoLevel);
+    // the contingency shuffles ≤ k·|labels| combined rows; everything
+    // after is tiny-frame arithmetic. Output: one row per label with
+    // its vector mass, clusters won, captured-majority mass, and
+    // captured permille.
+    Q(
+      "q152_cluster_purity",
+      (s, d) => {
+        val eRaw = Tables.embeddings(s, d)
+        val e = eRaw
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+          .withColumn("n2", squaredNorm(col("v")))
+        val asg = q106Assign(e).select(col("vec_id"), col("bucket"))
+        val lab = eRaw.select(col("vec_id"), col("label").cast("long").as("label"))
+        clusterPurity(asg, lab)
+      },
+      Some(s"""$twoLevelAsgCtes,
+             |lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
+             |cont AS (SELECT a.bucket, l.label, CAST(count(*) AS BIGINT) AS cnt
+             |         FROM asg a JOIN lab l USING (vec_id) GROUP BY 1, 2),
+             |win AS (SELECT bucket, label, cnt FROM (
+             |          SELECT bucket, label, cnt,
+             |                 row_number() OVER (PARTITION BY bucket
+             |                   ORDER BY cnt DESC, label) AS rn FROM cont)
+             |        WHERE rn = 1),
+             |byl AS (SELECT label, CAST(count(*) AS BIGINT) AS n_clusters_won,
+             |               CAST(sum(cnt) AS BIGINT) AS n_majority FROM win GROUP BY 1),
+             |tot AS (SELECT label, CAST(count(*) AS BIGINT) AS n_vecs
+             |        FROM lab GROUP BY 1)
+             |SELECT tot.label, n_vecs,
+             |       CAST(coalesce(n_clusters_won, 0) AS BIGINT) AS n_clusters_won,
+             |       CAST(coalesce(n_majority, 0) AS BIGINT) AS n_majority,
+             |       (1000 * CAST(coalesce(n_majority, 0) AS BIGINT)) // n_vecs
+             |         AS permille_captured
+             |FROM tot LEFT JOIN byl ON tot.label = byl.label
+             |ORDER BY tot.label""".stripMargin)),
+
+    // ---- Epoch/repeat budgeting per language (q154) -----------------------
+    // Data-constrained scaling (Muennighoff et al. 2023): when the
+    // token budget exceeds what a slice can supply, the slice REPEATS —
+    // and budgets must be planned in epochs-per-slice, not one corpus
+    // dup count. Uniform per-language target (the multilingual
+    // up-sampling case where tail languages repeat hardest):
+    // budget B = 4·corpus tokens, target = B DIV n_langs, epochs =
+    // ⌈target / n_lang⌉ capped at 4, served = min(target, 4·n_lang),
+    // shortfall = the unservable remainder. All integer and exact in
+    // both engines. One corpus scan (token counts per lang, map-side
+    // combined) then ≤|langs|-row arithmetic; the fixture engages every
+    // branch (en: epochs 2, no shortfall; tail langs: cap + shortfall).
+    Q(
+      "q154_epoch_budget",
+      (s, d) => {
+        val tokCounts = Tables.documents(s, d)
+          .select(col("lang"),
+            size(filter(split(col("text"), " "), t => t =!= ""))
+              .cast("long").as("n_tok"))
+          .groupBy(col("lang")).agg(sum(col("n_tok")).as("n_toks"))
+        val tot = tokCounts.agg(sum(col("n_toks")).as("tot"),
+          count(lit(1)).as("nl"))
+        tokCounts.crossJoin(broadcast(tot))
+          .withColumn("target_toks", expr("(4 * tot) DIV nl"))
+          .withColumn("epochs",
+            least(expr("(target_toks + n_toks - 1) DIV n_toks"), lit(4L)))
+          .withColumn("n_served", least(col("target_toks"), expr("4 * n_toks")))
+          .withColumn("shortfall", col("target_toks") - col("n_served"))
+          .select(col("lang"), col("n_toks"), col("target_toks"),
+            col("epochs"), col("n_served"), col("shortfall"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH tk AS (SELECT lang,
+             |          CAST(len(list_filter(string_split(text, ' '),
+             |               x -> x <> '')) AS BIGINT) AS n_tok
+             |        FROM documents),
+             |g AS (SELECT lang, CAST(sum(n_tok) AS BIGINT) AS n_toks
+             |      FROM tk GROUP BY 1),
+             |t AS (SELECT CAST(sum(n_toks) AS BIGINT) AS tot,
+             |        CAST(count(*) AS BIGINT) AS nl FROM g)
+             |SELECT lang, n_toks,
+             |       (4 * tot) // nl AS target_toks,
+             |       LEAST((((4 * tot) // nl) + n_toks - 1) // n_toks,
+             |             CAST(4 AS BIGINT)) AS epochs,
+             |       LEAST((4 * tot) // nl, 4 * n_toks) AS n_served,
+             |       ((4 * tot) // nl) - LEAST((4 * tot) // nl, 4 * n_toks)
+             |         AS shortfall
+             |FROM g, t ORDER BY lang""".stripMargin)),
 
     // ---- Cluster-balanced downsampling (SemDeDup/DataComp curation) ------
     // Embedding-cluster the corpus, then CAP each cluster's membership

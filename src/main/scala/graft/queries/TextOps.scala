@@ -347,6 +347,56 @@ object TextOps {
        |          WHERE round(cmn * 1.0 / (sa.n + sb.n - cmn), 4) >= 0.8)""".stripMargin
   }
 
+  /** q70's banded-MinHash near-dup pair pipeline, factored so q153 can
+    * aggregate the same pair set by source. Per-row kernels
+    * (graft.functions.ShingleKernel): each doc's distinct shingle set
+    * and its whole 32-min signature are computed in one codegen'd pass
+    * over the text — no repartition, window sort, distinct or groupBy
+    * exchange before the band join. The size guard is on the cheap
+    * token count (any doc with >= 3 tokens has >= 1 shingle), so the
+    * kernel is never evaluated inside a filter. Returns
+    * (doc_a, doc_b, jac) with doc_a < doc_b at exact Jaccard >= 0.8;
+    * oracle twin: the `pairs` CTE of [[minhashPairsCte]].
+    */
+  private[graft] def portableMinhashPairs(dd: DataFrame): DataFrame = {
+    import graft.functions.ShingleKernel.{minhashSig, shinglePacks}
+    val base = dd
+      .where(size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id"), shinglePacks(col("text")).as("packs"))
+    val sig = base.select(col("doc_id"),
+                          size(col("packs")).cast("long").as("n"),
+                          minhashSig(col("packs")).as("sig"))
+    val bandArr = array((0 until 8).map(b =>
+      struct(lit(b).as("band"), slice(col("sig"), b * 4 + 1, 4).as("key"))): _*)
+    // explode_outer, not explode: see `shingles` Scaladoc
+    val bands = sig
+      .select(col("doc_id"), col("n"), explode_outer(bandArr).as("bk"))
+      .select(col("doc_id"), col("n"),
+              col("bk.band").as("band"), col("bk.key").as("key"))
+    // shingle-set sizes ride along the band rows, so the rescore needs
+    // no extra joins against a sizes frame
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("da"), col("x.n").as("na"),
+              col("y.doc_id").as("db"), col("y.n").as("nb"))
+      .distinct()
+    val sh = base
+      .select(col("doc_id"), explode_outer(col("packs")).as("pack"))
+      .where(col("pack").isNotNull)
+    val common = cand
+      .join(sh.as("sa"), col("da") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("db") === col("sb.doc_id") &&
+        col("sa.pack") === col("sb.pack"))
+      .groupBy(col("da"), col("db"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("cmn"))
+    common
+      .withColumn("jac",
+        round(col("cmn") * lit(1.0) / (col("na") + col("nb") - col("cmn")), 4))
+      .where(col("jac") >= 0.8)
+      .select(col("da").as("doc_a"), col("db").as("doc_b"), col("jac"))
+  }
+
   private def minhashOracleSql: String =
     s"""$minhashPairsCte
        |SELECT da AS doc_a, db AS doc_b, jac
@@ -581,53 +631,50 @@ object TextOps {
     // just its output shape.
     Q(
       "q70_docs_minhash_portable",
-      (s, d) => {
-        import graft.functions.ShingleKernel.{minhashSig, shinglePacks}
-        // Per-row kernels (graft.functions.ShingleKernel): each doc's
-        // distinct shingle set and its whole 32-min signature are computed
-        // in one codegen'd pass over the text — no repartition, window
-        // sort, distinct or groupBy exchange before the band join. The
-        // size guard is on the cheap token count (any doc with >= 3
-        // tokens has >= 1 shingle), so the kernel is never evaluated
-        // inside a filter.
-        val base = docs(s, d)
-          .where(size(split(col("text"), " ")) >= 3)
-          .select(col("doc_id"), shinglePacks(col("text")).as("packs"))
-        val sig = base.select(col("doc_id"),
-                              size(col("packs")).cast("long").as("n"),
-                              minhashSig(col("packs")).as("sig"))
-        val bandArr = array((0 until 8).map(b =>
-          struct(lit(b).as("band"), slice(col("sig"), b * 4 + 1, 4).as("key"))): _*)
-        // explode_outer, not explode: see `shingles` Scaladoc
-        val bands = sig
-          .select(col("doc_id"), col("n"), explode_outer(bandArr).as("bk"))
-          .select(col("doc_id"), col("n"),
-                  col("bk.band").as("band"), col("bk.key").as("key"))
-        // shingle-set sizes ride along the band rows, so the rescore needs
-        // no extra joins against a sizes frame
-        val cand = bands.as("x").join(bands.as("y"),
-            col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
-              col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("da"), col("x.n").as("na"),
-                  col("y.doc_id").as("db"), col("y.n").as("nb"))
-          .distinct()
-        val sh = base
-          .select(col("doc_id"), explode_outer(col("packs")).as("pack"))
-          .where(col("pack").isNotNull)
-        val common = cand
-          .join(sh.as("sa"), col("da") === col("sa.doc_id"))
-          .join(sh.as("sb"), col("db") === col("sb.doc_id") &&
-            col("sa.pack") === col("sb.pack"))
-          .groupBy(col("da"), col("db"), col("na"), col("nb"))
-          .agg(count(lit(1)).as("cmn"))
-        common
-          .withColumn("jac",
-            round(col("cmn") * lit(1.0) / (col("na") + col("nb") - col("cmn")), 4))
-          .where(col("jac") >= 0.8)
-          .select(col("da").as("doc_a"), col("db").as("doc_b"), col("jac"))
-          .orderBy(col("doc_a"), col("doc_b"))
-      },
+      (s, d) => portableMinhashPairs(docs(s, d))
+        .orderBy(col("doc_a"), col("doc_b")),
       Some(minhashOracleSql)),
+
+    // ---- Cross-source duplication matrix (q153) ---------------------------
+    // WHERE the near-dups come from: the q70 pair set aggregated by
+    // unordered source pair — the curation diagnostic that tells you
+    // which feeds mirror each other (same-source mass = internal
+    // boilerplate; cross-source mass = syndication/mirroring, the
+    // thing you fix by dropping a whole feed rather than pair-by-pair
+    // dedup). Source pair is canonicalized least/greatest so the
+    // matrix is one triangle; min/max of the 4-dp-rounded Jaccard are
+    // order-independent, so both engines agree exactly. Physical
+    // shape: the LSH pair machinery unchanged (banded, never
+    // all-pairs), two doc_id joins to recover sources (at corpus
+    // scale: pairs ≪ docs, so AQE broadcasts the pair side), then a
+    // ≤|sources|² aggregate.
+    Q(
+      "q153_cross_source_dups",
+      (s, d) => {
+        val dd = docs(s, d)
+        val src = dd.select(col("doc_id"), col("source"))
+        portableMinhashPairs(dd)
+          .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")),
+            Seq("doc_a"))
+          .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")),
+            Seq("doc_b"))
+          .select(least(col("sa"), col("sb")).as("source_a"),
+            greatest(col("sa"), col("sb")).as("source_b"), col("jac"))
+          .groupBy(col("source_a"), col("source_b"))
+          .agg(count(lit(1)).as("n_pairs"),
+            min(col("jac")).as("min_jac"), max(col("jac")).as("max_jac"))
+          .orderBy(col("source_a"), col("source_b"))
+      },
+      Some(s"""$minhashPairsCte
+             |SELECT least(sa.source, sb.source) AS source_a,
+             |       greatest(sa.source, sb.source) AS source_b,
+             |       CAST(count(*) AS BIGINT) AS n_pairs,
+             |       min(jac) AS min_jac, max(jac) AS max_jac
+             |FROM pairs
+             |JOIN documents sa ON pairs.da = sa.doc_id
+             |JOIN documents sb ON pairs.db = sb.doc_id
+             |GROUP BY 1, 2
+             |ORDER BY 1, 2""".stripMargin)),
 
     // ---- E2/E6: incremental MinHash-LSH dedup over a document STREAM -----
     // q70's continuous-ingestion twin: per micro-batch, band signatures

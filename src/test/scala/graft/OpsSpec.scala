@@ -28,6 +28,35 @@ class OpsSpec extends SparkSpec {
     assert(port == exact, s"missed: ${exact -- port}")
   }
 
+  test("q153: source matrix accounts for every q70 pair, canonically ordered") {
+    val pairs = Registry.byName("q70_docs_minhash_portable").run(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val mat = Registry.byName("q153_cross_source_dups").run(spark, sfDir).collect()
+    // total pair mass is conserved — nothing dropped or double-counted
+    assert(mat.map(_.getLong(2)).sum == pairs.length.toLong)
+    // triangle canonicalization and bound sanity on every cell
+    for (r <- mat) {
+      assert(r.getString(0) <= r.getString(1))
+      assert(r.getDouble(3) >= 0.8 && r.getDouble(3) <= r.getDouble(4) &&
+        r.getDouble(4) <= 1.0)
+    }
+    // recompute one cell directly from the pair set + the source map
+    val src = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val cells = pairs.groupBy { case (a, b, _) =>
+      val (sa, sb) = (src(a), src(b))
+      (if (sa <= sb) sa else sb, if (sa <= sb) sb else sa)
+    }
+    val gotCells = mat.map(r => (r.getString(0), r.getString(1)) ->
+      (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(gotCells.keySet == cells.keySet)
+    for ((k, ps) <- cells) {
+      val jacs = ps.map(_._3)
+      assert(gotCells(k) == ((ps.length.toLong, jacs.min, jacs.max)), s"cell $k")
+    }
+  }
+
   test("SimHash flags the closest near-duplicates within its threshold") {
     val exact = Registry.byName("q34_docs_jaccard_pairs").run(spark, sfDir)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -708,4 +708,74 @@ class SelectionOpsSpec extends SparkSpec {
       assert(got == truth, s"mismatch at $p partitions")
     }
   }
+
+  test("q151: cumulative curve equals a direct filter at every threshold") {
+    val out = Registry.byName("q151_gate_sweep").run(spark, sfDir).collect()
+    assert(out.length > 1, "sweep degenerated to a single bucket")
+    // monotone nondecreasing in both kept measures
+    assert(out.sliding(2).forall(w =>
+      w(0).getLong(1) <= w(1).getLong(1) && w(0).getLong(2) <= w(1).getLong(2)))
+    // last row is the whole corpus
+    val scored = SelectionOps.lmScored(Tables.documents(spark, sfDir))
+      .localCheckpoint()
+    val n = scored.count()
+    assert(out.last.getLong(1) == n && out.last.getLong(3) == 1000L)
+    // each row's kept counts equal a direct cb < threshold filter —
+    // the semantic the one-scan sweep must reproduce exactly
+    for (r <- out) {
+      val t = r.getLong(0)
+      val direct = scored.where(col("cb") < t)
+        .agg(count(lit(1)), coalesce(sum(col("n_tok")), lit(0L)))
+        .collect()(0)
+      assert(r.getLong(1) == direct.getLong(0), s"docs mismatch at $t")
+      assert(r.getLong(2) == direct.getLong(1), s"toks mismatch at $t")
+    }
+  }
+
+  test("q152: purity invariants on the fixture; planted argmax tie-break") {
+    val out = Registry.byName("q152_cluster_purity").run(spark, sfDir).collect()
+    val nVecs = Tables.embeddings(spark, sfDir).count()
+    assert(out.map(_.getLong(1)).sum == nVecs)
+    // each label's captured-majority mass is bounded by its own mass
+    assert(out.forall(r => r.getLong(3) <= r.getLong(1)))
+    // every cluster elects exactly one majority label
+    val k = SelectionOps.adaptiveK(nVecs)
+    val nClusters = SelectionOps.q106Assign(embFrame)
+      .select(col("bucket")).distinct().count()
+    assert(out.map(_.getLong(2)).sum == nClusters && nClusters <= k)
+    // planted tie: cluster 0 has labels {1: 2 rows, 2: 2 rows} — the
+    // (count DESC, label ASC) argmax must elect label 1; cluster 1 is
+    // all label 2; label 3 exists but wins nothing and must still show
+    import spark.implicits._
+    val asg = Seq((0L, 0L), (1L, 0L), (2L, 0L), (3L, 0L), (4L, 1L), (5L, 1L), (6L, 1L))
+      .toDF("vec_id", "bucket")
+    val lab = Seq((0L, 1L), (1L, 1L), (2L, 2L), (3L, 2L), (4L, 2L), (5L, 2L), (6L, 3L))
+      .toDF("vec_id", "label")
+    val got = SelectionOps.clusterPurity(asg, lab).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got(1L) == ((2L, 1L, 2L, 1000L)), "tie must break to label 1")
+    assert(got(2L) == ((4L, 1L, 2L, 500L)))
+    assert(got(3L) == ((1L, 0L, 0L, 0L)), "label that wins nothing keeps a zero row")
+  }
+
+  test("q154: epoch arithmetic recomputes from the row; both branches engage") {
+    val out = Registry.byName("q154_epoch_budget").run(spark, sfDir).collect()
+    val tot = out.map(_.getLong(1)).sum
+    val nl = out.length.toLong
+    for (r <- out) {
+      val (n, target, epochs, served, shortfall) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(target == 4L * tot / nl)
+      assert(epochs == math.min((target + n - 1) / n, 4L))
+      assert(served == math.min(target, 4L * n))
+      assert(shortfall == target - served)
+    }
+    // the fixture engages both regimes: the head language serves its
+    // full target below the epoch cap; tail languages hit the cap and
+    // leave a shortfall
+    assert(out.exists(_.getLong(5) == 0L), "no fully-served language")
+    assert(out.exists(_.getLong(5) > 0L), "no capped language")
+    assert(out.forall(r => r.getLong(3) >= 1L && r.getLong(3) <= 4L))
+  }
 }
