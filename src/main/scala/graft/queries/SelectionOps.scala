@@ -484,6 +484,25 @@ object SelectionOps {
     * scores' rows are rank-windowed.
     */
   private[graft] def pplTerciles(scored: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    tercileAssign(scored)
+      .groupBy(col("tercile"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_tok")).as("n_toks"),
+           sum(col("sum_bits")).as("sum_bits"),
+           min(col("cb")).as("min_cb"),
+           max(col("cb")).as("max_cb"))
+      .orderBy(col("tercile"))
+
+  /** Per-row tercile classification for a scored frame — q150's split
+    * before its aggregate, factored so q156 can cross the bucket with
+    * other per-doc signals. Same order statistic: per-cb counts
+    * (score-domain-bounded, ≤6201 rows) elect the two boundaries in a
+    * bounded driver fold; only the ≤2 boundary scores' rows see a rank
+    * window; every other row classifies scan-side from broadcast
+    * literals.
+    */
+  private[graft] def tercileAssign(scored: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val sc = scored.localCheckpoint()
     val counts = sc.groupBy(col("cb")).agg(count(lit(1)).as("c"))
@@ -517,13 +536,7 @@ object SelectionOps {
     sc.join(bnd, Seq("doc_id"), "left")
       .withColumn("tercile",
         lit(2L) - below2.cast("long") - below1.cast("long"))
-      .groupBy(col("tercile"))
-      .agg(count(lit(1)).as("n_docs"),
-           sum(col("n_tok")).as("n_toks"),
-           sum(col("sum_bits")).as("sum_bits"),
-           min(col("cb")).as("min_cb"),
-           max(col("cb")).as("max_cb"))
-      .orderBy(col("tercile"))
+      .drop("rn")
   }
 
   /** The q105/q150/q151 unigram-ladder-LM scoring CTEs: every doc's
@@ -1723,6 +1736,124 @@ object SelectionOps {
              |       ((4 * tot) // nl) - LEAST((4 * tot) // nl, 4 * n_toks)
              |         AS shortfall
              |FROM g, t ORDER BY lang""".stripMargin)),
+
+    // ---- Quality×duplication audit (q156) ---------------------------------
+    // WHAT the perplexity filter would actually remove: the q150
+    // tercile crossed with near-dup involvement (any q70 pair
+    // membership). If the tail tercile is mostly duplicated mass, a
+    // dedup pass subsumes the filter; if it is unique content, the
+    // filter is making a real editorial call — the Gopher/RefinedWeb
+    // curation-order question, answered on data. Per (tercile,
+    // involved) cell: docs, token mass, corpus token permille. One
+    // LM-scoring scan + the LSH pair mine + a ≤6-row aggregate; the
+    // tercile is per-row from tercileAssign's bounded boundary
+    // election (no global sort).
+    Q(
+      "q156_filter_dedup_audit",
+      (s, d) => {
+        val dd = Tables.documents(s, d)
+        val terc = tercileAssign(lmScored(dd))
+        val dup = TextOps.portableMinhashPairs(dd)
+          .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+          .distinct()
+          .withColumn("isd", lit(1L))
+        val tot = terc.agg(sum(col("n_tok")).as("tt"))
+        terc.join(dup, Seq("doc_id"), "left")
+          .withColumn("is_dup", coalesce(col("isd"), lit(0L)))
+          .groupBy(col("tercile"), col("is_dup"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_toks"))
+          .crossJoin(broadcast(tot))
+          .withColumn("permille_toks", expr("(1000 * n_toks) DIV tt"))
+          .select(col("tercile"), col("is_dup"), col("n_docs"),
+            col("n_toks"), col("permille_toks"))
+          .orderBy(col("tercile"), col("is_dup"))
+      },
+      Some(TextOps.minhashPairsCte + ",\n" +
+        lmScoredCtes.replaceFirst("WITH ", "") + ",\n" +
+        s"""r AS (SELECT *, row_number() OVER (ORDER BY cb, doc_id) AS rk,
+           |        count(*) OVER () AS nn FROM sc),
+           |tt AS (SELECT CAST(sum(n_tok) AS BIGINT) AS t FROM sc),
+           |dup AS (SELECT DISTINCT doc_id FROM (
+           |          SELECT da AS doc_id FROM pairs
+           |          UNION ALL SELECT db FROM pairs)),
+           |x AS (SELECT CAST(CASE WHEN rk <= nn // 3 THEN 0
+           |             WHEN rk <= (2 * nn) // 3 THEN 1 ELSE 2 END AS BIGINT)
+           |          AS tercile,
+           |        CAST(CASE WHEN d.doc_id IS NULL THEN 0 ELSE 1 END AS BIGINT)
+           |          AS is_dup,
+           |        n_tok
+           |      FROM r LEFT JOIN dup d ON r.doc_id = d.doc_id)
+           |SELECT tercile, is_dup, CAST(count(*) AS BIGINT) AS n_docs,
+           |       CAST(sum(n_tok) AS BIGINT) AS n_toks,
+           |       (1000 * CAST(sum(n_tok) AS BIGINT)) // t AS permille_toks
+           |FROM x, tt GROUP BY 1, 2, t ORDER BY 1, 2""".stripMargin)),
+
+    // ---- PMI collocations (q157) ------------------------------------------
+    // Phrase discovery for tokenizer/vocab construction: the top-20
+    // adjacent-token pairs by pointwise mutual information — the
+    // collocation statistic (Church & Hanks 1990) that seeds
+    // multi-word vocab entries next to q99's character-level BPE.
+    // Integer-exact PMI: ratio ≈ p(xy)/(p(x)p(y)) as the two-step
+    // floored cross-multiplication ((n_xy·NU) DIV n_x)·NU DIV
+    // (n_y·NB) — written identically in both engines, so the floors
+    // agree exactly; bits via the shared log2 ladder; n_xy ≥ 5 kills
+    // the hapax noise floor. Physical shape: one bigram-count shuffle
+    // (map-side combined), two broadcast vocab joins, TakeOrdered
+    // top-20 under a total (bits, n_xy, prev, tok) order — no corpus
+    // window, nothing collects.
+    Q(
+      "q157_collocations",
+      (s, d) => {
+        val toked = tokedDocs(Tables.documents(s, d))
+        val uni = toked.select(explode(col("toks")).as("w"))
+        val uc = uni.groupBy(col("w")).agg(count(lit(1)).as("c"))
+        val nuF = uni.agg(count(lit(1)).as("nu"))
+        val bg = docBigrams(toked)
+        val bc = bg.groupBy(col("prev"), col("tok"))
+          .agg(count(lit(1)).as("n_xy"))
+          .where(col("n_xy") >= 5)
+        val nbF = bg.agg(count(lit(1)).as("nb"))
+        bc
+          .join(broadcast(uc.select(col("w").as("prev"), col("c").as("n_x"))),
+            Seq("prev"))
+          .join(broadcast(uc.select(col("w").as("tok"), col("c").as("n_y"))),
+            Seq("tok"))
+          .crossJoin(broadcast(nuF)).crossJoin(broadcast(nbF))
+          .withColumn("ratio",
+            expr("((n_xy * nu) DIV n_x) * nu DIV (n_y * nb)"))
+          .withColumn("pmi_bits", TextOps.log2Ladder.foldLeft(lit(0L)) {
+            case (acc, p) =>
+              when(col("ratio") >= (1L << p), lit(p.toLong)).otherwise(acc)
+          })
+          .select(col("prev"), col("tok"), col("n_xy"), col("n_x"),
+            col("n_y"), col("pmi_bits"))
+          .orderBy(col("pmi_bits").desc, col("n_xy").desc, col("prev"),
+            col("tok"))
+          .limit(20)
+      },
+      Some(s"""WITH td AS (SELECT doc_id,
+             |          list_filter(string_split(text, ' '), x -> x <> '') AS t
+             |        FROM documents),
+             |u AS (SELECT unnest(t) AS w FROM td),
+             |uc AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM u GROUP BY w),
+             |nuv AS (SELECT CAST(count(*) AS BIGINT) AS nu FROM u),
+             |bg AS (SELECT t[i] AS prev, t[i+1] AS tok FROM (
+             |         SELECT t, unnest(range(1, len(t))) AS i FROM td)),
+             |bc AS (SELECT prev, tok, CAST(count(*) AS BIGINT) AS n_xy
+             |       FROM bg GROUP BY 1, 2),
+             |nbv AS (SELECT CAST(count(*) AS BIGINT) AS nb FROM bg),
+             |x AS (SELECT prev, tok, n_xy, cx.c AS n_x, cy.c AS n_y,
+             |        ((n_xy * nu) // cx.c) * nu // (cy.c * nb) AS ratio
+             |      FROM bc JOIN uc cx ON bc.prev = cx.w
+             |      JOIN uc cy ON bc.tok = cy.w, nuv, nbv
+             |      WHERE n_xy >= 5)
+             |SELECT prev, tok, n_xy, n_x, n_y,
+             |       CAST(CASE ${TextOps.log2Ladder.reverse.map(p =>
+                      s"WHEN ratio >= ${1L << p} THEN $p").mkString(" ")}
+             |        ELSE 0 END AS BIGINT) AS pmi_bits
+             |FROM x
+             |ORDER BY pmi_bits DESC, n_xy DESC, prev, tok
+             |LIMIT 20""".stripMargin)),
 
     // ---- Cluster-balanced downsampling (SemDeDup/DataComp curation) ------
     // Embedding-cluster the corpus, then CAP each cluster's membership

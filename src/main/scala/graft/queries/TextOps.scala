@@ -308,7 +308,7 @@ object TextOps {
        |ORDER BY doc_id""".stripMargin
   }
 
-  private def minhashPairsCte: String = {
+  private[queries] def minhashPairsCte: String = {
     val paramValues =
       minhashParams.map { case (i, a, b) => s"($i, $a, $b)" }.mkString(", ")
     s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
@@ -675,6 +675,83 @@ object TextOps {
              |JOIN documents sb ON pairs.db = sb.doc_id
              |GROUP BY 1, 2
              |ORDER BY 1, 2""".stripMargin)),
+
+    // ---- Dedup yield forecast (q155) --------------------------------------
+    // WHAT dedup will buy before running it: near-dup components
+    // (q70 pairs → large-star/small-star CC, singletons self-labeled)
+    // histogrammed by cluster size with doc AND token mass, plus the
+    // removable mass under keep-first (everything but each cluster's
+    // min-id representative) and its corpus permille — the number that
+    // decides whether dedup is worth a 100 TB pass at all, and the
+    // capacity forecast for the q134 incremental store. One LSH pair
+    // mine + O(log diameter) CC rounds + an exact-dedup-shaped join;
+    // the histogram itself is ≤3 rows.
+    Q(
+      "q155_dedup_yield",
+      (s, d) => {
+        val dd = docs(s, d)
+        val dt = dd.select(col("doc_id"),
+          size(filter(split(col("text"), " "), t => t =!= ""))
+            .cast("long").as("n_tok"))
+        val edges = portableMinhashPairs(dd)
+          .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        val labels = graft.ops.ConnectedComponents.clusters(edges)
+          .select(col("node").as("doc_id"), col("cluster_rep"))
+        val wl = dt.join(labels, Seq("doc_id"), "left")
+          .withColumn("rep", coalesce(col("cluster_rep"), col("doc_id")))
+        val cl = wl.groupBy(col("rep"))
+          .agg(count(lit(1)).as("sz"), sum(col("n_tok")).as("toks"),
+            sum(when(col("doc_id") =!= col("rep"), col("n_tok"))
+              .otherwise(lit(0L))).as("rm_toks"))
+        val tot = dt.agg(sum(col("n_tok")).as("tt"))
+        cl.withColumn("bucket",
+            when(col("sz") === 1, "1").when(col("sz") <= 4, "2-4")
+              .otherwise("5+"))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n_clusters"), sum(col("sz")).as("n_docs"),
+            sum(col("sz") - 1).as("n_removable_docs"),
+            sum(col("rm_toks")).as("n_removable_toks"))
+          .crossJoin(broadcast(tot))
+          .withColumn("permille_removable_toks",
+            expr("(1000 * n_removable_toks) DIV tt"))
+          .select(col("bucket"), col("n_clusters"), col("n_docs"),
+            col("n_removable_docs"), col("n_removable_toks"),
+            col("permille_removable_toks"))
+          .orderBy(col("bucket"))
+      },
+      // MATERIALIZED on pairs/edges: the q60/q134 recursive-CTE
+      // inlining finding — without it the MinHash chain re-evaluates
+      // per reference and per recursion step.
+      Some(s"""${minhashPairsCte.replaceFirst("WITH ", "WITH RECURSIVE ")
+                 .replaceFirst("pairs AS \\(", "pairs AS MATERIALIZED (")},
+             |edges AS MATERIALIZED (SELECT da AS a, db AS b FROM pairs
+             |          UNION ALL SELECT db, da FROM pairs),
+             |reach(a, b) AS (SELECT a, a FROM (SELECT DISTINCT a FROM edges) t
+             |                UNION
+             |                SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+             |labeled AS (SELECT a AS doc_id, min(b) AS rep FROM reach GROUP BY a),
+             |dt AS (SELECT doc_id,
+             |         CAST(len(list_filter(string_split(text, ' '),
+             |              x -> x <> '')) AS BIGINT) AS n_tok
+             |       FROM documents),
+             |wl AS (SELECT dt.doc_id, dt.n_tok,
+             |         coalesce(l.rep, dt.doc_id) AS rep
+             |       FROM dt LEFT JOIN labeled l ON dt.doc_id = l.doc_id),
+             |cl AS (SELECT rep, CAST(count(*) AS BIGINT) AS sz,
+             |         CAST(sum(n_tok) AS BIGINT) AS toks,
+             |         CAST(sum(CASE WHEN doc_id <> rep THEN n_tok
+             |                  ELSE 0 END) AS BIGINT) AS rm_toks
+             |       FROM wl GROUP BY rep),
+             |tot AS (SELECT CAST(sum(n_tok) AS BIGINT) AS tt FROM dt)
+             |SELECT CASE WHEN sz = 1 THEN '1' WHEN sz <= 4 THEN '2-4'
+             |            ELSE '5+' END AS bucket,
+             |       CAST(count(*) AS BIGINT) AS n_clusters,
+             |       CAST(sum(sz) AS BIGINT) AS n_docs,
+             |       CAST(sum(sz - 1) AS BIGINT) AS n_removable_docs,
+             |       CAST(sum(rm_toks) AS BIGINT) AS n_removable_toks,
+             |       (1000 * CAST(sum(rm_toks) AS BIGINT)) // tt
+             |         AS permille_removable_toks
+             |FROM cl, tot GROUP BY 1, tt ORDER BY 1""".stripMargin)),
 
     // ---- E2/E6: incremental MinHash-LSH dedup over a document STREAM -----
     // q70's continuous-ingestion twin: per micro-batch, band signatures

@@ -57,6 +57,41 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("q155: yield histogram equals a driver-side union-find recompute") {
+    val pairs = Registry.byName("q70_docs_minhash_portable").run(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val ntok = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        size(filter(split(col("text"), " "), t => t =!= "")).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // union-find over the pair set, min-id representative
+    val rep = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = rep.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); rep(x) = r; r }
+    }
+    for ((a, b) <- pairs) {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { val lo = math.min(ra, rb); rep(math.max(ra, rb)) = lo }
+    }
+    val clusters = ntok.keys.groupBy(find).map { case (_, ds) =>
+      val sorted = ds.toSeq.sorted
+      (sorted.size.toLong, sorted.map(ntok).sum, sorted.tail.map(ntok).sum)
+    }.toSeq
+    val tt = ntok.values.sum
+    def bucket(sz: Long) = if (sz == 1) "1" else if (sz <= 4) "2-4" else "5+"
+    val want = clusters.groupBy(c => bucket(c._1)).map { case (bk, cs) =>
+      bk -> (cs.size.toLong, cs.map(_._1).sum, cs.map(_._1 - 1).sum,
+        cs.map(_._3).sum, 1000L * cs.map(_._3).sum / tt)
+    }
+    val got = Registry.byName("q155_dedup_yield").run(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    assert(got == want)
+    // both regimes on the fixture: singletons and at least one dup bucket
+    assert(got.contains("1") && got.keySet.exists(_ != "1"))
+  }
+
   test("SimHash flags the closest near-duplicates within its threshold") {
     val exact = Registry.byName("q34_docs_jaccard_pairs").run(spark, sfDir)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -778,4 +778,48 @@ class SelectionOpsSpec extends SparkSpec {
     assert(out.exists(_.getLong(5) > 0L), "no capped language")
     assert(out.forall(r => r.getLong(3) >= 1L && r.getLong(3) <= 4L))
   }
+
+  test("q156: audit cells reconcile with q150's terciles and q70's pair set") {
+    val cells = Registry.byName("q156_filter_dedup_audit").run(spark, sfDir)
+      .collect()
+    // marginalizing duplication must reproduce q150's tercile masses —
+    // the cross-query consistency the audit exists to support
+    val q150 = Registry.byName("q150_ppl_terciles").run(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val byT = cells.groupBy(_.getLong(0))
+    for ((t, rs) <- byT) {
+      assert(rs.map(_.getLong(2)).sum == q150(t)._1, s"doc marginal at $t")
+      assert(rs.map(_.getLong(3)).sum == q150(t)._2, s"token marginal at $t")
+    }
+    // the dup marginal is exactly the q70 pair-involved doc set
+    val involved = Registry.byName("q70_docs_minhash_portable")
+      .run(spark, sfDir).collect()
+      .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    assert(cells.filter(_.getLong(1) == 1L).map(_.getLong(2)).sum ==
+      involved.size.toLong)
+    // the fixture engages both duplication columns
+    assert(cells.exists(_.getLong(1) == 0L) && cells.exists(_.getLong(1) == 1L))
+  }
+
+  test("q157: top-20 PMI collocations equal a driver-side exact recompute") {
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getString(1).split(" ").filter(_.nonEmpty).toSeq)
+    val uni = toks.flatten.groupBy(identity).map { case (w, ws) => w -> ws.size.toLong }
+    val nu = toks.map(_.size.toLong).sum
+    val bigrams = toks.flatMap(t => t.zip(t.drop(1)))
+    val nb = bigrams.size.toLong
+    val bc = bigrams.groupBy(identity)
+      .map { case (p, ps) => p -> ps.size.toLong }.filter(_._2 >= 5L)
+    def ladder(x: Long): Long =
+      (1 to 62).foldLeft(0L)((acc, p) => if (x >= (1L << p)) p.toLong else acc)
+    val want = bc.toSeq.map { case ((x, y), nxy) =>
+      val ratio = ((nxy * nu) / uni(x)) * nu / (uni(y) * nb)
+      (x, y, nxy, uni(x), uni(y), ladder(ratio))
+    }.sortBy { case (x, y, nxy, _, _, bits) => (-bits, -nxy, x, y) }.take(20)
+    val got = Registry.byName("q157_collocations").run(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == want)
+  }
 }
