@@ -1768,8 +1768,15 @@ object SelectionOps {
             col("n_toks"), col("permille_toks"))
           .orderBy(col("tercile"), col("is_dup"))
       },
-      Some(TextOps.minhashPairsCte + ",\n" +
-        lmScoredCtes.replaceFirst("WITH ", "") + ",\n" +
+      // MATERIALIZED on the two multi-referenced chain heads (pairs:
+      // dup reads it twice; sc: r and tt) — without the hints DuckDB
+      // inlines each reference and the combined minhash+LM evaluation
+      // exhausted temp storage at the sf10 rung (the q60/q134 finding,
+      // here on a non-recursive composition)
+      Some(TextOps.minhashPairsCte
+          .replaceFirst("pairs AS \\(", "pairs AS MATERIALIZED (") + ",\n" +
+        lmScoredCtes.replaceFirst("WITH ", "")
+          .replaceFirst("sc AS \\(", "sc AS MATERIALIZED (") + ",\n" +
         s"""r AS (SELECT *, row_number() OVER (ORDER BY cb, doc_id) AS rk,
            |        count(*) OVER () AS nn FROM sc),
            |tt AS (SELECT CAST(sum(n_tok) AS BIGINT) AS t FROM sc),
