@@ -397,6 +397,84 @@ object TextOps {
       .select(col("da").as("doc_a"), col("db").as("doc_b"), col("jac"))
   }
 
+  /** (doc_id, n_tok) for any documents frame — whitespace token counts
+    * with empties dropped, the convention every token-mass report uses.
+    */
+  private[graft] def docTokens(dd: DataFrame): DataFrame =
+    dd.select(col("doc_id"),
+      size(filter(split(col("text"), " "), t => t =!= ""))
+        .cast("long").as("n_tok"))
+
+  /** q155/q158's shared aggregation: cluster-size histogram with doc
+    * and token mass plus the keep-first removable mass (everything but
+    * each cluster's min-id representative) and its corpus permille.
+    * `labels` carries (doc_id, cluster_rep) for pair-involved docs;
+    * singletons self-label via the left join.
+    */
+  private[graft] def yieldHistogram(dt: DataFrame,
+                                    labels: DataFrame): DataFrame = {
+    val wl = dt.join(labels, Seq("doc_id"), "left")
+      .withColumn("rep", coalesce(col("cluster_rep"), col("doc_id")))
+    val cl = wl.groupBy(col("rep"))
+      .agg(count(lit(1)).as("sz"), sum(col("n_tok")).as("toks"),
+        sum(when(col("doc_id") =!= col("rep"), col("n_tok"))
+          .otherwise(lit(0L))).as("rm_toks"))
+    val tot = dt.agg(sum(col("n_tok")).as("tt"))
+    cl.withColumn("bucket",
+        when(col("sz") === 1, "1").when(col("sz") <= 4, "2-4")
+          .otherwise("5+"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_clusters"), sum(col("sz")).as("n_docs"),
+        sum(col("sz") - 1).as("n_removable_docs"),
+        sum(col("rm_toks")).as("n_removable_toks"))
+      .crossJoin(broadcast(tot))
+      .withColumn("permille_removable_toks",
+        expr("(1000 * n_removable_toks) DIV tt"))
+      .select(col("bucket"), col("n_clusters"), col("n_docs"),
+        col("n_removable_docs"), col("n_removable_toks"),
+        col("permille_removable_toks"))
+      .orderBy(col("bucket"))
+  }
+
+  /** q155/q158's shared oracle: recursive-CTE CC over the MATERIALIZED
+    * minhash pair chain (the q60/q134 inlining finding), singleton
+    * docs self-labeled, then the identical histogram. Valid for q158
+    * because the incremental store's final snapshot equals batch CC
+    * over the full pair set (edge-arrival order cannot change the
+    * components of a union).
+    */
+  private[graft] def yieldOracleSql: String =
+    s"""${minhashPairsCte.replaceFirst("WITH ", "WITH RECURSIVE ")
+           .replaceFirst("pairs AS \\(", "pairs AS MATERIALIZED (")},
+       |edges AS MATERIALIZED (SELECT da AS a, db AS b FROM pairs
+       |          UNION ALL SELECT db, da FROM pairs),
+       |reach(a, b) AS (SELECT a, a FROM (SELECT DISTINCT a FROM edges) t
+       |                UNION
+       |                SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+       |labeled AS (SELECT a AS doc_id, min(b) AS rep FROM reach GROUP BY a),
+       |dt AS (SELECT doc_id,
+       |         CAST(len(list_filter(string_split(text, ' '),
+       |              x -> x <> '')) AS BIGINT) AS n_tok
+       |       FROM documents),
+       |wl AS (SELECT dt.doc_id, dt.n_tok,
+       |         coalesce(l.rep, dt.doc_id) AS rep
+       |       FROM dt LEFT JOIN labeled l ON dt.doc_id = l.doc_id),
+       |cl AS (SELECT rep, CAST(count(*) AS BIGINT) AS sz,
+       |         CAST(sum(n_tok) AS BIGINT) AS toks,
+       |         CAST(sum(CASE WHEN doc_id <> rep THEN n_tok
+       |                  ELSE 0 END) AS BIGINT) AS rm_toks
+       |       FROM wl GROUP BY rep),
+       |tot AS (SELECT CAST(sum(n_tok) AS BIGINT) AS tt FROM dt)
+       |SELECT CASE WHEN sz = 1 THEN '1' WHEN sz <= 4 THEN '2-4'
+       |            ELSE '5+' END AS bucket,
+       |       CAST(count(*) AS BIGINT) AS n_clusters,
+       |       CAST(sum(sz) AS BIGINT) AS n_docs,
+       |       CAST(sum(sz - 1) AS BIGINT) AS n_removable_docs,
+       |       CAST(sum(rm_toks) AS BIGINT) AS n_removable_toks,
+       |       (1000 * CAST(sum(rm_toks) AS BIGINT)) // tt
+       |         AS permille_removable_toks
+       |FROM cl, tot GROUP BY 1, tt ORDER BY 1""".stripMargin
+
   private def minhashOracleSql: String =
     s"""$minhashPairsCte
        |SELECT da AS doc_a, db AS doc_b, jac
@@ -690,68 +768,37 @@ object TextOps {
       "q155_dedup_yield",
       (s, d) => {
         val dd = docs(s, d)
-        val dt = dd.select(col("doc_id"),
-          size(filter(split(col("text"), " "), t => t =!= ""))
-            .cast("long").as("n_tok"))
         val edges = portableMinhashPairs(dd)
           .select(col("doc_a").as("src"), col("doc_b").as("dst"))
         val labels = graft.ops.ConnectedComponents.clusters(edges)
           .select(col("node").as("doc_id"), col("cluster_rep"))
-        val wl = dt.join(labels, Seq("doc_id"), "left")
-          .withColumn("rep", coalesce(col("cluster_rep"), col("doc_id")))
-        val cl = wl.groupBy(col("rep"))
-          .agg(count(lit(1)).as("sz"), sum(col("n_tok")).as("toks"),
-            sum(when(col("doc_id") =!= col("rep"), col("n_tok"))
-              .otherwise(lit(0L))).as("rm_toks"))
-        val tot = dt.agg(sum(col("n_tok")).as("tt"))
-        cl.withColumn("bucket",
-            when(col("sz") === 1, "1").when(col("sz") <= 4, "2-4")
-              .otherwise("5+"))
-          .groupBy(col("bucket"))
-          .agg(count(lit(1)).as("n_clusters"), sum(col("sz")).as("n_docs"),
-            sum(col("sz") - 1).as("n_removable_docs"),
-            sum(col("rm_toks")).as("n_removable_toks"))
-          .crossJoin(broadcast(tot))
-          .withColumn("permille_removable_toks",
-            expr("(1000 * n_removable_toks) DIV tt"))
-          .select(col("bucket"), col("n_clusters"), col("n_docs"),
-            col("n_removable_docs"), col("n_removable_toks"),
-            col("permille_removable_toks"))
-          .orderBy(col("bucket"))
+        yieldHistogram(docTokens(dd), labels)
       },
-      // MATERIALIZED on pairs/edges: the q60/q134 recursive-CTE
-      // inlining finding — without it the MinHash chain re-evaluates
-      // per reference and per recursion step.
-      Some(s"""${minhashPairsCte.replaceFirst("WITH ", "WITH RECURSIVE ")
-                 .replaceFirst("pairs AS \\(", "pairs AS MATERIALIZED (")},
-             |edges AS MATERIALIZED (SELECT da AS a, db AS b FROM pairs
-             |          UNION ALL SELECT db, da FROM pairs),
-             |reach(a, b) AS (SELECT a, a FROM (SELECT DISTINCT a FROM edges) t
-             |                UNION
-             |                SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
-             |labeled AS (SELECT a AS doc_id, min(b) AS rep FROM reach GROUP BY a),
-             |dt AS (SELECT doc_id,
-             |         CAST(len(list_filter(string_split(text, ' '),
-             |              x -> x <> '')) AS BIGINT) AS n_tok
-             |       FROM documents),
-             |wl AS (SELECT dt.doc_id, dt.n_tok,
-             |         coalesce(l.rep, dt.doc_id) AS rep
-             |       FROM dt LEFT JOIN labeled l ON dt.doc_id = l.doc_id),
-             |cl AS (SELECT rep, CAST(count(*) AS BIGINT) AS sz,
-             |         CAST(sum(n_tok) AS BIGINT) AS toks,
-             |         CAST(sum(CASE WHEN doc_id <> rep THEN n_tok
-             |                  ELSE 0 END) AS BIGINT) AS rm_toks
-             |       FROM wl GROUP BY rep),
-             |tot AS (SELECT CAST(sum(n_tok) AS BIGINT) AS tt FROM dt)
-             |SELECT CASE WHEN sz = 1 THEN '1' WHEN sz <= 4 THEN '2-4'
-             |            ELSE '5+' END AS bucket,
-             |       CAST(count(*) AS BIGINT) AS n_clusters,
-             |       CAST(sum(sz) AS BIGINT) AS n_docs,
-             |       CAST(sum(sz - 1) AS BIGINT) AS n_removable_docs,
-             |       CAST(sum(rm_toks) AS BIGINT) AS n_removable_toks,
-             |       (1000 * CAST(sum(rm_toks) AS BIGINT)) // tt
-             |         AS permille_removable_toks
-             |FROM cl, tot GROUP BY 1, tt ORDER BY 1""".stripMargin)),
+      Some(yieldOracleSql)),
+
+    // ---- E6: dedup yield over the incremental CC store (q158) -------------
+    // q155's continuous-ingestion twin: the histogram read from the
+    // q134 incremental-CC label snapshot instead of a batch CC run —
+    // the dedup-economics dashboard a long-running ingest actually
+    // serves (labels fold per batch; the report is a snapshot-sized
+    // aggregate, no pair-history replay). The final snapshot equals
+    // batch CC over the full pair set (q134's order-independence
+    // argument), so the stream's histogram shares q155's oracle
+    // verbatim — cross-batch store state included.
+    Q(
+      "q158_yield_stream",
+      (s, d) => {
+        val prev = s.conf.get("spark.sql.shuffle.partitions")
+        try {
+          s.conf.set("spark.sql.shuffle.partitions", "8")
+          val dd = Tables.documents(s, d)
+          val labels = graft.streaming.MinHashDedupStream
+            .runClustersOn(s, dd, nSplits = 2)
+          yieldHistogram(docTokens(dd), labels)
+        } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      },
+      Some(yieldOracleSql)),
+
 
     // ---- E2/E6: incremental MinHash-LSH dedup over a document STREAM -----
     // q70's continuous-ingestion twin: per micro-batch, band signatures

@@ -801,6 +801,21 @@ class SelectionOpsSpec extends SparkSpec {
     assert(cells.exists(_.getLong(1) == 0L) && cells.exists(_.getLong(1) == 1L))
   }
 
+  test("q152/q157 plan shapes: no corpus window; top-k is TakeOrdered") {
+    // q152's majority argmax is the associative min-struct — the plan
+    // must carry no Window at all
+    val p152 = Registry.byName("q152_cluster_purity").run(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!p152.contains("Window"), p152.take(800))
+    // q157's top-20 is a TakeOrdered under a total order with broadcast
+    // vocab joins — no Window, no global sort of the bigram frame
+    val p157 = Registry.byName("q157_collocations").run(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p157.contains("TakeOrderedAndProject"), p157.take(800))
+    assert(!p157.contains("Window"), p157.take(800))
+    assert(p157.contains("BroadcastHashJoin"), p157.take(800))
+  }
+
   test("q157: top-20 PMI collocations equal a driver-side exact recompute") {
     val toks = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("text")).collect()

@@ -314,6 +314,25 @@ class StreamingSpec extends SparkSpec {
     assert(streamed(2) == batchLabels)
   }
 
+  test("q158 streaming dedup yield equals the batch q155 histogram") {
+    val batch = Registry.byName("q155_dedup_yield").run(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    // the registered stream entry (2 splits) must reproduce the batch
+    // histogram exactly — the snapshot-fold handoff carried through to
+    // the economics report
+    val stream2 = Registry.byName("q158_yield_stream").run(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(stream2 == batch)
+    // and the fold is split-count invariant
+    val dd = Tables.documents(spark, sfDir)
+    val labels3 = graft.streaming.MinHashDedupStream
+      .runClustersOn(spark, dd, nSplits = 3)
+    val stream3 = graft.queries.TextOps.yieldHistogram(
+      graft.queries.TextOps.docTokens(dd), labels3)
+      .collect().map(_.toSeq).toSeq
+    assert(stream3 == batch)
+  }
+
   test("q138 streaming NB training equals the batch q137 confusion row for row") {
     // the model rebuilds from per-batch partial token/doc counts folded
     // at read time; equality with the batch classifier proves the
