@@ -101,6 +101,28 @@ object BpeTrain {
     s.createDataFrame(merges.result()).orderBy(col("round"))
   }
 
+  /** The word-TYPE table after applying a learned merge-list prefix —
+    * (word, freq, syms), the `s<r>` state of training replayed from a
+    * known merge list in one narrow map (no per-round checkpoints: the
+    * fold is O(merges·len) per word type and the type table is
+    * Zipf-bounded). Powers q159's vocab-size/compression curve, where
+    * each rung reads the corpus-piece and distinct-symbol counts off
+    * this table.
+    */
+  def wordTypes(s: SparkSession, words: DataFrame,
+                merges: Seq[(String, String)]): DataFrame = {
+    import s.implicits._
+    words.groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(col("w").as("word"), col("freq"),
+        expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+          .as("syms"))
+      .as[WordSyms]
+      .map(ws => ws.copy(syms = merges.foldLeft(ws.syms) {
+        case (acc, (a, b)) => applyMerge(a, b, acc)
+      }))
+      .toDF()
+  }
+
   /** Encode every document with a learned merge list (applied in rank
     * order per word — standard BPE inference). Row-local work: the
     * merge table rides along as a tiny task closure and each partition

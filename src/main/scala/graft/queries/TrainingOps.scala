@@ -1106,6 +1106,49 @@ object TrainingOps {
       },
       Some(fertilitySql(6))),
 
+    // ---- Tokenizer vocab-size/compression curve (q159) --------------------
+    // The tokenizer-design twin of q151's filter curve and q147's data
+    // rungs: corpus piece count and live symbol-vocabulary size at
+    // nested merge-budget rungs (0 / 3 / 6 of the q99-learned merges) —
+    // the compression-vs-vocab trade every BPE vocab-size decision
+    // reads off. Rungs REPLAY a known merge list over the word-TYPE
+    // table (BpeTrain.wordTypes: one narrow map per rung, type table
+    // Zipf-bounded — the corpus enters only through freq), so the
+    // curve costs O(rungs·types), never rungs corpus passes. Vocab is
+    // counted live (a merge ADDS its pair symbol but can RETIRE inputs
+    // whose occurrences all merge away), which is why the curve needs
+    // the actual symbol tables, not round stats.
+    Q(
+      "q159_bpe_curve",
+      (s, d) => {
+        val words = Tables.documents(s, d)
+          .select(explode_outer(split(col("text"), " ")).as("w"))
+          .where(col("w").isNotNull && col("w") =!= "")
+        val merges = graft.ops.BpeTrain.learnMerges(s, words, k = 6)
+          .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+        def rungRow(r: Int): DataFrame = {
+          // two consumers (piece mass + live vocab) of one type table
+          val types = graft.ops.BpeTrain
+            .wordTypes(s, words, merges.take(r)).localCheckpoint()
+          val pieces = types
+            .agg(sum(col("freq") * size(col("syms"))).as("corpus_pieces"))
+          val vocab = types.select(explode(col("syms")).as("sym")).distinct()
+            .agg(count(lit(1)).as("vocab_syms"))
+          pieces.crossJoin(vocab).withColumn("rung", lit(r.toLong))
+        }
+        val rungs = Seq(0, 3, 6).map(rungRow).reduce(_ unionByName _)
+          .localCheckpoint()
+        val base = rungs.where(col("rung") === 0)
+          .select(col("corpus_pieces").as("p0"))
+        rungs.crossJoin(broadcast(base))
+          .withColumn("compress_permille",
+            expr("(1000 * corpus_pieces) DIV p0"))
+          .select(col("rung"), col("corpus_pieces"), col("vocab_syms"),
+            col("compress_permille"))
+          .orderBy(col("rung"))
+      },
+      Some(bpeCurveSql(6))),
+
     // ---- Model-based quality gate (unigram-LM "perplexity" filter) -------
     // The CCNet/LLaMA-pipeline filter family: score each document under
     // a language model TRAINED ON THE CORPUS and gate on the score.
@@ -1153,6 +1196,31 @@ object TrainingOps {
              |       AS BIGINT) AS ppl_pass
              |FROM s ORDER BY doc_id""".stripMargin))
   )
+
+  /** q159's oracle: the shared round CTEs replay training to s<k>;
+    * each rung reads piece mass and live distinct-symbol count off its
+    * s<r> table. MATERIALIZED on the rung tables — each is referenced
+    * by the training chain AND twice by the rung row, and DuckDB's
+    * per-reference inlining would re-run the recursive walks (the
+    * q60/q134/q156 finding).
+    */
+  private def bpeCurveSql(k: Int): String = {
+    def rung(r: Int): String =
+      s"(SELECT CAST($r AS BIGINT) AS rung, " +
+        s"(SELECT CAST(sum(freq * len(syms)) AS BIGINT) FROM s$r) AS corpus_pieces, " +
+        s"(SELECT CAST(count(DISTINCT sym) AS BIGINT) FROM " +
+        s"(SELECT unnest(syms) AS sym FROM s$r)) AS vocab_syms)"
+    val ctes = Seq(0, k / 2, k).foldLeft(bpeRoundsCtes(k)) {
+      case (acc, r) => acc.replaceFirst(s"s$r AS \\(", s"s$r AS MATERIALIZED (")
+    }
+    s"""WITH RECURSIVE
+       |$ctes,
+       |rungs AS (${Seq(0, k / 2, k).map(rung).mkString(" UNION ALL ")}),
+       |base AS (SELECT corpus_pieces AS p0 FROM rungs WHERE rung = 0)
+       |SELECT rung, corpus_pieces, vocab_syms,
+       |       (1000 * corpus_pieces) // p0 AS compress_permille
+       |FROM rungs, base ORDER BY rung""".stripMargin
+  }
 
   /** q102's oracle: the q99 round CTEs build the merged word-type
     * table `s6`; every doc then re-encodes as an ordered join of its

@@ -702,4 +702,30 @@ class TrainingOpsSpec extends SparkSpec {
     assert(out.map(_.getLong(1)).sum == q102.getLong(0))
     assert(out.map(_.getLong(2)).sum == q102.getLong(1))
   }
+
+  test("q159: curve endpoints reconcile with raw chars and q99's round audit") {
+    val out = Registry.byName("q159_bpe_curve").run(spark, sfDir).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(0L, 3L, 6L))
+    val byRung = out.map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // rung 0 = per-character symbols: piece mass is the raw char count
+    // of the corpus word stream, permille exactly 1000
+    val chars = Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .where(col("w") =!= "")
+      .agg(sum(length(col("w")))).collect()(0).getLong(0)
+    assert(byRung(0L)._1 == chars && byRung(0L)._3 == 1000L)
+    // rung 6 = q99's committed round audit: corpus_syms_after of round 6
+    val audit = Registry.byName("q99_bpe_merges").run(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(byRung(6L)._1 == audit(6L))
+    assert(byRung(3L)._1 == audit(3L))
+    // merging only shrinks piece mass; each round adds at most one live
+    // symbol (and can retire inputs)
+    assert(byRung(0L)._1 >= byRung(3L)._1 && byRung(3L)._1 >= byRung(6L)._1)
+    assert(byRung(3L)._2 <= byRung(0L)._2 + 3 && byRung(6L)._2 <= byRung(0L)._2 + 6)
+    // permille recompute
+    for (r <- Seq(3L, 6L))
+      assert(byRung(r)._3 == 1000L * byRung(r)._1 / byRung(0L)._1)
+  }
 }
