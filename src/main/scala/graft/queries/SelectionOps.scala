@@ -1862,6 +1862,68 @@ object SelectionOps {
              |ORDER BY pmi_bits DESC, n_xy DESC, prev, tok
              |LIMIT 20""".stripMargin)),
 
+    // ---- Filter-ensemble agreement (q160) ---------------------------------
+    // Production pipelines run SEVERAL quality filters (Dolma/RefinedWeb
+    // stack rule gates and model gates); whether to chain them is an
+    // agreement question: if two gates reject the same mass, the second
+    // buys nothing. The 2×2 contingency of the rule gate (q95's Gopher
+    // shape: length/word-length/stopword, shared withRowQuality) × the
+    // model gate (q105's LM threshold, shared lmScored) with doc count,
+    // token mass, and doc permille per cell — off-diagonal mass is
+    // exactly what the second filter adds. One LM scan + one rule scan
+    // + a ≤4-row aggregate; the join keys are doc_id (AQE broadcasts
+    // the tiny side at test SFs; co-partitioned at scale).
+    Q(
+      "q160_gate_agreement",
+      (s, d) => {
+        val dd = Tables.documents(s, d)
+        val rule = TrainingOps.withRowQuality(dd)
+          .select(col("doc_id"), col("quality_pass"))
+        val lm = lmScored(dd)
+          .withColumn("ppl_pass",
+            (col("sum_bits") * 100 <= col("n_tok") * 404).cast("long"))
+          .select(col("doc_id"), col("n_tok"), col("ppl_pass"))
+        val cells = rule.join(lm, Seq("doc_id"))
+        val tot = cells.agg(count(lit(1)).as("td"))
+        cells.groupBy(col("quality_pass"), col("ppl_pass"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_toks"))
+          .crossJoin(broadcast(tot))
+          .withColumn("permille_docs", expr("(1000 * n_docs) DIV td"))
+          .select(col("quality_pass"), col("ppl_pass"), col("n_docs"),
+            col("n_toks"), col("permille_docs"))
+          .orderBy(col("quality_pass"), col("ppl_pass"))
+      },
+      Some(s"""$lmScoredCtes,
+             |t AS (SELECT doc_id,
+             |        list_filter(string_split(text, ' '), x -> x <> '') AS toks
+             |      FROM documents),
+             |m AS (SELECT doc_id,
+             |        CAST(len(toks) AS BIGINT) AS n_words,
+             |        CASE WHEN len(toks) > 0 THEN
+             |          round(list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |            list_transform(toks, x -> CAST(len(x) AS BIGINT))),
+             |            (a, x) -> a + x) / len(toks), 4) END AS mean_word_len,
+             |        CAST(len(list_intersect(list_distinct(toks),
+             |            ['the', 'a', 'of', 'and', 'to', 'in'])) AS BIGINT)
+             |          AS n_stop_distinct
+             |      FROM t),
+             |rq AS (SELECT doc_id,
+             |         CAST(CASE WHEN n_words >= 30 AND mean_word_len >= 3
+             |                    AND mean_word_len <= 5 AND n_stop_distinct >= 2
+             |                   THEN 1 ELSE 0 END AS BIGINT) AS quality_pass
+             |       FROM m),
+             |lmp AS (SELECT doc_id, n_tok,
+             |          CAST(CASE WHEN sum_bits * 100 <= n_tok * 404
+             |                    THEN 1 ELSE 0 END AS BIGINT) AS ppl_pass
+             |        FROM sc),
+             |cells AS (SELECT rq.quality_pass, lmp.ppl_pass, lmp.n_tok
+             |          FROM rq JOIN lmp USING (doc_id)),
+             |td AS (SELECT CAST(count(*) AS BIGINT) AS td FROM cells)
+             |SELECT quality_pass, ppl_pass, CAST(count(*) AS BIGINT) AS n_docs,
+             |       CAST(sum(n_tok) AS BIGINT) AS n_toks,
+             |       (1000 * CAST(count(*) AS BIGINT)) // td AS permille_docs
+             |FROM cells, td GROUP BY 1, 2, td ORDER BY 1, 2""".stripMargin)),
+
     // ---- Cluster-balanced downsampling (SemDeDup/DataComp curation) ------
     // Embedding-cluster the corpus, then CAP each cluster's membership
     // — the diversity-balancing stage the SemDeDup/DataComp pipelines

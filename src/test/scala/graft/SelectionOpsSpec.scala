@@ -816,6 +816,30 @@ class SelectionOpsSpec extends SparkSpec {
     assert(p157.contains("BroadcastHashJoin"), p157.take(800))
   }
 
+  test("q160: agreement marginals equal each gate's own verdict counts") {
+    val cells = Registry.byName("q160_gate_agreement").run(spark, sfDir)
+      .collect()
+    // every scored doc lands in exactly one cell
+    val q105 = Registry.byName("q105_unigram_ppl_gate").run(spark, sfDir)
+      .collect()
+    assert(cells.map(_.getLong(2)).sum == q105.length.toLong)
+    // the model-gate marginal is q105's own pass count
+    assert(cells.filter(_.getLong(1) == 1L).map(_.getLong(2)).sum ==
+      q105.count(_.getLong(3) == 1L).toLong)
+    // the rule-gate marginal is withRowQuality's pass count over the
+    // same (scored) doc set
+    val scoredIds = q105.map(_.getLong(0)).toSet
+    val rulePass = graft.queries.TrainingOps
+      .withRowQuality(Tables.documents(spark, sfDir))
+      .select(col("doc_id"), col("quality_pass")).collect()
+      .filter(r => scoredIds.contains(r.getLong(0)))
+      .count(_.getLong(1) == 1L).toLong
+    assert(cells.filter(_.getLong(0) == 1L).map(_.getLong(2)).sum == rulePass)
+    // the fixture engages both verdicts of both gates
+    assert(cells.map(_.getLong(0)).distinct.sorted.toSeq == Seq(0L, 1L))
+    assert(cells.map(_.getLong(1)).distinct.sorted.toSeq == Seq(0L, 1L))
+  }
+
   test("q157: top-20 PMI collocations equal a driver-side exact recompute") {
     val toks = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("text")).collect()
