@@ -327,6 +327,42 @@ object SelectionOps {
     full.unionByName(partial)
   }
 
+  /** Ranked variant of [[exactKPerGroup]] (q162): every selected row
+    * WITH its exact 1-based rank in the group's h-order. Producing an
+    * ORDER costs more than producing the SET — every surviving
+    * bucket's rows see a row_number, not just the one partial bucket —
+    * but the windows stay partitioned by (grp, bucket), so the largest
+    * sorted partition is ~n_g/nb regardless of group skew (a per-group
+    * rank window would sort n_g rows in one task). rnk = the bucket's
+    * prefix count + the within-bucket rank, exact because h is
+    * injective within a group.
+    */
+  private[graft] def exactKRanked(rows: org.apache.spark.sql.DataFrame,
+                                  targets: org.apache.spark.sql.DataFrame,
+                                  nb: Long = 1024L)
+      : org.apache.spark.sql.DataFrame = {
+    val bw = graft.functions.TextHash.Mod / nb + 1L
+    val withB = rows.withColumn("gb", expr(s"h DIV ${bw}L"))
+    val bcounts = withB.groupBy(col("grp"), col("gb"))
+      .agg(count(lit(1)).as("c"))
+    val meta = bcounts
+      .withColumn("cum_before", coalesce(
+        sum(col("c")).over(Window.partitionBy(col("grp")).orderBy(col("gb"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .join(targets, Seq("grp"))
+      .where(col("cum_before") < col("target_n"))
+      .select(col("grp"), col("gb"), col("cum_before"),
+        (col("cum_before") + col("c") <= col("target_n")).as("keep_all"),
+        (col("target_n") - col("cum_before")).as("k_in"))
+      .localCheckpoint()
+    withB.join(meta, Seq("grp", "gb"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("grp"), col("gb")).orderBy(col("h"))))
+      .where(col("keep_all") || col("rn") <= col("k_in"))
+      .select(col("grp"), col("id"), col("h"),
+        (col("cum_before") + col("rn")).as("rnk"))
+  }
+
   /** q144's document spine: (doc_id, lang, h) with the affine
     * selection hash (injective mod the prime ⇒ a total per-language
     * order with no ties).
@@ -1924,6 +1960,83 @@ object SelectionOps {
              |       (1000 * CAST(count(*) AS BIGINT)) // td AS permille_docs
              |FROM cells, td GROUP BY 1, 2, td ORDER BY 1, 2""".stripMargin)),
 
+    // ---- Per-source quality drift (q161) ----------------------------------
+    // Feed health monitoring: mean LM centibits per source and its
+    // signed drift from the corpus mean — the number a 100 TB ingest
+    // watches per feed (a source whose drift jumps went spammy or
+    // off-domain; CCNet runs exactly this per-crawl-segment). Integer
+    // means: cb_mean = (100·Σbits) DIV Σtok per source, drift vs the
+    // identical corpus-level quotient. One LM-scoring scan + a
+    // |sources|-row aggregate over the broadcast corpus totals.
+    Q(
+      "q161_source_drift",
+      (s, d) => {
+        val dd = Tables.documents(s, d)
+        val sc = lmScored(dd)
+          .join(dd.select(col("doc_id"), col("source")), Seq("doc_id"))
+        val tot = sc.agg(sum(col("sum_bits")).as("tb"),
+          sum(col("n_tok")).as("tt"))
+        sc.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_toks"),
+            sum(col("sum_bits")).as("sb"))
+          .crossJoin(broadcast(tot))
+          .withColumn("cb_mean", expr("(100 * sb) DIV n_toks"))
+          .withColumn("drift_cb",
+            col("cb_mean") - expr("(100 * tb) DIV tt"))
+          .select(col("source"), col("n_docs"), col("n_toks"),
+            col("cb_mean"), col("drift_cb"))
+          .orderBy(col("source"))
+      },
+      Some(s"""$lmScoredCtes,
+             |src AS (SELECT sc.doc_id, sc.n_tok, sc.sum_bits, d.source
+             |        FROM sc JOIN documents d ON sc.doc_id = d.doc_id),
+             |tot AS (SELECT CAST(sum(sum_bits) AS BIGINT) AS tb,
+             |          CAST(sum(n_tok) AS BIGINT) AS tt FROM src)
+             |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             |       CAST(sum(n_tok) AS BIGINT) AS n_toks,
+             |       (100 * CAST(sum(sum_bits) AS BIGINT)) // CAST(sum(n_tok) AS BIGINT)
+             |         AS cb_mean,
+             |       (100 * CAST(sum(sum_bits) AS BIGINT)) // CAST(sum(n_tok) AS BIGINT)
+             |         - (100 * tb) // tt AS drift_cb
+             |FROM src, tot GROUP BY source, tb, tt ORDER BY source""".stripMargin)),
+
+    // ---- Mixture-balanced shard manifest (q162) ---------------------------
+    // The WRITE side of q144: distribute the temperature-sampled
+    // selection round-robin BY RANK into 8 shards, so every shard
+    // carries the same language mixture (a trainer reading any shard
+    // subset sees the designed proportions — the interleaved-shard
+    // property training-data writers need). Rank within each
+    // language's selected set comes from exactKRanked: bucket prefix
+    // counts + within-bucket row_numbers, partitions ~n_g/1024
+    // regardless of language skew — an ORDER at set price, never a
+    // per-language corpus sort. Output pins the shard×lang matrix
+    // (count + id sum), which the spec proves balanced to ±1 per
+    // language.
+    Q(
+      "q162_mixture_shards",
+      (s, d) => {
+        val dd = mixDocs(Tables.documents(s, d))
+        val counts = dd.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+        val tg = mixtureTargets(counts)
+        val sel = exactKRanked(
+          dd.select(col("lang").as("grp"), col("doc_id").as("id"), col("h")),
+          tg.select(col("lang").as("grp"), col("target_n")))
+        sel.withColumn("shard", (col("rnk") - 1) % 8)
+          .groupBy(col("shard"), col("grp"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("id")).as("sum_id"))
+          .select(col("shard"), col("grp").as("lang"), col("n_docs"),
+            col("sum_id"))
+          .orderBy(col("shard"), col("lang"))
+      },
+      Some(s"""$mixtureCtes
+             |SELECT (r.rn - 1) % 8 AS shard, r.lang,
+             |       CAST(count(*) AS BIGINT) AS n_docs,
+             |       CAST(sum(r.doc_id) AS BIGINT) AS sum_id
+             |FROM r JOIN tg ON r.lang = tg.lang
+             |WHERE r.rn <= tg.target_n
+             |GROUP BY 1, 2
+             |ORDER BY 1, 2""".stripMargin)),
+
     // ---- Cluster-balanced downsampling (SemDeDup/DataComp curation) ------
     // Embedding-cluster the corpus, then CAP each cluster's membership
     // — the diversity-balancing stage the SemDeDup/DataComp pipelines
@@ -1999,7 +2112,12 @@ object SelectionOps {
     * counts are additive — the folded per-batch partials equal the
     * batch corpus counts exactly.
     */
-  private[graft] def mixtureSql: String =
+  /** The q144 oracle's CTE prefix — spine, counts, isqrt weights,
+    * largest-remainder targets, and the per-language rank window —
+    * shared by q144/q146 (set sums) and q162 (shard assignment off the
+    * same ranks).
+    */
+  private[graft] def mixtureCtes: String =
     """WITH d AS (SELECT doc_id, lang,
       |         (982451653 * doc_id + 12345) % 1000000007 AS h
       |       FROM documents),
@@ -2027,7 +2145,10 @@ object SelectionOps {
       |       FROM ap),
       |r AS (SELECT d.lang, d.doc_id, d.h,
       |        row_number() OVER (PARTITION BY d.lang ORDER BY d.h) AS rn
-      |      FROM d),
+      |      FROM d)""".stripMargin
+
+  private[graft] def mixtureSql: String =
+    s"""$mixtureCtes,
       |sel AS (SELECT r.lang, CAST(count(*) AS BIGINT) AS n_kept,
       |          CAST(sum(r.doc_id) AS BIGINT) AS sel_sum_id,
       |          CAST(sum(r.h) AS BIGINT) AS sel_sum_h

@@ -840,6 +840,62 @@ class SelectionOpsSpec extends SparkSpec {
     assert(cells.map(_.getLong(1)).distinct.sorted.toSeq == Seq(0L, 1L))
   }
 
+  test("q161: per-source drift equals a driver-side exact recompute") {
+    val out = Registry.byName("q161_source_drift").run(spark, sfDir).collect()
+    val scored = SelectionOps.lmScored(Tables.documents(spark, sfDir))
+      .join(Tables.documents(spark, sfDir).select(col("doc_id"), col("source")),
+        Seq("doc_id"))
+      .select(col("source"), col("n_tok"), col("sum_bits")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val tb = scored.map(_._3).sum; val tt = scored.map(_._2).sum
+    val want = scored.groupBy(_._1).toSeq.map { case (src, rs) =>
+      val nt = rs.map(_._2).sum; val sb = rs.map(_._3).sum
+      (src, rs.size.toLong, nt, 100L * sb / nt,
+        100L * sb / nt - 100L * tb / tt)
+    }.sortBy(_._1)
+    assert(out.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4))).toSeq == want)
+    // the drift column separates sources on the fixture
+    assert(out.map(_.getLong(4)).distinct.length > 1)
+  }
+
+  test("q162: shards balance to +/-1 per language and reconcile with q144") {
+    val out = Registry.byName("q162_mixture_shards").run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // round-robin by rank: per language, shard counts differ by <= 1
+    for ((lang, rows) <- out.groupBy(_._2)) {
+      val ns = rows.map(_._3)
+      assert(ns.max - ns.min <= 1, s"$lang shard imbalance: ${ns.toSeq}")
+    }
+    // the shard marginals are exactly q144's selected sets
+    val q144 = Registry.byName("q144_temperature_mix").run(spark, sfDir)
+      .collect().map(r => r.getString(0) -> (r.getLong(4), r.getLong(5))).toMap
+    for ((lang, rows) <- out.groupBy(_._2)) {
+      assert(rows.map(_._3).sum == q144(lang)._1, s"$lang count marginal")
+      assert(rows.map(_._4).sum == q144(lang)._2, s"$lang id-sum marginal")
+    }
+    // exactKRanked == the per-group rank window ground truth,
+    // partition-invariant (the order analogue of exactKPerGroup's spec)
+    import spark.implicits._
+    val rows = (1L to 500L).map { i =>
+      (s"g${i % 3}", i, (982451653L * i + 12345L) % 1000000007L)
+    }.toDF("grp", "id", "h")
+    val targets = Seq(("g0", 50L), ("g1", 0L), ("g2", 400L))
+      .toDF("grp", "target_n")
+    val truth = rows.join(targets, Seq("grp"))
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("grp")).orderBy(col("h"))))
+      .where(col("rnk") <= col("target_n"))
+      .select(col("grp"), col("id"), col("h"), col("rnk").cast("long"))
+      .collect().map(_.toSeq).toSet
+    for (p <- Seq(1, 3, 13)) {
+      val got = SelectionOps.exactKRanked(rows.repartition(p), targets)
+        .collect().map(_.toSeq).toSet
+      assert(got == truth, s"mismatch at $p partitions")
+    }
+  }
+
   test("q157: top-20 PMI collocations equal a driver-side exact recompute") {
     val toks = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("text")).collect()
