@@ -610,6 +610,86 @@ object VectorOps {
              |      FROM h)
              |SELECT qid, CAST(rn AS BIGINT) AS rnk, vec_id, hamming
              |FROM r WHERE rn <= 5
-             |ORDER BY qid, rnk""".stripMargin))
+             |ORDER BY qid, rnk""".stripMargin)),
+
+    // ---- kNN label-accuracy probe (q163) ----------------------------------
+    // The retrieval-side embedding evaluation next to q152's
+    // cluster-side purity: leave-one-out 5-NN majority-label
+    // classification over a FIXED probe set (vec_id < 64 — bounded at
+    // every SF, the q110/q135 bounded-query convention), reported per
+    // true label. If neighbors don't share labels, neither ANN recall
+    // nor cluster capping can save downstream quality — this is the
+    // standard kNN probe (as in SimCLR/DINO linear/knn evals).
+    // Deterministic: cosine scaled to an integer c4 (two identical
+    // roundings both engines), candidate order (c4 DESC, vec_id ASC)
+    // packed into one 64-bit ord for the bounded-heap agg (<= 5 rows
+    // per probe per map task cross the wire, never a probe×corpus
+    // score matrix); majority = the associative (count DESC, label
+    // ASC) min-struct. One corpus scan against a broadcast 64-row
+    // probe frame; no Window anywhere.
+    Q(
+      "q163_knn_label_accuracy",
+      (s, d) => {
+        import graft.functions.TopKBy.topKBy
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
+            col("label").cast("long").as("label"))
+          .withColumn("n2", squaredNorm(col("v")))
+        val q = e.where(col("vec_id") < 64)
+          .select(col("vec_id").as("qid"), col("v").as("qv"),
+            col("n2").as("qn2"), col("label").as("qlabel"))
+        // ord: c4 in the high bits, -vec_id below => keep-largest heap
+        // keeps (c4 DESC, vec_id ASC); payload packs (label, vec_id)
+        // with a 2^48 shift (labels < 2^15, vec_id < 2^48 — documented)
+        val top = e.crossJoin(broadcast(q))
+          .where(col("vec_id") =!= col("qid"))
+          .withColumn("c4",
+            round(round(dotProduct(col("v"), col("qv")) /
+              sqrt(col("n2") * col("qn2")), 4) * 10000, 0).cast("long"))
+          .withColumn("ord", col("c4") * lit(8589934592L) - col("vec_id"))
+          .withColumn("payload",
+            col("label") * lit(281474976710656L) + col("vec_id"))
+          .groupBy(col("qid"), col("qlabel"))
+          .agg(topKBy(col("payload"), col("ord"), 5).as("ps"))
+        val pred = top
+          .select(col("qid"), col("qlabel"), explode(col("ps")).as("p"))
+          .withColumn("nl", expr("p div 281474976710656"))
+          .groupBy(col("qid"), col("qlabel"), col("nl"))
+          .agg(count(lit(1)).as("c"))
+          .groupBy(col("qid"), col("qlabel"))
+          .agg(min(struct((-col("c")).as("nc"), col("nl").as("l"))).as("m"))
+          .select(col("qid"), col("qlabel"), col("m.l").as("pred"))
+        pred.groupBy(col("qlabel"))
+          .agg(count(lit(1)).as("n_queries"),
+            sum((col("pred") === col("qlabel")).cast("long")).as("n_correct"))
+          .withColumn("permille_correct",
+            expr("(1000 * n_correct) DIV n_queries"))
+          .select(col("qlabel").as("label"), col("n_queries"),
+            col("n_correct"), col("permille_correct"))
+          .orderBy(col("label"))
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+             |         CAST(label AS BIGINT) AS label FROM embeddings),
+             |q AS (SELECT vec_id AS qid, v AS qv, label AS qlabel
+             |      FROM e WHERE vec_id < 64),
+             |s AS (SELECT qid, qlabel, e.vec_id, e.label,
+             |        CAST(round(round(list_cosine_similarity(e.v, qv), 4)
+             |             * 10000) AS BIGINT) AS c4
+             |      FROM q JOIN e ON e.vec_id <> qid),
+             |r AS (SELECT *, row_number() OVER (PARTITION BY qid
+             |        ORDER BY c4 DESC, vec_id) AS rn FROM s),
+             |vote AS (SELECT qid, qlabel, label, count(*) AS c
+             |         FROM r WHERE rn <= 5 GROUP BY 1, 2, 3),
+             |maj AS (SELECT qid, qlabel, label AS pred FROM (
+             |          SELECT *, row_number() OVER (PARTITION BY qid
+             |            ORDER BY c DESC, label) AS vr FROM vote)
+             |        WHERE vr = 1)
+             |SELECT qlabel AS label, CAST(count(*) AS BIGINT) AS n_queries,
+             |       CAST(sum(CASE WHEN pred = qlabel THEN 1 ELSE 0 END)
+             |            AS BIGINT) AS n_correct,
+             |       (1000 * CAST(sum(CASE WHEN pred = qlabel THEN 1 ELSE 0 END)
+             |            AS BIGINT)) // CAST(count(*) AS BIGINT)
+             |         AS permille_correct
+             |FROM maj GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

@@ -92,6 +92,46 @@ class OpsSpec extends SparkSpec {
     assert(got.contains("1") && got.keySet.exists(_ != "1"))
   }
 
+  test("q163: heap-aggregated kNN probe equals the rank-window formulation") {
+    import graft.functions.VectorFunctions.{dotProduct, squaredNorm}
+    val got = Registry.byName("q163_knn_label_accuracy").run(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    // the window twin: identical c4 arithmetic, row_number instead of
+    // the bounded heap — certifies the heap path end to end
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
+        col("label").cast("long").as("label"))
+      .withColumn("n2", squaredNorm(col("v")))
+    val q = e.where(col("vec_id") < 64)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("n2").as("qn2"), col("label").as("qlabel"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("c4").desc, col("vec_id"))
+    val want = e.crossJoin(q).where(col("vec_id") =!= col("qid"))
+      .withColumn("c4",
+        round(round(dotProduct(col("v"), col("qv")) /
+          sqrt(col("n2") * col("qn2")), 4) * 10000, 0).cast("long"))
+      .withColumn("rn", row_number().over(w)).where(col("rn") <= 5)
+      .groupBy(col("qid"), col("qlabel"), col("label"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("qid"), col("qlabel"))
+      .agg(min(struct((-col("c")).as("nc"), col("label").as("l"))).as("m"))
+      .select(col("qid"), col("qlabel"), col("m.l").as("pred"))
+      .groupBy(col("qlabel"))
+      .agg(count(lit(1)).as("n_queries"),
+        sum((col("pred") === col("qlabel")).cast("long")).as("n_correct"))
+      .withColumn("permille_correct", expr("(1000 * n_correct) DIV n_queries"))
+      .select(col("qlabel"), col("n_queries"), col("n_correct"),
+        col("permille_correct"))
+      .orderBy(col("qlabel")).collect().map(_.toSeq).toSeq
+    assert(got == want)
+    // all 64 probes accounted for, and the probe does better than the
+    // 1-in-10 random baseline on the clustered fixture
+    assert(got.map(_(1).asInstanceOf[Long]).sum == 64L)
+    val correct = got.map(_(2).asInstanceOf[Long]).sum
+    assert(correct * 10 > 64, s"kNN no better than chance: $correct/64")
+  }
+
   test("SimHash flags the closest near-duplicates within its threshold") {
     val exact = Registry.byName("q34_docs_jaccard_pairs").run(spark, sfDir)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
