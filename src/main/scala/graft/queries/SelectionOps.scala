@@ -2037,6 +2037,84 @@ object SelectionOps {
              |GROUP BY 1, 2
              |ORDER BY 1, 2""".stripMargin)),
 
+    // ---- Vocabulary growth across data rungs (q164) -----------------------
+    // Heaps'-law data on q147's nested 1%/10%/100% subsets: token mass,
+    // distinct token types, hapax count, and the TTR / hapax-rate
+    // permilles per rung — how fast vocabulary grows with corpus size
+    // is the empirical input to vocab sizing (with q159's
+    // compression-vs-vocab curve) and to new-data value estimates (a
+    // flattening type curve means new data repeats known vocabulary).
+    // Same affine-hash nested membership as q147 (supersets by
+    // construction, membership from the row alone), but measured at
+    // TOKEN granularity: one exploded scan into per-type conditional
+    // counts (ONE token-keyed shuffle, map-side combined), then a
+    // 1-row aggregate over the vocab-sized count table and a 3-row
+    // stack. DISTINCT-per-rung comes free from the per-type counts —
+    // no multi-rung count-distinct Expand over corpus rows.
+    Q(
+      "q164_vocab_growth",
+      (s, d) => {
+        val t1 = 1000000007L / 100
+        val t10 = 1000000007L / 10
+        val toks = Tables.documents(s, d)
+          .withColumn("h",
+            (lit(982451653L) * col("doc_id") + lit(12345L)) % lit(1000000007L))
+          .select(col("h"),
+            explode(filter(split(col("text"), " "), t => t =!= "")).as("tok"))
+        val tc = toks.groupBy(col("tok")).agg(
+          sum(when(col("h") < t1, 1L).otherwise(0L)).as("c1"),
+          sum(when(col("h") < t10, 1L).otherwise(0L)).as("c10"),
+          count(lit(1)).as("c100"))
+        def rungAggs(c: String, tag: String) = Seq(
+          sum(col(c)).as(s"t_$tag"),
+          count(when(col(c) > 0, 1)).as(s"v_$tag"),
+          count(when(col(c) === 1, 1)).as(s"h_$tag"))
+        val aggs = rungAggs("c1", "1") ++ rungAggs("c10", "10") ++
+          rungAggs("c100", "100")
+        tc.agg(aggs.head, aggs.tail: _*)
+          .selectExpr("""stack(3,
+            1L, t_1, v_1, h_1,
+            10L, t_10, v_10, h_10,
+            100L, t_100, v_100, h_100)
+            as (pct, n_tokens, n_types, n_hapax)""")
+          .withColumn("ttr_permille", expr("(1000 * n_types) DIV n_tokens"))
+          .withColumn("hapax_permille", expr("(1000 * n_hapax) DIV n_types"))
+          .orderBy(col("pct"))
+      },
+      Some(s"""WITH d AS (SELECT (982451653 * doc_id + 12345) % 1000000007 AS h,
+             |         text FROM documents),
+             |w AS (SELECT h, unnest(list_filter(string_split(text, ' '),
+             |         x -> x <> '')) AS tok FROM d),
+             |tc AS (SELECT tok,
+             |         CAST(sum(CASE WHEN h < ${1000000007L / 100} THEN 1
+             |                  ELSE 0 END) AS BIGINT) AS c1,
+             |         CAST(sum(CASE WHEN h < ${1000000007L / 10} THEN 1
+             |                  ELSE 0 END) AS BIGINT) AS c10,
+             |         CAST(count(*) AS BIGINT) AS c100
+             |       FROM w GROUP BY tok),
+             |a AS (SELECT
+             |  CAST(sum(c1) AS BIGINT) AS t_1,
+             |  CAST(count(CASE WHEN c1 > 0 THEN 1 END) AS BIGINT) AS v_1,
+             |  CAST(count(CASE WHEN c1 = 1 THEN 1 END) AS BIGINT) AS h_1,
+             |  CAST(sum(c10) AS BIGINT) AS t_10,
+             |  CAST(count(CASE WHEN c10 > 0 THEN 1 END) AS BIGINT) AS v_10,
+             |  CAST(count(CASE WHEN c10 = 1 THEN 1 END) AS BIGINT) AS h_10,
+             |  CAST(sum(c100) AS BIGINT) AS t_100,
+             |  CAST(count(*) AS BIGINT) AS v_100,
+             |  CAST(count(CASE WHEN c100 = 1 THEN 1 END) AS BIGINT) AS h_100
+             |  FROM tc)
+             |SELECT pct, n_tokens, n_types, n_hapax,
+             |       (1000 * n_types) // n_tokens AS ttr_permille,
+             |       (1000 * n_hapax) // n_types AS hapax_permille
+             |FROM (
+             |  SELECT CAST(1 AS BIGINT) AS pct, t_1 AS n_tokens,
+             |         v_1 AS n_types, h_1 AS n_hapax FROM a
+             |  UNION ALL
+             |  SELECT 10, t_10, v_10, h_10 FROM a
+             |  UNION ALL
+             |  SELECT 100, t_100, v_100, h_100 FROM a)
+             |ORDER BY pct""".stripMargin)),
+
     // ---- Cluster-balanced downsampling (SemDeDup/DataComp curation) ------
     // Embedding-cluster the corpus, then CAP each cluster's membership
     // — the diversity-balancing stage the SemDeDup/DataComp pipelines

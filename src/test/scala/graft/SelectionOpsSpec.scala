@@ -896,6 +896,32 @@ class SelectionOpsSpec extends SparkSpec {
     }
   }
 
+  test("q164: vocab-growth rungs equal a driver-side exact recompute") {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ").filter(_.nonEmpty).toSeq))
+    def rung(thresh: Long): (Long, Long, Long) = {
+      val toks = docs.filter { case (id, _) =>
+        (982451653L * id + 12345L) % 1000000007L < thresh
+      }.flatMap(_._2)
+      val byType = toks.groupBy(identity).map(_._2.size)
+      (toks.size.toLong, byType.size.toLong, byType.count(_ == 1).toLong)
+    }
+    val want = Seq(1L -> rung(1000000007L / 100), 10L -> rung(1000000007L / 10),
+      100L -> rung(1000000007L)).map { case (pct, (t, v, h)) =>
+      (pct, t, v, h, 1000L * v / t, 1000L * h / v)
+    }
+    val got = Registry.byName("q164_vocab_growth").run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == want)
+    // nesting: token mass and type counts grow with the rung; TTR falls
+    // (Heaps sublinearity) on the fixture
+    assert(got(0)._2 <= got(1)._2 && got(1)._2 <= got(2)._2)
+    assert(got(0)._3 <= got(1)._3 && got(1)._3 <= got(2)._3)
+    assert(got(0)._5 >= got(2)._5, "TTR did not fall with scale")
+  }
+
   test("q157: top-20 PMI collocations equal a driver-side exact recompute") {
     val toks = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("text")).collect()
