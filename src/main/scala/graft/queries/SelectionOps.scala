@@ -1840,10 +1840,14 @@ object SelectionOps {
     // floored cross-multiplication ((n_xy·NU) DIV n_x)·NU DIV
     // (n_y·NB) — written identically in both engines, so the floors
     // agree exactly; bits via the shared log2 ladder; n_xy ≥ 5 kills
-    // the hapax noise floor. Physical shape: one bigram-count shuffle
-    // (map-side combined), two broadcast vocab joins, TakeOrdered
-    // top-20 under a total (bits, n_xy, prev, tok) order — no corpus
-    // window, nothing collects.
+    // the hapax noise floor. Overflow bound: the largest intermediate
+    // is ((n_xy·NU) DIV n_x)·NU ≤ NU² (n_xy ≤ n_x), exact in int64
+    // while NU < ~3e9 tokens; beyond that, rescale both counts by a
+    // common power of two before the ladder (the bits change by the
+    // same bounded amount on both sides of the ratio). Physical shape:
+    // one bigram-count shuffle (map-side combined), two broadcast
+    // vocab joins, TakeOrdered top-20 under a total (bits, n_xy, prev,
+    // tok) order — no corpus window, nothing collects.
     Q(
       "q157_collocations",
       (s, d) => {
