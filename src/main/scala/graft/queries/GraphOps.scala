@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.ops.{PageRank, Triangles}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Iterative graph analytics (SURVEY §2 extension surface). The graph is
@@ -113,6 +114,33 @@ object GraphOps {
        |LIMIT 20""".stripMargin
   }
 
+  /** Scale the shuffle width to the fact-table size for the graph
+    * queries and materialize the (top-20) result under that conf. The
+    * session default (|cores| partitions) sizes a ~60M-row edge build
+    * + per-round joins at ~2M rows per task — measured at the sf100
+    * rung as execution-memory exhaustion ([UNABLE_TO_ACQUIRE_MEMORY]
+    * in the first contribs round at 100g heap); ~250K rows per
+    * partition keeps every sort/agg footprint bounded regardless of
+    * rung. Below the threshold (every test SF ≤ sf10) the width is
+    * unchanged and the frame returns lazily — identical plans, zero
+    * effect on the committed numbers. The conf is scoped: the result
+    * is forced via localCheckpoint (rounds are eager inside
+    * PageRank.ranks anyway) and the session value restored.
+    */
+  private def withFactScaledShuffle(s: org.apache.spark.sql.SparkSession,
+                                    d: String)
+      (build: => DataFrame): DataFrame = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    val parts = math.max(prev.toInt,
+      (Tables.lineitem(s, d).count() / 250000L).toInt + 1)
+    if (parts == prev.toInt) build
+    else {
+      s.conf.set("spark.sql.shuffle.partitions", parts.toString)
+      try build.localCheckpoint()
+      finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+  }
+
   val defs: Seq[Q] = Seq(
     // ---- PageRank over the customer↔supplier trade graph -----------------
     // Nodes: custkey*2 / suppkey*2+1 (disjoint BIGINT spaces, no string
@@ -121,7 +149,7 @@ object GraphOps {
     // rank with a total (rank desc, suppkey) tie-break order.
     Q(
       "q130_pagerank",
-      (s, d) => {
+      (s, d) => withFactScaledShuffle(s, d) {
         val pairs = Tables.lineitem(s, d)
           .select(col("l_orderkey"), col("l_suppkey"))
           .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
@@ -154,7 +182,7 @@ object GraphOps {
     // 6-round fixpoint hash-exactly (same unrolled MATERIALIZED chain).
     Q(
       "q132_personalized_pagerank",
-      (s, d) => {
+      (s, d) => withFactScaledShuffle(s, d) {
         val pw = Tables.lineitem(s, d)
           .select(col("l_orderkey"), col("l_suppkey"))
           .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
