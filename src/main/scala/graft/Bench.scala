@@ -109,9 +109,24 @@ object Bench {
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // Round-9 run STILL recorded "parsed": null — the full per-query map
+    // is ~5.5 KB and the driver's captured stdout tail truncates mid-line.
+    // The authoritative per-query map lives in bench_out.json (above);
+    // stdout gets a compact line (headline queries only, <600 bytes) that
+    // always fits the tail while keeping the driver's expected shape.
+    val headline = Set("q01_orders_kpis", "q55_jobs_pipeline",
+      "q70_docs_minhash_portable", "q86_ivf_seeded_ann",
+      "q106_semantic_dedup", "q130_pagerank",
+      "q140_pairs_auto_routed", "q155_dedup_yield", "curation")
+    val qsHead = (results ++ curation)
+      .filter { case (k, _) => headline.contains(k) }
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    val summary =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsHead,"n":${results.size + curation.size},"failed":$failedJson,"sf":"$sfDir","detail":"$outFile"}"""
     spark.stop()
     System.out.flush()
-    println(json)
+    println(summary)
     System.out.flush()
   }
 }

@@ -254,14 +254,19 @@ object CosineDedup {
     *
     * Semantics of the routed path: results are a SUBSET of the exact
     * pair set (identical cos_r on every emitted pair — same kernel);
-    * pairs straddling a cluster border are missed. That recall trade is
-    * the price of linear cost: k ∝ n pins the mean cell near 2500, so
-    * kernel work is Σ c_b²/2 ≈ n·1250 — linear in n where exact
-    * all-pairs is n²/2 — and the top-2-probe routing bounds the cell
-    * skew that would concentrate it (measured: max cell ≈ 2.2× flat's
-    * 3K at sf10). CosineDedupSpec measures the recall on the planted-
-    * cluster fixture. Callers needing guaranteed-complete pairs at
-    * scale keep the explicit maxRows override and pay the quadratic.
+    * pairs BOTH of whose endpoints rank the shared cell below their
+    * top-2 are missed. Round 9 measured 0.381 pair recall under
+    * single-assignment on the planted-cluster fixture; routing each
+    * vector to its TOP-2 fine cells (assignTwoLevelTop2 — the
+    * IVF-multi-probe trick applied to the assignment side) heals the
+    * border: a split pair is recovered whenever either endpoint's
+    * runner-up cell is the other's cell. The price is ~4× kernel work
+    * (each cell's population doubles) — ~n·5000, still linear where
+    * exact all-pairs is n²/2 — plus a pair-level dedup for pairs
+    * co-located in both shared cells. CosineDedupSpec measures the
+    * recall on the planted-cluster fixture. Callers needing
+    * guaranteed-complete pairs at scale keep the explicit maxRows
+    * override and pay the quadratic.
     */
   def pairsAboveAuto(
       e: DataFrame,
@@ -276,7 +281,7 @@ object CosineDedup {
       return pairsAbove(e, threshold, dim, signBits, targetBlock, seed, maxRows)
 
     val k = graft.queries.SelectionOps.adaptiveK(nRows)
-    val assigned = graft.queries.SelectionOps.assignTwoLevel(e, k)
+    val assigned = graft.queries.SelectionOps.assignTwoLevelTop2(e, k)
       .localCheckpoint(false)
     // per-cluster sub-block counts: k = n/2500 rows — joined back (not a
     // driver-built when-chain, which would not scale past a few dozen
@@ -303,6 +308,10 @@ object CosineDedup {
         col("B.bucket") === col("P.bucket") && col("B.sub") === col("P.sb"))
       .select(col("A.items").as("ia"), col("B.items").as("ib"),
         (col("P.sa") === col("P.sb")).as("same"))
+    // top-2 multi-assignment can co-locate the same pair in BOTH shared
+    // cells; cos_r is a pure function of the pair (same kernel), so the
+    // dedup never has to pick between conflicting rows
     scoreBlocks(joined, dim, threshold)
+      .dropDuplicates("vec_a", "vec_b")
   }
 }

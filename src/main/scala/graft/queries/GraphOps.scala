@@ -127,17 +127,40 @@ object GraphOps {
     * is forced via localCheckpoint (rounds are eager inside
     * PageRank.ranks anyway) and the session value restored.
     */
+  /** Per-dataset width cache — the width is a pure function of the
+    * dataset directory, so the (already metadata-only) derivation runs
+    * once per dataset per JVM, not once per q130/q132 call.
+    */
+  private val widthCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Int]()
+
+  private def factShuffleWidth(s: org.apache.spark.sql.SparkSession,
+                               d: String, sessionWidth: Int): Int =
+    widthCache.computeIfAbsent(d, _ => {
+      // metadata-only: Catalyst's relation stats for a parquet scan are
+      // the summed file sizes from the file index — no count() scan.
+      // ~45 MB of lineitem parquet ≈ 250K rows (measured ~183 B/row at
+      // sf10/sf100), the per-task footprint the fix targets.
+      val bytes = Tables.lineitem(s, d).queryExecution
+        .optimizedPlan.stats.sizeInBytes
+      math.max(sessionWidth,
+        (bytes / (45L * 1024 * 1024)).toInt + 1)
+    })
+
   private def withFactScaledShuffle(s: org.apache.spark.sql.SparkSession,
                                     d: String)
       (build: => DataFrame): DataFrame = {
-    val prev = s.conf.get("spark.sql.shuffle.partitions")
-    val parts = math.max(prev.toInt,
-      (Tables.lineitem(s, d).count() / 250000L).toInt + 1)
-    if (parts == prev.toInt) build
+    val prevStr = s.conf.get("spark.sql.shuffle.partitions")
+    // defensive parse: the session value can be non-numeric (e.g. AQE
+    // "auto" in future Spark versions) — treat it as the floor 1 and
+    // never throw from a width heuristic
+    val prev = prevStr.toIntOption.getOrElse(1)
+    val parts = factShuffleWidth(s, d, prev)
+    if (parts == prev) build
     else {
       s.conf.set("spark.sql.shuffle.partitions", parts.toString)
       try build.localCheckpoint()
-      finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      finally s.conf.set("spark.sql.shuffle.partitions", prevStr)
     }
   }
 

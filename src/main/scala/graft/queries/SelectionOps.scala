@@ -76,9 +76,11 @@ object SelectionOps {
   private[graft] def adaptiveK(n: Long): Long = math.max(8L, n / 2500L)
 
   /** Oracle CTE chain replaying [[assignTwoLevel]] with adaptive k —
-    * `WITH e, kk, cent, sup, casg, vsup, asg`; `asg` = (vec_id, v,
-    * bucket). Shared by q106 (appends the drop join) and q140 (appends
-    * the within-bucket exact pair join).
+    * `WITH e, kk, cent, sup, casg, vsup, asgr, asg, asg2`; `asg` =
+    * (vec_id, v, bucket) single-assign (q106's drop join), `asg2` =
+    * the top-2 fine-cell multi-assignment (q140's routed pair join —
+    * see [[assignTwoLevelTop2]]). CTEs are lazy, so each query pays
+    * only for the branch it reads.
     */
   private[graft] val twoLevelAsgCtes: String =
     """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -103,12 +105,12 @@ object SelectionOps {
       |                    ORDER BY round(list_cosine_similarity(e.v, s.sv), 4) DESC, s.s_id) AS rn
       |           FROM e, sup s)
       |         WHERE rn <= 2),
-      |asg AS (SELECT vec_id, v, c_id AS bucket FROM (
-      |          SELECT w.vec_id, w.v, c.c_id,
-      |                 row_number() OVER (PARTITION BY w.vec_id
-      |                   ORDER BY round(list_cosine_similarity(w.v, c.cv), 4) DESC, c.c_id) AS rn
-      |          FROM vsup w JOIN casg c ON w.scell = c.scell)
-      |        WHERE rn = 1)""".stripMargin
+      |asgr AS (SELECT w.vec_id, w.v, c.c_id,
+      |                row_number() OVER (PARTITION BY w.vec_id
+      |                  ORDER BY round(list_cosine_similarity(w.v, c.cv), 4) DESC, c.c_id) AS rn
+      |         FROM vsup w JOIN casg c ON w.scell = c.scell),
+      |asg AS (SELECT vec_id, v, c_id AS bucket FROM asgr WHERE rn = 1),
+      |asg2 AS (SELECT vec_id, v, c_id AS bucket FROM asgr WHERE rn <= 2)""".stripMargin
 
   /** Super-cell count for the two-level quantizer: ⌊√k⌋ (≥1). IEEE sqrt
     * is correctly rounded, so perfect squares floor identically in the
@@ -213,8 +215,12 @@ object SelectionOps {
           .otherwise(acc)
       })
 
-  private[graft] def assignTwoLevel(e: org.apache.spark.sql.DataFrame,
-                                    k: Long): org.apache.spark.sql.DataFrame = {
+  /** Shared routing prefix of [[assignTwoLevel]]/[[assignTwoLevelTop2]]:
+    * each vector with the member-centroid arrays of its top-2
+    * super-cells — (vec_id, v, n2, m1, m2), m2 nullable.
+    */
+  private def candidateCells(e: org.apache.spark.sql.DataFrame,
+                             k: Long): org.apache.spark.sql.DataFrame = {
     val k1 = superK(k)
     val cent = e.where(col("vec_id") < k)
       .select(col("vec_id").as("c_id"), col("v").as("cv"), col("n2").as("cn2"))
@@ -236,10 +242,6 @@ object SelectionOps {
     val cellArr = casg.groupBy(col("scell"))
       .agg(collect_list(struct(col("c_id").as("id"), col("cv"), col("cn2")))
         .as("members"))
-    // route each vector through its TOP-2 super-cells (see top2Of),
-    // argmax each cell's members in-row, keep the overall winner —
-    // cells are disjoint, so the two folds cover the candidate union
-    // exactly once and the (cos DESC, id ASC) compare resolves the rest
     e.crossJoin(broadcast(supArr))
       .withColumn("t2", top2Of(col("sups"), col("v"), col("n2")))
       .select(col("vec_id"), col("v"), col("n2"),
@@ -249,10 +251,19 @@ object SelectionOps {
       // LEFT probe for the second cell: with fewer than 2 super-cells
       // (k1=1, or a corpus missing the low seed ids) top2Of leaves
       // i2=Long.MaxValue which matches no cell — an inner join here
-      // would silently drop every vector; instead b2 degrades to b1
-      // (single-probe), matching the replaced window form's behavior
+      // would silently drop every vector; instead the consumers degrade
+      // to single-probe, matching the replaced window form's behavior
       .join(broadcast(cellArr.select(col("scell").as("s2"),
         col("members").as("m2"))), Seq("s2"), "left")
+      .select(col("vec_id"), col("v"), col("n2"), col("m1"), col("m2"))
+  }
+
+  private[graft] def assignTwoLevel(e: org.apache.spark.sql.DataFrame,
+                                    k: Long): org.apache.spark.sql.DataFrame =
+    // argmax each probed cell's members in-row, keep the overall
+    // winner — cells are disjoint, so the two folds cover the
+    // candidate union exactly once and (cos DESC, id ASC) resolves it
+    candidateCells(e, k)
       .withColumn("b1", bestOf(col("m1"), col("v"), col("n2")))
       .withColumn("b2",
         when(col("m2").isNotNull, bestOf(col("m2"), col("v"), col("n2")))
@@ -262,7 +273,30 @@ object SelectionOps {
             (col("b1.cos") === col("b2.cos") &&
               col("b1.id") < col("b2.id")),
           col("b1.id")).otherwise(col("b2.id")).as("bucket"))
-  }
+
+  /** Top-2 FINE-cell multi-assignment (q140's routed-recall lever,
+    * round-9 verdict #3): up to two rows per vector — its two best
+    * (rounded-cosine, id) centroids over the probed cells' candidate
+    * union. A near-dup pair split by a single-assign cell border is
+    * recovered whenever EITHER endpoint's second-best cell is the
+    * other's cell — the same border-healing multi-probe gives IVF
+    * search, applied to the assignment side. Doubles the per-cell
+    * population, so the within-cell pair kernel pays ~4× (still linear,
+    * ~n·5000 vs exact n²/2); consumers must dedup pairs co-located in
+    * both shared cells. The selection order is the oracle's `asg2` CTE
+    * (rn <= 2 over the same candidate join) — deterministic both sides.
+    */
+  private[graft] def assignTwoLevelTop2(e: org.apache.spark.sql.DataFrame,
+                                        k: Long): org.apache.spark.sql.DataFrame =
+    candidateCells(e, k)
+      .withColumn("cand",
+        when(col("m2").isNotNull, concat(col("m1"), col("m2")))
+          .otherwise(col("m1")))
+      .withColumn("tf", top2Of(col("cand"), col("v"), col("n2")))
+      // i2 stays Long.MaxValue when the candidate pool has one centroid
+      .select(col("vec_id"), col("v"), col("n2"),
+        explode(filter(array(col("tf.i1"), col("tf.i2")),
+          x => x =!= lit(Long.MaxValue))).as("bucket"))
 
   /** q106's full assignment: adaptive k over the two-level quantizer
     * (shared with SelectionOpsSpec's witness check).
@@ -320,8 +354,12 @@ object SelectionOps {
     val joined = withB.join(meta, Seq("grp", "gb"))
     val full = joined.where(col("keep_all")).select(col("grp"), col("id"), col("h"))
     val partial = joined.where(!col("keep_all"))
+      // id tiebreak: h collides only across residue classes of the
+      // prime (see selHash) — the tiebreak keeps selection
+      // deterministic above 1e9 ids without changing any result below
       .withColumn("rn", row_number().over(
-        Window.partitionBy(col("grp"), col("gb")).orderBy(col("h"))))
+        Window.partitionBy(col("grp"), col("gb"))
+          .orderBy(col("h"), col("id"))))
       .where(col("rn") <= col("k_in"))
       .select(col("grp"), col("id"), col("h"))
     full.unionByName(partial)
@@ -356,22 +394,42 @@ object SelectionOps {
         (col("target_n") - col("cum_before")).as("k_in"))
       .localCheckpoint()
     withB.join(meta, Seq("grp", "gb"))
+      // id tiebreak mirrors exactKPerGroup's (see selHash)
       .withColumn("rn", row_number().over(
-        Window.partitionBy(col("grp"), col("gb")).orderBy(col("h"))))
+        Window.partitionBy(col("grp"), col("gb"))
+          .orderBy(col("h"), col("id"))))
       .where(col("keep_all") || col("rn") <= col("k_in"))
       .select(col("grp"), col("id"), col("h"),
         (col("cum_before") + col("rn")).as("rnk"))
   }
 
+  /** 64-bit-safe affine selection hash h = (A·(id mod P) + B) mod P,
+    * P = 1,000,000,007. Reducing the id mod P BEFORE the multiply keeps
+    * the product ≤ A·(P−1) ≈ 9.8e17 < 2^63, so h is the true
+    * mathematical value over the whole int64 id domain — the naive
+    * `A*id + B` form overflows (negative h, broken DIV bucketing) for
+    * id ≳ 9.4e9, inside the multi-billion-row domain the scale notes
+    * claim. Values are identical to the naive form for id < P, so every
+    * oracle is unchanged. Injectivity (the no-ties premise of
+    * [[exactKPerGroup]]/[[exactKRanked]]) holds only per residue class:
+    * ids differing by a multiple of P collide, which is why those
+    * helpers tiebreak their rank windows on id — selection stays
+    * deterministic (not merely total-ordered by luck) above 1e9 ids.
+    */
+  private[graft] def selHash(id: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    (lit(982451653L) * (id % lit(1000000007L)) + lit(12345L)) %
+      lit(1000000007L)
+
   /** q144's document spine: (doc_id, lang, h) with the affine
     * selection hash (injective mod the prime ⇒ a total per-language
-    * order with no ties).
+    * order with no ties below 1e9 docs; id tiebreaks cover the rest —
+    * see [[selHash]]).
     */
   private[graft] def mixDocs(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame =
     docs.select(col("doc_id"), col("lang"))
-      .withColumn("h",
-        (lit(982451653L) * col("doc_id") + lit(12345L)) % lit(1000000007L))
+      .withColumn("h", selHash(col("doc_id")))
 
   /** q144's α=0.5 temperature apportionment over per-language counts
     * (lang, n_lang) — shared with the q146 stream twin, whose folded
@@ -755,14 +813,17 @@ object SelectionOps {
     // The routed branch of CosineDedup.pairsAboveAuto pinned to the
     // DuckDB gate: maxRows=100 forces the cluster route on every
     // fixture, so the hash-compared answer IS the over-guard behavior —
-    // two-level assignment (same CTE chain as q106) followed by the
-    // exact blocked kernel WITHIN each cell. Results are a determinate
-    // subset of q43b's exact pair set (border pairs missed — the
+    // TOP-2 fine-cell multi-assignment (the `asg2` branch of the q106
+    // CTE chain; round-10 recall fix, 0.381 → measured ≥0.7 on the
+    // planted-cluster fixture) followed by the exact blocked kernel
+    // WITHIN each cell, pair-deduped across the two shared cells.
+    // Results are a determinate subset of q43b's exact pair set (pairs
+    // neither endpoint ranks in its top-2 cells are missed — the
     // documented SemDeDup trade); identical cos_r on every emitted pair
     // because it is the same kernel. Scale shape: the only exchanges
-    // are the bucket-keyed block groupBy and the block-pair join —
-    // kernel work ~n·1250 (k ∝ n pins mean cell near 2500) vs the
-    // exact path's n²/2.
+    // are the bucket-keyed block groupBy, the block-pair join, and the
+    // pair dedup — kernel work ~n·5000 (k ∝ n pins mean cell near
+    // 2500, ×4 for doubled cell population) vs the exact path's n²/2.
     Q(
       "q140_pairs_auto_routed",
       (s, d) => {
@@ -774,9 +835,9 @@ object SelectionOps {
           .orderBy(col("vec_a"), col("vec_b"))
       },
       Some(s"""$twoLevelAsgCtes
-             |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             |SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
              |       round(list_cosine_similarity(a.v, b.v), 4) AS cos_r
-             |FROM asg a JOIN asg b
+             |FROM asg2 a JOIN asg2 b
              |  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
              |WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.45
              |ORDER BY vec_a, vec_b""".stripMargin)),
@@ -1529,8 +1590,7 @@ object SelectionOps {
         val t1 = 1000000007L / 100
         val t10 = 1000000007L / 10
         val docs = Tables.documents(s, d)
-          .withColumn("h",
-            (lit(982451653L) * col("doc_id") + lit(12345L)) % lit(1000000007L))
+          .withColumn("h", selHash(col("doc_id")))
           .withColumn("n_tok",
             size(filter(split(col("text"), " "), t => t =!= "")).cast("long"))
           .withColumn("dupfam",
@@ -2061,8 +2121,7 @@ object SelectionOps {
         val t1 = 1000000007L / 100
         val t10 = 1000000007L / 10
         val toks = Tables.documents(s, d)
-          .withColumn("h",
-            (lit(982451653L) * col("doc_id") + lit(12345L)) % lit(1000000007L))
+          .withColumn("h", selHash(col("doc_id")))
           .select(col("h"),
             explode(filter(split(col("text"), " "), t => t =!= "")).as("tok"))
         val tc = toks.groupBy(col("tok")).agg(
@@ -2142,8 +2201,7 @@ object SelectionOps {
         val k = adaptiveK(n)
         val cap = math.max(1L, n / k / 2)
         val members = assignTwoLevel(e, k)
-          .withColumn("h",
-            (lit(982451653L) * col("vec_id") + lit(12345L)) % lit(1000000007L))
+          .withColumn("h", selHash(col("vec_id")))
           .select(col("bucket").cast("long").as("grp"),
                   col("vec_id").as("id"), col("h"))
           .localCheckpoint()

@@ -1100,6 +1100,10 @@ object TrainingOps {
           .groupBy(col("lang"))
           .agg(sum(col("n_words")).as("n_words"),
                sum(col("n_pieces")).as("n_pieces"))
+          // a language whose docs are ALL empty has n_words=0 here but
+          // no row at all in the oracle (its word-level joins drop
+          // empty docs) — filter so both engines agree by construction
+          .where(col("n_words") > 0)
           .withColumn("fert_permille",
             expr("(1000 * n_pieces) DIV n_words"))
           .orderBy(col("lang"))

@@ -640,13 +640,18 @@ object VectorOps {
             col("n2").as("qn2"), col("label").as("qlabel"))
         // ord: c4 in the high bits, -vec_id below => keep-largest heap
         // keeps (c4 DESC, vec_id ASC); payload packs (label, vec_id)
-        // with a 2^48 shift (labels < 2^15, vec_id < 2^48 — documented)
+        // with a 2^48 shift (labels < 2^15, vec_id < 2^48 — documented).
+        // ord uses the SAME 2^48 shift so the tiebreak holds over the
+        // full vec_id domain: |c4| <= 10000 so |ord| <= 1e4*2^48 + 2^48
+        // ~= 2.8e18 < 2^63 (a 2^33 shift would let vec_id >= 2^33 cross
+        // adjacent c4 steps and mis-rank neighbors).
         val top = e.crossJoin(broadcast(q))
           .where(col("vec_id") =!= col("qid"))
           .withColumn("c4",
             round(round(dotProduct(col("v"), col("qv")) /
               sqrt(col("n2") * col("qn2")), 4) * 10000, 0).cast("long"))
-          .withColumn("ord", col("c4") * lit(8589934592L) - col("vec_id"))
+          .withColumn("ord",
+            col("c4") * lit(281474976710656L) - col("vec_id"))
           .withColumn("payload",
             col("label") * lit(281474976710656L) + col("vec_id"))
           .groupBy(col("qid"), col("qlabel"))

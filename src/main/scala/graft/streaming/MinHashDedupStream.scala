@@ -81,11 +81,25 @@ object MinHashDedupStream {
     * completion (one micro-batch per file) and return the accumulated
     * per-doc verdicts `(doc_id, n_dup_prior, kept)`.
     */
+  /** Post-run store-size report (stderr): the scale-rung evidence that
+    * the band/pack/label stores grow with the corpus, not with batch
+    * count — pathology here (store ≫ input) would mean the `batch=`
+    * retention or bucketing broke.
+    */
+  private def reportStores(spark: SparkSession, workDir: String,
+                           tag: String): Unit = {
+    val sizes = Seq("band_store", "pack_store", "labels", "out").map { s =>
+      s"$s=${Load.storeBytes(spark, s"$workDir/$s")}"
+    }
+    System.err.println(s"[$tag] storeBytes ${sizes.mkString(" ")}")
+  }
+
   def run(spark: SparkSession, inputDir: String, workDir: String,
           nBuckets: Int = 16,
           pruneThresholdBytes: Long = PruneThresholdBytes): DataFrame = {
     runStream(spark, inputDir, workDir, nBuckets, pruneThresholdBytes,
       foldCc = false)
+    reportStores(spark, workDir, "q129")
     spark.read.parquet(s"$workDir/out")
       .select(col("doc_id"), col("n_dup_prior"), col("kept"))
       .orderBy("doc_id")
@@ -104,6 +118,7 @@ object MinHashDedupStream {
       : DataFrame = {
     runStream(spark, inputDir, workDir, nBuckets, pruneThresholdBytes,
       foldCc = true)
+    reportStores(spark, workDir, "q134")
     val last = new java.io.File(s"$workDir/labels").listFiles()
       .map(_.getName).filter(_.startsWith("batch="))
       .map(_.stripPrefix("batch=").toLong).max

@@ -341,10 +341,11 @@ class OpsSpec extends SparkSpec {
     assert(routed.subsetOf(exact))
     val recall = routed.size.toDouble / exact.size
     info(f"planted-cluster recall: ${routed.size}/${exact.size} = $recall%.3f")
-    // the planted intra-cluster mass is recovered in meaningful part
-    // (cells split each cluster across its same-axis centroids, so
-    // recall < 1 by construction — the documented border loss)
-    assert(recall >= 0.25 && recall < 1.0, f"recall $recall%.3f")
+    // top-2 fine-cell multi-assignment (round-10 fix; single-assignment
+    // measured 0.381 here) must recover most of the planted
+    // intra-cluster mass — pairs survive unless NEITHER endpoint ranks
+    // the shared cell in its top-2
+    assert(recall >= 0.7, f"recall $recall%.3f")
   }
 
   test("large-star/small-star CC: correct clusters in logarithmic rounds") {

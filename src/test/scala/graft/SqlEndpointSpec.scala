@@ -67,6 +67,50 @@ class SqlEndpointSpec extends SparkSpec {
           "SELECT count(DISTINCT skill) AS k FROM global_temp.job_skills")
         assert(rs3.next() && rs3.getLong("k") > 0)
       } finally conn.close()
+
+      // ---- concurrent clients over every dashboard page (round-9 #6/#7) --
+      // Power BI issues slicer queries over several connections at once;
+      // the thrift server gives each connection an ISOLATED session, so
+      // global-temp-view visibility across simultaneous sessions is the
+      // risk this exercises. Two parallel hive-jdbc clients split the
+      // mounted q01–q27 dashboard views between them and each runs one
+      // wire query per page; counts are then compared to the engine's
+      // direct evaluation of the same views.
+      val pages = graft.server.SqlEndpoint.dashboardViews
+      assert(pages.size == 27, pages.mkString(","))
+      val wireCounts =
+        new java.util.concurrent.ConcurrentHashMap[String, Long]()
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val threads = Seq(0, 1).map { par =>
+        new Thread(() => {
+          try {
+            val c = DriverManager.getConnection(
+              s"jdbc:hive2://localhost:$port/", "anonymous", "")
+            try {
+              val st = c.createStatement()
+              pages.zipWithIndex.filter(_._2 % 2 == par).foreach {
+                case (name, _) =>
+                  val rs = st.executeQuery(
+                    s"SELECT count(*) AS n FROM global_temp.$name")
+                  assert(rs.next())
+                  wireCounts.put(name, rs.getLong("n"))
+              }
+            } finally c.close()
+          } catch { case t: Throwable => errs.add(t) }
+        })
+      }
+      threads.foreach(_.start())
+      threads.foreach(_.join(120000))
+      assert(errs.isEmpty, s"concurrent client failed: ${errs.peek()}")
+      pages.foreach { name =>
+        val direct = spark.table(s"global_temp.$name").count()
+        assert(wireCounts.get(name) == direct,
+          s"$name: wire=${wireCounts.get(name)} direct=$direct")
+      }
+      // most pages carry rows even at the spec's tiny SF (q14's
+      // anti-join is legitimately empty there — parity above is the
+      // real check)
+      assert(pages.count(n => wireCounts.get(n) > 0) >= 25)
     } finally server.stop()
   }
 }
