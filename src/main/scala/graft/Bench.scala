@@ -18,6 +18,11 @@ object Bench {
       // fixture files are single small parquets; split finer so scans use
       // the cores (a real cluster with 128MB+ files keeps the default)
       .config("spark.sql.files.maxPartitionBytes", "4m")
+      // reclaim shuffle files of GC'd stages promptly: iterative jobs
+      // (PageRank rounds at the sf100 rung) otherwise accumulate every
+      // round's shuffle on disk until the default 30-min periodic GC —
+      // measured as a disk-full crash at 1.17B edges
+      .config("spark.cleaner.periodicGC.interval", "1min")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

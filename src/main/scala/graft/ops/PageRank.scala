@@ -54,6 +54,24 @@ object PageRank {
     */
   private val CheckpointEvery = 2
 
+  /** Materialize the degree-annotated edge list once, COMPRESSED.
+    * localCheckpoint would store it as deserialized rows — measured at
+    * the sf100 rung (1.17B edges off 600M lineitems) as ~100 GB of
+    * MemoryStore blocks, which took the whole box's disk down with it
+    * (`bench_history/` round-10 notes). The columnar cache stores the
+    * same three long columns compressed (~10× smaller) and preserves
+    * the join-aligned hash partitioning and src sort order the
+    * per-round SMJ reuses, so rounds still shuffle only the node-sized
+    * rank frame. Lineage is kept (persist, not checkpoint) — the
+    * upstream fact join re-runs only if blocks are evicted, and the
+    * eager count() below pays the materialization exactly once.
+    */
+  private def persistEdges(ed: DataFrame): DataFrame = {
+    val p = ed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    p.count()
+    p
+  }
+
   /** Ranks after `k` rounds over a directed edge list (`src`, `dst`:
     * long). Edges are taken as-is — callers dedup and symmetrize as
     * their graph semantics require. Nodes = every endpoint; nodes with
@@ -64,7 +82,7 @@ object PageRank {
   def ranks(edges: DataFrame, k: Int): DataFrame = {
     require(k >= 0, s"pagerank rounds must be >= 0, got $k")
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val ed = edges.join(deg, "src").localCheckpoint()
+    val ed = persistEdges(edges.join(deg, "src"))
     val nodes = ed.select(col("src").as("node"))
       .unionByName(ed.select(col("dst").as("node")))
       .distinct()
@@ -74,6 +92,10 @@ object PageRank {
     val teleport = (15L * Mass) / (100L * n)
 
     var r = nodes.select(col("node"), lit(Mass / n).as("rank"))
+    // retire the previous rank snapshot once the next one is
+    // materialized: live storage stays O(1) rounds instead of O(k)
+    // (node-sized blocks, but at 16M+ nodes that is GBs per snapshot)
+    var prevCkpt: DataFrame = null
     var i = 0
     while (i < k) {
       val contribs = ed.join(r, ed("src") === r("node"))
@@ -83,11 +105,16 @@ object PageRank {
       val next = nodes.join(contribs, Seq("node"), "left")
         .select(col("node"),
           (lit(teleport) + coalesce(col("sc"), lit(0L))).as("rank"))
-      r = if (i % CheckpointEvery == CheckpointEvery - 1 || i == k - 1)
-        next.localCheckpoint()
-      else next
+      if (i % CheckpointEvery == CheckpointEvery - 1 || i == k - 1) {
+        r = next.localCheckpoint()
+        if (prevCkpt != null) prevCkpt.unpersist(false)
+        prevCkpt = r
+      } else r = next
       i += 1
     }
+    // the final round always checkpoints, so the edge cache can be
+    // released before the caller's (top-k, join-back) follow-up work
+    if (k > 0) ed.unpersist(false)
     r.select(col("node"), col("rank").as("rank_units"))
   }
 
@@ -118,7 +145,7 @@ object PageRank {
   def personalized(edges: DataFrame, seeds: DataFrame, k: Int): DataFrame = {
     require(k >= 0, s"pagerank rounds must be >= 0, got $k")
     val wsum = edges.groupBy(col("src")).agg(sum(col("w")).as("tw"))
-    val ed = edges.join(wsum, "src").localCheckpoint()
+    val ed = persistEdges(edges.join(wsum, "src"))
     val nodes = ed.select(col("src").as("node"))
       .unionByName(ed.select(col("dst").as("node")))
       .distinct()
@@ -135,6 +162,7 @@ object PageRank {
 
     var r = nodesS.select(col("node"),
       (col("seed") * lit(Mass / ns)).as("rank"))
+    var prevCkpt: DataFrame = null
     var i = 0
     while (i < k) {
       val contribs = ed.join(r, ed("src") === r("node"))
@@ -145,11 +173,14 @@ object PageRank {
         .select(col("node"),
           (col("seed") * lit(teleport) + coalesce(col("sc"), lit(0L)))
             .as("rank"))
-      r = if (i % CheckpointEvery == CheckpointEvery - 1 || i == k - 1)
-        next.localCheckpoint()
-      else next
+      if (i % CheckpointEvery == CheckpointEvery - 1 || i == k - 1) {
+        r = next.localCheckpoint()
+        if (prevCkpt != null) prevCkpt.unpersist(false)
+        prevCkpt = r
+      } else r = next
       i += 1
     }
+    if (k > 0) ed.unpersist(false)
     r.select(col("node"), col("rank").as("rank_units"))
   }
 }

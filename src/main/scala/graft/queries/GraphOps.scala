@@ -139,27 +139,54 @@ object GraphOps {
     widthCache.computeIfAbsent(d, _ => {
       // metadata-only: Catalyst's relation stats for a parquet scan are
       // the summed file sizes from the file index — no count() scan.
-      // ~45 MB of lineitem parquet ≈ 250K rows (measured ~183 B/row at
-      // sf10/sf100), the per-task footprint the fix targets.
+      // ~45 MB of lineitem parquet ≈ 2.5M rows (~18 B/row measured at
+      // sf10/sf100) ≈ up to ~5M derived edge rows per task (both edge
+      // directions), a ~500 MB spillable sort/agg footprint — an order
+      // of magnitude under the 37M-rows/task point where r9's sf100 run
+      // exhausted execution memory.
       val bytes = Tables.lineitem(s, d).queryExecution
         .optimizedPlan.stats.sizeInBytes
       math.max(sessionWidth,
         (bytes / (45L * 1024 * 1024)).toInt + 1)
     })
 
+  /** Lineage CUT for the corpus-scale edge derivation: write the frame
+    * as compressed parquet in a scratch dir and read it back. Every
+    * upstream shuffle (the fact join, the distinct) becomes
+    * unreferenced the moment the write job ends, so the periodic
+    * cleaner reclaims its files BEFORE the iterative rounds start —
+    * without this, one job's live lineage held ~70 GB of shuffle files
+    * simultaneously at the sf100 rung (1.17B edges off 600M lineitems)
+    * and filled the disk. The staged copy is columnar+snappy (~5 GB for
+    * 587M pairs), an order of magnitude under either a localCheckpoint
+    * (deserialized rows) or a reliable RDD checkpoint (serialized
+    * rows). On a cluster the same call writes to the job's scratch FS —
+    * the standard stage-to-storage pattern for iterative graph jobs.
+    */
+  private def stageParquet(s: org.apache.spark.sql.SparkSession,
+                           df: DataFrame, tag: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory(s"graft_$tag").toString
+    df.write.mode("overwrite").parquet(dir)
+    s.read.parquet(dir)
+  }
+
+  /** Run `build` with the fact-scaled shuffle width; the builder gets a
+    * `stage` function that is the identity below the width threshold
+    * (test SFs — plans unchanged) and [[stageParquet]] above it.
+    */
   private def withFactScaledShuffle(s: org.apache.spark.sql.SparkSession,
                                     d: String)
-      (build: => DataFrame): DataFrame = {
+      (build: (DataFrame => DataFrame) => DataFrame): DataFrame = {
     val prevStr = s.conf.get("spark.sql.shuffle.partitions")
     // defensive parse: the session value can be non-numeric (e.g. AQE
     // "auto" in future Spark versions) — treat it as the floor 1 and
     // never throw from a width heuristic
     val prev = prevStr.toIntOption.getOrElse(1)
     val parts = factShuffleWidth(s, d, prev)
-    if (parts == prev) build
+    if (parts == prev) build(identity)
     else {
       s.conf.set("spark.sql.shuffle.partitions", parts.toString)
-      try build.localCheckpoint()
+      try build(df => stageParquet(s, df, "graph")).localCheckpoint()
       finally s.conf.set("spark.sql.shuffle.partitions", prevStr)
     }
   }
@@ -172,14 +199,14 @@ object GraphOps {
     // rank with a total (rank desc, suppkey) tie-break order.
     Q(
       "q130_pagerank",
-      (s, d) => withFactScaledShuffle(s, d) {
-        val pairs = Tables.lineitem(s, d)
+      (s, d) => withFactScaledShuffle(s, d) { stage =>
+        val pairs = stage(Tables.lineitem(s, d)
           .select(col("l_orderkey"), col("l_suppkey"))
           .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
             col("l_orderkey") === col("o_orderkey"))
           .select((col("o_custkey") * 2).as("c"),
             (col("l_suppkey") * 2 + 1).as("sp"))
-          .distinct()
+          .distinct())
         val edges = pairs.select(col("c").as("src"), col("sp").as("dst"))
           .unionByName(pairs.select(col("sp").as("src"), col("c").as("dst")))
         PageRank.ranks(edges, Rounds)
@@ -205,14 +232,14 @@ object GraphOps {
     // 6-round fixpoint hash-exactly (same unrolled MATERIALIZED chain).
     Q(
       "q132_personalized_pagerank",
-      (s, d) => withFactScaledShuffle(s, d) {
-        val pw = Tables.lineitem(s, d)
+      (s, d) => withFactScaledShuffle(s, d) { stage =>
+        val pw = stage(Tables.lineitem(s, d)
           .select(col("l_orderkey"), col("l_suppkey"))
           .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
             col("l_orderkey") === col("o_orderkey"))
           .groupBy((col("o_custkey") * 2).as("c"),
             (col("l_suppkey") * 2 + 1).as("sp"))
-          .agg(count(lit(1)).as("w"))
+          .agg(count(lit(1)).as("w")))
         val edges = pw.select(col("c").as("src"), col("sp").as("dst"), col("w"))
           .unionByName(pw.select(col("sp").as("src"), col("c").as("dst"), col("w")))
         val seeds = Tables.customer(s, d)
