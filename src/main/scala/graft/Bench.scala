@@ -81,6 +81,12 @@ object Bench {
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values.foreach(
           _.unpersist(blocking = false))
+        // shuffle files are reclaimed by the ContextCleaner only after
+        // their dependencies are GC'd; nudge the collector between
+        // queries so a heavy query's shuffles don't occupy the disk
+        // through its successor (the sf100 graph rung measured ~20 GB
+        // held this way)
+        System.gc()
       }
     }
     // The composed end-to-end curation pipeline as its own bench row

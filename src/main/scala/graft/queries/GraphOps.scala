@@ -164,15 +164,19 @@ object GraphOps {
     * the standard stage-to-storage pattern for iterative graph jobs.
     */
   private def stageParquet(s: org.apache.spark.sql.SparkSession,
-                           df: DataFrame, tag: String): DataFrame = {
+                           df: DataFrame, tag: String): (DataFrame, String) = {
     val dir = java.nio.file.Files.createTempDirectory(s"graft_$tag").toString
     df.write.mode("overwrite").parquet(dir)
-    s.read.parquet(dir)
+    (s.read.parquet(dir), dir)
   }
 
   /** Run `build` with the fact-scaled shuffle width; the builder gets a
     * `stage` function that is the identity below the width threshold
-    * (test SFs — plans unchanged) and [[stageParquet]] above it.
+    * (test SFs — plans unchanged) and [[stageParquet]] above it. Staged
+    * dirs are deleted once the (checkpointed, hence staging-independent)
+    * result is materialized — at the sf100 rung each staged pair set is
+    * ~5 GB, and holding q130's through q132's build cost twin B the
+    * disk headroom run A survived on.
     */
   private def withFactScaledShuffle(s: org.apache.spark.sql.SparkSession,
                                     d: String)
@@ -185,9 +189,20 @@ object GraphOps {
     val parts = factShuffleWidth(s, d, prev)
     if (parts == prev) build(identity)
     else {
+      val staged = scala.collection.mutable.ArrayBuffer.empty[String]
       s.conf.set("spark.sql.shuffle.partitions", parts.toString)
-      try build(df => stageParquet(s, df, "graph")).localCheckpoint()
-      finally s.conf.set("spark.sql.shuffle.partitions", prevStr)
+      try build { df =>
+        val (out, dir) = stageParquet(s, df, "graph")
+        staged += dir
+        out
+      }.localCheckpoint()
+      finally {
+        s.conf.set("spark.sql.shuffle.partitions", prevStr)
+        staged.foreach { dir =>
+          val p = new org.apache.hadoop.fs.Path(dir)
+          p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        }
+      }
     }
   }
 
