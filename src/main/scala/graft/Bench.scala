@@ -71,6 +71,7 @@ object Bench {
         failed += name
         None
       } finally {
+        val heavy = (System.nanoTime() - t0) > 30L * 1000 * 1000 * 1000
         // Per-query isolation (same fix as Verify): localCheckpoint
         // blocks pin storage for the whole session, so a big rung's
         // earlier queries would otherwise shrink the execution pool the
@@ -82,11 +83,12 @@ object Bench {
         spark.sparkContext.getPersistentRDDs.values.foreach(
           _.unpersist(blocking = false))
         // shuffle files are reclaimed by the ContextCleaner only after
-        // their dependencies are GC'd; nudge the collector between
-        // queries so a heavy query's shuffles don't occupy the disk
-        // through its successor (the sf100 graph rung measured ~20 GB
-        // held this way)
-        System.gc()
+        // their dependencies are GC'd; nudge the collector after HEAVY
+        // queries (>30 s — the scale-rung rows whose shuffles occupy
+        // tens of GB of disk through their successor). Unconditional
+        // GC here cost the 165-query sf0.1 tree ~70 s of full-GC pauses
+        // for shuffle data measured in MBs.
+        if (heavy) System.gc()
       }
     }
     // The composed end-to-end curation pipeline as its own bench row

@@ -28,9 +28,11 @@ import org.apache.spark.sql.functions._
   * below ranking resolution.
   *
   * Iterative shape (the q60/q99 driver-round pattern):
-  *  - the degree-annotated edge list is localCheckpoint'ed ONCE and
-  *    reused every round — the upstream derivation (often a large fact
-  *    join) never re-runs;
+  *  - the degree-annotated edge list is materialized ONCE (see
+  *    [[persistEdges]]: localCheckpoint, or the compressed columnar
+  *    cache under the caller's corpus-scale hint) and reused every
+  *    round — the upstream derivation (often a large fact join) never
+  *    re-runs;
   *  - each round is the canonical two-shuffle PageRank step: join ranks
   *    into edges on src (ranks are node-sized — AQE broadcasts them
   *    while they fit, and the edge side never moves when it is already
@@ -54,23 +56,32 @@ object PageRank {
     */
   private val CheckpointEvery = 2
 
-  /** Materialize the degree-annotated edge list once, COMPRESSED.
-    * localCheckpoint would store it as deserialized rows — measured at
-    * the sf100 rung (1.17B edges off 600M lineitems) as ~100 GB of
-    * MemoryStore blocks, which took the whole box's disk down with it
-    * (`bench_history/` round-10 notes). The columnar cache stores the
-    * same three long columns compressed (~10× smaller) and preserves
-    * the join-aligned hash partitioning and src sort order the
-    * per-round SMJ reuses, so rounds still shuffle only the node-sized
-    * rank frame. Lineage is kept (persist, not checkpoint) — the
-    * upstream fact join re-runs only if blocks are evicted, and the
-    * eager count() below pays the materialization exactly once.
+  /** Materialize the degree-annotated edge list once. Two regimes:
+    *
+    *  - `columnar = false` (default, small/medium graphs):
+    *    localCheckpoint — the cheapest one-shot materialization; its
+    *    deserialized row storage is fine while the edge list is far
+    *    smaller than memory.
+    *  - `columnar = true` (corpus-scale, the caller's scale hint):
+    *    persist(MEMORY_AND_DISK_SER) through the compressed columnar
+    *    cache. localCheckpoint's deserialized rows measured ~100 GB at
+    *    the sf100 rung (1.17B edges off 600M lineitems) and took the
+    *    box's disk down; the columnar form stores the same three long
+    *    columns ~10× smaller and still preserves the join-aligned
+    *    partitioning the per-round SMJ reuses. Lineage is kept —
+    *    blocks evicted under pressure re-derive instead of failing —
+    *    and the eager count() pays the materialization exactly once.
+    *    (Not the default: the cache build costs ~5 s even at sf0.1's
+    *    1.2M edges, a pure regression where the old path was 6 s
+    *    total.)
     */
-  private def persistEdges(ed: DataFrame): DataFrame = {
-    val p = ed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-    p.count()
-    p
-  }
+  private def persistEdges(ed: DataFrame, columnar: Boolean): DataFrame =
+    if (!columnar) ed.localCheckpoint()
+    else {
+      val p = ed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      p.count()
+      p
+    }
 
   /** Ranks after `k` rounds over a directed edge list (`src`, `dst`:
     * long). Edges are taken as-is — callers dedup and symmetrize as
@@ -79,10 +90,11 @@ object PageRank {
     *
     * Returns (`node` long, `rank_units` long), one row per node.
     */
-  def ranks(edges: DataFrame, k: Int): DataFrame = {
+  def ranks(edges: DataFrame, k: Int,
+            columnarEdgeCache: Boolean = false): DataFrame = {
     require(k >= 0, s"pagerank rounds must be >= 0, got $k")
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val ed = persistEdges(edges.join(deg, "src"))
+    val ed = persistEdges(edges.join(deg, "src"), columnarEdgeCache)
     val nodes = ed.select(col("src").as("node"))
       .unionByName(ed.select(col("dst").as("node")))
       .distinct()
@@ -142,10 +154,11 @@ object PageRank {
     * long); seeds outside the graph's node set are ignored (they could
     * never receive or emit mass). Returns (`node`, `rank_units`).
     */
-  def personalized(edges: DataFrame, seeds: DataFrame, k: Int): DataFrame = {
+  def personalized(edges: DataFrame, seeds: DataFrame, k: Int,
+                   columnarEdgeCache: Boolean = false): DataFrame = {
     require(k >= 0, s"pagerank rounds must be >= 0, got $k")
     val wsum = edges.groupBy(col("src")).agg(sum(col("w")).as("tw"))
-    val ed = persistEdges(edges.join(wsum, "src"))
+    val ed = persistEdges(edges.join(wsum, "src"), columnarEdgeCache)
     val nodes = ed.select(col("src").as("node"))
       .unionByName(ed.select(col("dst").as("node")))
       .distinct()

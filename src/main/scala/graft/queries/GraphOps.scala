@@ -114,19 +114,6 @@ object GraphOps {
        |LIMIT 20""".stripMargin
   }
 
-  /** Scale the shuffle width to the fact-table size for the graph
-    * queries and materialize the (top-20) result under that conf. The
-    * session default (|cores| partitions) sizes a ~60M-row edge build
-    * + per-round joins at ~2M rows per task — measured at the sf100
-    * rung as execution-memory exhaustion ([UNABLE_TO_ACQUIRE_MEMORY]
-    * in the first contribs round at 100g heap); ~250K rows per
-    * partition keeps every sort/agg footprint bounded regardless of
-    * rung. Below the threshold (every test SF ≤ sf10) the width is
-    * unchanged and the frame returns lazily — identical plans, zero
-    * effect on the committed numbers. The conf is scoped: the result
-    * is forced via localCheckpoint (rounds are eager inside
-    * PageRank.ranks anyway) and the session value restored.
-    */
   /** Per-dataset width cache — the width is a pure function of the
     * dataset directory, so the (already metadata-only) derivation runs
     * once per dataset per JVM, not once per q130/q132 call.
@@ -172,30 +159,32 @@ object GraphOps {
 
   /** Run `build` with the fact-scaled shuffle width; the builder gets a
     * `stage` function that is the identity below the width threshold
-    * (test SFs — plans unchanged) and [[stageParquet]] above it. Staged
-    * dirs are deleted once the (checkpointed, hence staging-independent)
-    * result is materialized — at the sf100 rung each staged pair set is
-    * ~5 GB, and holding q130's through q132's build cost twin B the
-    * disk headroom run A survived on.
+    * (test SFs — plans unchanged) and [[stageParquet]] above it, plus a
+    * `big` flag (the same threshold) it forwards as PageRank's
+    * columnar-edge-cache hint. Staged dirs are deleted once the
+    * (checkpointed, hence staging-independent) result is materialized —
+    * at the sf100 rung each staged pair set is ~5 GB, and holding
+    * q130's through q132's build cost twin B the disk headroom run A
+    * survived on.
     */
   private def withFactScaledShuffle(s: org.apache.spark.sql.SparkSession,
                                     d: String)
-      (build: (DataFrame => DataFrame) => DataFrame): DataFrame = {
+      (build: (DataFrame => DataFrame, Boolean) => DataFrame): DataFrame = {
     val prevStr = s.conf.get("spark.sql.shuffle.partitions")
     // defensive parse: the session value can be non-numeric (e.g. AQE
     // "auto" in future Spark versions) — treat it as the floor 1 and
     // never throw from a width heuristic
     val prev = prevStr.toIntOption.getOrElse(1)
     val parts = factShuffleWidth(s, d, prev)
-    if (parts == prev) build(identity)
+    if (parts == prev) build(identity, false)
     else {
       val staged = scala.collection.mutable.ArrayBuffer.empty[String]
       s.conf.set("spark.sql.shuffle.partitions", parts.toString)
-      try build { df =>
+      try build({ df =>
         val (out, dir) = stageParquet(s, df, "graph")
         staged += dir
         out
-      }.localCheckpoint()
+      }, true).localCheckpoint()
       finally {
         s.conf.set("spark.sql.shuffle.partitions", prevStr)
         staged.foreach { dir =>
@@ -214,7 +203,7 @@ object GraphOps {
     // rank with a total (rank desc, suppkey) tie-break order.
     Q(
       "q130_pagerank",
-      (s, d) => withFactScaledShuffle(s, d) { stage =>
+      (s, d) => withFactScaledShuffle(s, d) { (stage, big) =>
         val pairs = stage(Tables.lineitem(s, d)
           .select(col("l_orderkey"), col("l_suppkey"))
           .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
@@ -224,7 +213,7 @@ object GraphOps {
           .distinct())
         val edges = pairs.select(col("c").as("src"), col("sp").as("dst"))
           .unionByName(pairs.select(col("sp").as("src"), col("c").as("dst")))
-        PageRank.ranks(edges, Rounds)
+        PageRank.ranks(edges, Rounds, columnarEdgeCache = big)
           .where(col("node") % 2 === 1)
           .select(expr("(node - 1) div 2").as("s_suppkey"), col("rank_units"))
           .join(broadcast(Tables.supplier(s, d).select(col("s_suppkey"), col("s_name"))),
@@ -247,7 +236,7 @@ object GraphOps {
     // 6-round fixpoint hash-exactly (same unrolled MATERIALIZED chain).
     Q(
       "q132_personalized_pagerank",
-      (s, d) => withFactScaledShuffle(s, d) { stage =>
+      (s, d) => withFactScaledShuffle(s, d) { (stage, big) =>
         val pw = stage(Tables.lineitem(s, d)
           .select(col("l_orderkey"), col("l_suppkey"))
           .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
@@ -260,7 +249,7 @@ object GraphOps {
         val seeds = Tables.customer(s, d)
           .where(col("c_mktsegment") === SeedSegment)
           .select((col("c_custkey") * 2).as("node"))
-        PageRank.personalized(edges, seeds, PRounds)
+        PageRank.personalized(edges, seeds, PRounds, columnarEdgeCache = big)
           .where(col("node") % 2 === 1)
           .select(expr("(node - 1) div 2").as("s_suppkey"), col("rank_units"))
           .join(broadcast(Tables.supplier(s, d).select(col("s_suppkey"), col("s_name"))),
