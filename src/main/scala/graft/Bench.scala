@@ -26,6 +26,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // released rank/edge snapshots WARN about truncated lineage on every
+    // unpersist (intentional: retired checkpoints are never re-read) —
+    // mute the RDD loggers so the noise can't interleave bench output
+    org.apache.logging.log4j.core.config.Configurator
+      .setLevel("org.apache.spark.rdd", org.apache.logging.log4j.Level.ERROR)
     // warm the JVM/codegen paths once so per-query numbers reflect the
     // engine, not first-call classloading
     SparkEntry.queries.get("q01_orders_kpis")
@@ -133,7 +138,11 @@ object Bench {
       "q140_pairs_auto_routed", "q155_dedup_yield", "curation")
     val qsHead = (results ++ curation)
       .filter { case (k, _) => headline.contains(k) }
-      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      // explicit ROOT locale: the f-interpolator uses the JVM default,
+      // which under a comma-decimal locale would emit 1,234 — invalid JSON
+      .map { case (k, v) =>
+        "\"" + k + "\":" +
+          String.format(java.util.Locale.ROOT, "%.3f", Double.box(v)) }
       .mkString("{", ",", "}")
     val summary =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsHead,"n":${results.size + curation.size},"failed":$failedJson,"sf":"$sfDir","detail":"$outFile"}"""

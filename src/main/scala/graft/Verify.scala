@@ -18,6 +18,11 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // released rank/edge snapshots WARN about truncated lineage on every
+    // unpersist (intentional: retired checkpoints are never re-read) —
+    // mute the RDD loggers so the noise can't interleave bench output
+    org.apache.logging.log4j.core.config.Configurator
+      .setLevel("org.apache.spark.rdd", org.apache.logging.log4j.Level.ERROR)
     new java.io.File(outDir).mkdirs()
     // Optional comma-separated query-name filter for fast local iteration
     // (unset when the driver runs this — full dump).

@@ -28,19 +28,27 @@ import org.apache.spark.sql.functions._
   * below ranking resolution.
   *
   * Iterative shape (the q60/q99 driver-round pattern):
-  *  - the degree-annotated edge list is materialized ONCE (see
-  *    [[persistEdges]]: localCheckpoint, or the compressed columnar
-  *    cache under the caller's corpus-scale hint) and reused every
-  *    round — the upstream derivation (often a large fact join) never
-  *    re-runs;
-  *  - each round is the canonical two-shuffle PageRank step: join ranks
-  *    into edges on src (ranks are node-sized — AQE broadcasts them
-  *    while they fit, and the edge side never moves when it is already
-  *    hash-partitioned by src), then an integer-sum aggregate whose
-  *    shuffle carries node-sized partial sums, not edge-sized rows
-  *    (map-side combine);
+  *  - the BARE edge list (src, dst[, w] — the narrowest possible big
+  *    table) is hash-partitioned by src, sorted within partitions, and
+  *    materialized ONCE (see [[persistEdges]]: localCheckpoint, or the
+  *    compressed columnar cache under the caller's corpus-scale hint);
+  *    the upstream derivation (often a large fact join) never re-runs,
+  *    and the per-round sort-merge join reuses both the partitioning
+  *    and the ordering — the edge side never moves again;
+  *  - per-src denominators (deg / Σw) live on the NODE table, not on
+  *    every edge row: each round pre-divides the rank share on the
+  *    node-sized side (share(u) = (85·r(u)) div (100·deg(u)) — one row
+  *    per node, not one div per edge), then the big join only ships
+  *    that share. Same integer value per edge, a third fewer cached
+  *    bytes, and one fewer corpus-sized shuffle at build time (the old
+  *    edges⋈deg materialization);
+  *  - each round is the canonical two-shuffle PageRank step: join
+  *    shares into edges on src (shares are node-sized — only they
+  *    shuffle), then an integer-sum aggregate whose shuffle carries
+  *    node-sized partial sums, not edge-sized rows (map-side combine);
   *  - ranks are localCheckpoint'ed per round, so lineage stays O(1)
-  *    across rounds instead of O(k).
+  *    across rounds instead of O(k); retired snapshots release their
+  *    BLOCKS, not just cache entries (see [[releaseLocalCkpt]]).
   */
 object PageRank {
 
@@ -83,6 +91,30 @@ object PageRank {
       p
     }
 
+  /** Release the blocks behind a localCheckpoint'ed frame.
+    * `Dataset.unpersist` is a no-op for these: it only clears
+    * CacheManager entries, while localCheckpoint persists the
+    * UNDERLYING RDD directly (round-10 advice). That RDD is reachable
+    * as the `LogicalRDD` the checkpointed frame wraps — unpersisting
+    * it frees the blocks immediately instead of waiting for JVM GC +
+    * the periodic ContextCleaner. The frame must never be read again
+    * (its lineage was truncated by the checkpoint), which is exactly
+    * the retired-snapshot contract of the callers below.
+    */
+  private def releaseLocalCkpt(df: DataFrame): Unit =
+    org.apache.spark.sql.graftbridge.DatasetBridge.analyzed(df) match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false); ()
+      case _ => ()
+    }
+
+  /** Release the edge cache: the columnar regime is a CacheManager
+    * entry (`Dataset.unpersist` works); the localCheckpoint regime
+    * needs the block-level release.
+    */
+  private def releaseEdges(ed: DataFrame, columnar: Boolean): Unit =
+    if (columnar) { ed.unpersist(false); () } else releaseLocalCkpt(ed)
+
   /** Ranks after `k` rounds over a directed edge list (`src`, `dst`:
     * long). Edges are taken as-is — callers dedup and symmetrize as
     * their graph semantics require. Nodes = every endpoint; nodes with
@@ -93,8 +125,20 @@ object PageRank {
   def ranks(edges: DataFrame, k: Int,
             columnarEdgeCache: Boolean = false): DataFrame = {
     require(k >= 0, s"pagerank rounds must be >= 0, got $k")
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val ed = persistEdges(edges.join(deg, "src"), columnarEdgeCache)
+    // cache the BARE (src, dst) pairs, partitioned+sorted by src: the
+    // per-round SMJ reuses both, so the big side never shuffles or
+    // sorts again. Degrees are NOT carried per edge — they live on the
+    // node-sized table below and the round's share pre-division joins
+    // them back (same integer per-edge value, a third fewer cached
+    // bytes, one fewer corpus shuffle at build: the old edges⋈deg).
+    val ed = persistEdges(
+      edges.repartition(col("src")).sortWithinPartitions(col("src")),
+      columnarEdgeCache)
+    // computed FROM the cached layout: partial aggs are co-partitioned
+    // on src, so this shuffles node-sized partials only
+    val deg = ed.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .select(col("src").as("node"), col("deg"))
+      .localCheckpoint()
     val nodes = ed.select(col("src").as("node"))
       .unionByName(ed.select(col("dst").as("node")))
       .distinct()
@@ -110,23 +154,32 @@ object PageRank {
     var prevCkpt: DataFrame = null
     var i = 0
     while (i < k) {
-      val contribs = ed.join(r, ed("src") === r("node"))
-        .select(ed("dst").as("node"),
-          expr("(85 * rank) div (100 * deg)").as("c"))
+      // pre-divide on the node side: one div per NODE, then the big
+      // join ships only (src, share)
+      val shares = r.join(deg, Seq("node"))
+        .select(col("node").as("src"),
+          expr("(85 * rank) div (100 * deg)").as("share"))
+      val contribs = ed.join(shares, Seq("src"))
+        .select(col("dst").as("node"), col("share").as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("sc"))
       val next = nodes.join(contribs, Seq("node"), "left")
         .select(col("node"),
           (lit(teleport) + coalesce(col("sc"), lit(0L))).as("rank"))
       if (i % CheckpointEvery == CheckpointEvery - 1 || i == k - 1) {
         r = next.localCheckpoint()
-        if (prevCkpt != null) prevCkpt.unpersist(false)
+        if (prevCkpt != null) releaseLocalCkpt(prevCkpt)
         prevCkpt = r
       } else r = next
       i += 1
     }
-    // the final round always checkpoints, so the edge cache can be
-    // released before the caller's (top-k, join-back) follow-up work
-    if (k > 0) ed.unpersist(false)
+    // the final round always checkpoints, so the edge cache and the
+    // node-sized helpers can be released before the caller's (top-k,
+    // join-back) follow-up work
+    if (k > 0) {
+      releaseEdges(ed, columnarEdgeCache)
+      releaseLocalCkpt(deg)
+      releaseLocalCkpt(nodes)
+    }
     r.select(col("node"), col("rank").as("rank_units"))
   }
 
@@ -157,8 +210,14 @@ object PageRank {
   def personalized(edges: DataFrame, seeds: DataFrame, k: Int,
                    columnarEdgeCache: Boolean = false): DataFrame = {
     require(k >= 0, s"pagerank rounds must be >= 0, got $k")
-    val wsum = edges.groupBy(col("src")).agg(sum(col("w")).as("tw"))
-    val ed = persistEdges(edges.join(wsum, "src"), columnarEdgeCache)
+    // same cached-layout discipline as [[ranks]]: bare (src, dst, w)
+    // partitioned+sorted by src; the Σw denominator lives node-sized
+    val ed = persistEdges(
+      edges.repartition(col("src")).sortWithinPartitions(col("src")),
+      columnarEdgeCache)
+    val wsum = ed.groupBy(col("src")).agg(sum(col("w")).as("tw"))
+      .select(col("src").as("node"), col("tw"))
+      .localCheckpoint()
     val nodes = ed.select(col("src").as("node"))
       .unionByName(ed.select(col("dst").as("node")))
       .distinct()
@@ -178,9 +237,17 @@ object PageRank {
     var prevCkpt: DataFrame = null
     var i = 0
     while (i < k) {
-      val contribs = ed.join(r, ed("src") === r("node"))
-        .select(ed("dst").as("node"),
-          expr("(85 * rank * w) div (100 * tw)").as("c"))
+      // weighted pre-division carries the per-node NUMERATOR (85·r)
+      // and DENOMINATOR (100·Σw); the per-edge value
+      // (r85 · w) div tw100 = (85·r·w) div (100·Σw) is the identical
+      // long product and floor-division — same bits, narrower big join
+      val shares = r.join(wsum, Seq("node"))
+        .select(col("node").as("src"),
+          (lit(85L) * col("rank")).as("r85"),
+          (lit(100L) * col("tw")).as("tw100"))
+      val contribs = ed.join(shares, Seq("src"))
+        .select(col("dst").as("node"),
+          expr("(r85 * w) div tw100").as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("sc"))
       val next = nodesS.join(contribs, Seq("node"), "left")
         .select(col("node"),
@@ -188,12 +255,16 @@ object PageRank {
             .as("rank"))
       if (i % CheckpointEvery == CheckpointEvery - 1 || i == k - 1) {
         r = next.localCheckpoint()
-        if (prevCkpt != null) prevCkpt.unpersist(false)
+        if (prevCkpt != null) releaseLocalCkpt(prevCkpt)
         prevCkpt = r
       } else r = next
       i += 1
     }
-    if (k > 0) ed.unpersist(false)
+    if (k > 0) {
+      releaseEdges(ed, columnarEdgeCache)
+      releaseLocalCkpt(wsum)
+      releaseLocalCkpt(nodesS)
+    }
     r.select(col("node"), col("rank").as("rank_units"))
   }
 }

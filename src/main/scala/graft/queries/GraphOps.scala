@@ -147,46 +147,71 @@ object GraphOps {
     * and filled the disk. The staged copy is columnar+snappy (~5 GB for
     * 587M pairs), an order of magnitude under either a localCheckpoint
     * (deserialized rows) or a reliable RDD checkpoint (serialized
-    * rows). On a cluster the same call writes to the job's scratch FS —
-    * the standard stage-to-storage pattern for iterative graph jobs.
+    * rows). The staging root is `spark.graft.scratchDir` when set — on
+    * a cluster that must be a SHARED filesystem URI (HDFS/object
+    * store), since executors on other nodes write and read it; the
+    * driver-local `java.io.tmpdir` fallback is correct only in local
+    * mode, where driver and executors share one machine.
     */
   private def stageParquet(s: org.apache.spark.sql.SparkSession,
                            df: DataFrame, tag: String): (DataFrame, String) = {
-    val dir = java.nio.file.Files.createTempDirectory(s"graft_$tag").toString
+    val dir = s.conf.getOption("spark.graft.scratchDir") match {
+      case Some(root) =>
+        s"${root.stripSuffix("/")}/graft_${tag}_${java.util.UUID.randomUUID}"
+      case None =>
+        java.nio.file.Files.createTempDirectory(s"graft_$tag").toString
+    }
     df.write.mode("overwrite").parquet(dir)
     (s.read.parquet(dir), dir)
   }
 
-  /** Run `build` with the fact-scaled shuffle width; the builder gets a
-    * `stage` function that is the identity below the width threshold
-    * (test SFs — plans unchanged) and [[stageParquet]] above it, plus a
-    * `big` flag (the same threshold) it forwards as PageRank's
-    * columnar-edge-cache hint. Staged dirs are deleted once the
-    * (checkpointed, hence staging-independent) result is materialized —
-    * at the sf100 rung each staged pair set is ~5 GB, and holding
-    * q130's through q132's build cost twin B the disk headroom run A
-    * survived on.
+  /** Run `build` with the fact-scaled shuffle width; the builder gets
+    * the SESSION to plan against, a `stage` function that is the
+    * identity below the width threshold (test SFs — plans unchanged)
+    * and [[stageParquet]] above it, plus a `big` flag (the same
+    * threshold) it forwards as PageRank's columnar-edge-cache hint.
+    * Staged dirs are deleted once the (checkpointed, hence
+    * staging-independent) result is materialized — at the sf100 rung
+    * each staged pair set is ~5 GB, and holding q130's through q132's
+    * build cost twin B the disk headroom run A survived on.
+    *
+    * Width ISOLATION (round-10 verdict #3): the widened
+    * `spark.sql.shuffle.partitions` is set on a `newSession()` — same
+    * SparkContext, block manager, and shared catalog, but its OWN
+    * SQLConf — never on the caller's session. The caller's session is
+    * concurrent in this engine (the BI endpoint plans thrift clients'
+    * queries on it), and a session-level conf mutation would leak the
+    * ~26× width into any plan compiled while the graph build holds it.
+    * Below the threshold no second session is created at all.
+    *
+    * `spark.graft.graph.minShuffleWidth` (session conf, optional)
+    * floors the computed width — the production override for clusters
+    * whose fact stats under-estimate, and the test hook that forces
+    * the wide path on fixture-sized data (GraphIsolationSpec).
     */
-  private def withFactScaledShuffle(s: org.apache.spark.sql.SparkSession,
-                                    d: String)
-      (build: (DataFrame => DataFrame, Boolean) => DataFrame): DataFrame = {
-    val prevStr = s.conf.get("spark.sql.shuffle.partitions")
+  private[graft] def withFactScaledShuffle(
+      s: org.apache.spark.sql.SparkSession, d: String)
+      (build: (org.apache.spark.sql.SparkSession,
+               DataFrame => DataFrame, Boolean) => DataFrame): DataFrame = {
     // defensive parse: the session value can be non-numeric (e.g. AQE
     // "auto" in future Spark versions) — treat it as the floor 1 and
     // never throw from a width heuristic
-    val prev = prevStr.toIntOption.getOrElse(1)
-    val parts = factShuffleWidth(s, d, prev)
-    if (parts == prev) build(identity, false)
+    val prev = s.conf.get("spark.sql.shuffle.partitions").toIntOption
+      .getOrElse(1)
+    val floor = s.conf.getOption("spark.graft.graph.minShuffleWidth")
+      .flatMap(_.toIntOption).getOrElse(0)
+    val parts = math.max(factShuffleWidth(s, d, prev), floor)
+    if (parts == prev) build(s, identity, false)
     else {
+      val gs = s.newSession()
+      gs.conf.set("spark.sql.shuffle.partitions", parts.toString)
       val staged = scala.collection.mutable.ArrayBuffer.empty[String]
-      s.conf.set("spark.sql.shuffle.partitions", parts.toString)
-      try build({ df =>
-        val (out, dir) = stageParquet(s, df, "graph")
+      try build(gs, { df =>
+        val (out, dir) = stageParquet(gs, df, "graph")
         staged += dir
         out
       }, true).localCheckpoint()
       finally {
-        s.conf.set("spark.sql.shuffle.partitions", prevStr)
         staged.foreach { dir =>
           val p = new org.apache.hadoop.fs.Path(dir)
           p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
@@ -203,10 +228,10 @@ object GraphOps {
     // rank with a total (rank desc, suppkey) tie-break order.
     Q(
       "q130_pagerank",
-      (s, d) => withFactScaledShuffle(s, d) { (stage, big) =>
-        val pairs = stage(Tables.lineitem(s, d)
+      (s, d) => withFactScaledShuffle(s, d) { (gs, stage, big) =>
+        val pairs = stage(Tables.lineitem(gs, d)
           .select(col("l_orderkey"), col("l_suppkey"))
-          .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+          .join(Tables.orders(gs, d).select(col("o_orderkey"), col("o_custkey")),
             col("l_orderkey") === col("o_orderkey"))
           .select((col("o_custkey") * 2).as("c"),
             (col("l_suppkey") * 2 + 1).as("sp"))
@@ -216,7 +241,7 @@ object GraphOps {
         PageRank.ranks(edges, Rounds, columnarEdgeCache = big)
           .where(col("node") % 2 === 1)
           .select(expr("(node - 1) div 2").as("s_suppkey"), col("rank_units"))
-          .join(broadcast(Tables.supplier(s, d).select(col("s_suppkey"), col("s_name"))),
+          .join(broadcast(Tables.supplier(gs, d).select(col("s_suppkey"), col("s_name"))),
             Seq("s_suppkey"))
           .select(col("s_suppkey"), col("s_name"), col("rank_units"))
           .orderBy(col("rank_units").desc, col("s_suppkey"))
@@ -236,23 +261,23 @@ object GraphOps {
     // 6-round fixpoint hash-exactly (same unrolled MATERIALIZED chain).
     Q(
       "q132_personalized_pagerank",
-      (s, d) => withFactScaledShuffle(s, d) { (stage, big) =>
-        val pw = stage(Tables.lineitem(s, d)
+      (s, d) => withFactScaledShuffle(s, d) { (gs, stage, big) =>
+        val pw = stage(Tables.lineitem(gs, d)
           .select(col("l_orderkey"), col("l_suppkey"))
-          .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+          .join(Tables.orders(gs, d).select(col("o_orderkey"), col("o_custkey")),
             col("l_orderkey") === col("o_orderkey"))
           .groupBy((col("o_custkey") * 2).as("c"),
             (col("l_suppkey") * 2 + 1).as("sp"))
           .agg(count(lit(1)).as("w")))
         val edges = pw.select(col("c").as("src"), col("sp").as("dst"), col("w"))
           .unionByName(pw.select(col("sp").as("src"), col("c").as("dst"), col("w")))
-        val seeds = Tables.customer(s, d)
+        val seeds = Tables.customer(gs, d)
           .where(col("c_mktsegment") === SeedSegment)
           .select((col("c_custkey") * 2).as("node"))
         PageRank.personalized(edges, seeds, PRounds, columnarEdgeCache = big)
           .where(col("node") % 2 === 1)
           .select(expr("(node - 1) div 2").as("s_suppkey"), col("rank_units"))
-          .join(broadcast(Tables.supplier(s, d).select(col("s_suppkey"), col("s_name"))),
+          .join(broadcast(Tables.supplier(gs, d).select(col("s_suppkey"), col("s_name"))),
             Seq("s_suppkey"))
           .select(col("s_suppkey"), col("s_name"), col("rank_units"))
           .orderBy(col("rank_units").desc, col("s_suppkey"))
