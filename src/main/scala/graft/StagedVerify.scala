@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Staged oracle export for the LSH+CC family above the full-replay
+  * ceiling (round-10 verdict #2). DuckDB cannot replay the whole
+  * MinHash pair mine at 1.5M docs (the r10 sf30 attempt aborted at a
+  * 58 GB temp spill), so this main splits the verification at the pair
+  * set — the exact point the judge prescribed:
+  *
+  *  1. export the ENGINE's q70 pair set (its construction is already
+  *     full-oracle-verified at sf0.01/sf1 through the gate and at sf10
+  *     by `r9_sf10_selfcheck.log`);
+  *  2. export the engine's q155 yield histogram (batch CC over those
+  *     pairs) and the q134 incremental-store label snapshot;
+  *  3. `tools/stagedcheck.py` then has DuckDB fold ONLY the CC fixpoint
+  *     + histogram over the exported pairs — megabytes, not the
+  *     corpus — and hash-compares both engine outputs.
+  *
+  * Usage: `StagedVerify <sfDir> <outDir>`.
+  */
+object StagedVerify {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val outDir = args(1)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.files.maxPartitionBytes", "4m")
+      .config("spark.cleaner.periodicGC.interval", "1min")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def t[T](tag: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[staged] $tag: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      r
+    }
+    val dd = Tables.documents(spark, sfDir)
+    t("pairs export") {
+      queries.TextOps.portableMinhashPairs(dd)
+        .select(col("doc_a"), col("doc_b"))
+        .write.mode(SaveMode.Overwrite).parquet(s"$outDir/pairs.parquet")
+    }
+    t("q155 engine histogram") {
+      queries.Registry.byName("q155_dedup_yield").run(spark, sfDir)
+        .write.mode(SaveMode.Overwrite).parquet(s"$outDir/q155.parquet")
+    }
+    t("q134 store labels") {
+      queries.Registry.byName("q134_incremental_cc_stream").run(spark, sfDir)
+        .write.mode(SaveMode.Overwrite).parquet(s"$outDir/q134.parquet")
+    }
+    spark.stop()
+    println("[staged] export done")
+  }
+}

@@ -283,13 +283,25 @@ object CosineDedup {
     val k = graft.queries.SelectionOps.adaptiveK(nRows)
     val assigned = graft.queries.SelectionOps.assignTwoLevelTop2(e, k)
       .localCheckpoint(false)
+    // Routed-path block size: every block is SHIPPED once per partner
+    // block, so the block-pair join's shuffle volume is
+    // Σ_cells m_i² × |block bytes| ∝ Σc_i² / B — bigger blocks shed
+    // shuffle linearly while the per-task kernel cost grows only to
+    // B²/2 cosines (~3M at 2500: a fine task grain, ~1.4 MB of block
+    // payload). At the sf100 rung B=512 shipped ~60 GB of block
+    // arrays (disk-bound, the 14.8×/decade leg of round 10); B=2500
+    // — one block per mean cell-half (k ∝ n pins mean cell near
+    // 2·2500) — ships ~4×. Pure physical partitioning: the pair set
+    // and every cos_r are unchanged, so the oracle replay is
+    // untouched. Callers passing a LARGER targetBlock keep it.
+    val routedBlock = math.max(targetBlock, 2500)
     // per-cluster sub-block counts: k = n/2500 rows — joined back (not a
     // driver-built when-chain, which would not scale past a few dozen
     // buckets) so the plan shape survives corpus-scale k
     val counts = assigned.groupBy(col("bucket"))
       .agg(count(lit(1)).as("n"))
       .withColumn("m", greatest(lit(1L),
-        ceil(col("n").cast("double") / targetBlock).cast("long")).cast("int"))
+        ceil(col("n").cast("double") / routedBlock).cast("long")).cast("int"))
       .select(col("bucket"), col("m"))
     val blocks = assigned.join(counts, Seq("bucket"))
       .withColumn("sub", pmod(xxhash64(col("vec_id")), col("m")).cast("int"))

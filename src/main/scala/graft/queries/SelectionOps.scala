@@ -168,18 +168,18 @@ object SelectionOps {
     */
   private def bestOf(cents: org.apache.spark.sql.Column,
                      v: org.apache.spark.sql.Column,
-                     n2: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    aggregate(
-      cents,
-      struct(lit(-2.0).as("cos"), lit(Long.MaxValue).as("id")),
-      (acc, c) => {
-        val cs = round(dotProduct(v, c.getField("cv")) /
-          sqrt(n2 * c.getField("cn2")), 4)
-        when(cs > acc.getField("cos") ||
-            (cs === acc.getField("cos") &&
-              c.getField("id") < acc.getField("id")),
-          struct(cs.as("cos"), c.getField("id").as("id"))).otherwise(acc)
-      })
+                     n2: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    // slot 1 of the codegen'd top-2 kernel IS the argmax under the
+    // same (rounded-cosine DESC, id ASC) total order — see
+    // functions.CentroidTop2 (round-10 verdict #1: the
+    // functions.aggregate fold this replaces ran an interpreted
+    // closure + struct allocation per ELEMENT, ~40 s of the q140
+    // sf100 leg; the kernel is one static call around a primitive
+    // loop per ROW, same bits out — CentroidKernelSpec pins equality
+    // against the fold form over the fixture corpus)
+    val t = graft.functions.VectorFunctions.centroidTop2(cents, v, n2)
+    struct(t.getField("c1").as("cos"), t.getField("i1").as("id"))
+  }
 
   /** Top-2 variant of [[bestOf]]: the two best (rounded-cosine, id)
     * centroids in one fold. A SEEDED (untrained) coarse quantizer has
@@ -194,26 +194,11 @@ object SelectionOps {
   private def top2Of(cents: org.apache.spark.sql.Column,
                      v: org.apache.spark.sql.Column,
                      n2: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    aggregate(
-      cents,
-      struct(lit(-2.0).as("c1"), lit(Long.MaxValue).as("i1"),
-             lit(-3.0).as("c2"), lit(Long.MaxValue).as("i2")),
-      (acc, c) => {
-        val cs = round(dotProduct(v, c.getField("cv")) /
-          sqrt(n2 * c.getField("cn2")), 4)
-        val id = c.getField("id")
-        val beats1 = cs > acc.getField("c1") ||
-          (cs === acc.getField("c1") && id < acc.getField("i1"))
-        val beats2 = cs > acc.getField("c2") ||
-          (cs === acc.getField("c2") && id < acc.getField("i2"))
-        when(beats1,
-          struct(cs.as("c1"), id.as("i1"),
-            acc.getField("c1").as("c2"), acc.getField("i1").as("i2")))
-          .when(beats2,
-            struct(acc.getField("c1").as("c1"), acc.getField("i1").as("i1"),
-              cs.as("c2"), id.as("i2")))
-          .otherwise(acc)
-      })
+    // the codegen'd kernel (functions.CentroidTop2) — one primitive
+    // loop per row in place of the interpreted per-element fold; the
+    // (rounded-cosine DESC, id ASC) slot order and the slot-1-demotes-
+    // to-slot-2 shift are bit-identical (CentroidKernelSpec)
+    graft.functions.VectorFunctions.centroidTop2(cents, v, n2)
 
   /** Shared routing prefix of [[assignTwoLevel]]/[[assignTwoLevelTop2]]:
     * each vector with the member-centroid arrays of its top-2

@@ -4,6 +4,40 @@ import java.sql.DriverManager
 
 import org.apache.spark.sql.functions._
 
+/** One thrift endpoint per test JVM: HiveServer2 does not reliably
+  * re-bind after an in-process stop (a second start leaves the new
+  * port unbound), so every suite that needs the BI surface shares this
+  * lazily-started instance on the shared session and fixture dir.
+  * Never stopped — JVM exit reclaims it.
+  */
+object SharedEndpoint {
+  lazy val port: Int = {
+    val p = {
+      val ss = new java.net.ServerSocket(0)
+      try ss.getLocalPort finally ss.close()
+    }
+    graft.server.SqlEndpoint.start(SharedSpark.spark, "/root/testdata/sf0.001", p)
+    Class.forName("org.apache.hive.jdbc.HiveDriver")
+    p
+  }
+
+  /** Server startup is asynchronous — retry the connect briefly. */
+  def connect(): java.sql.Connection = {
+    var conn: java.sql.Connection = null
+    val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+    while (conn == null) {
+      try conn = DriverManager.getConnection(
+        s"jdbc:hive2://localhost:$port/", "anonymous", "")
+      catch {
+        case e: Exception =>
+          if (System.nanoTime() > deadline) throw e
+          Thread.sleep(500)
+      }
+    }
+    conn
+  }
+}
+
 /** The BI-surface lifecycle gap (round-8 verdict stretch item): the
   * reference's query surface is Power BI over JDBC; this spec proves the
   * engine's HiveServer2 endpoint serves a REAL external client — the
@@ -16,101 +50,151 @@ import org.apache.spark.sql.functions._
 class SqlEndpointSpec extends SparkSpec {
 
   test("thrift endpoint serves an external JDBC client; wire results match the engine") {
-    val port = {
-      val ss = new java.net.ServerSocket(0)
-      try ss.getLocalPort finally ss.close()
-    }
-    val server = graft.server.SqlEndpoint.start(spark, sfDir, port)
+    val conn = SharedEndpoint.connect()
     try {
-      Class.forName("org.apache.hive.jdbc.HiveDriver")
-      // server startup is asynchronous: retry the connect briefly
-      var conn: java.sql.Connection = null
-      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
-      while (conn == null) {
-        try conn = DriverManager.getConnection(
-          s"jdbc:hive2://localhost:$port/", "anonymous", "")
-        catch {
-          case e: Exception =>
-            if (System.nanoTime() > deadline) throw e
-            Thread.sleep(500)
-        }
-      }
-      try {
-        val st = conn.createStatement()
-        // base table over the wire vs the engine's own count
-        val rs1 = st.executeQuery(
-          "SELECT count(*) AS n FROM global_temp.orders")
-        assert(rs1.next() &&
-          rs1.getLong("n") == Tables.orders(spark, sfDir).count())
-        // a derived BI view (the reference's job_summary analogue):
-        // grouped KPIs computed by Catalyst at query time, compared
-        // row-for-row with the direct DataFrame evaluation
-        val rs2 = st.executeQuery(
-          "SELECT job_type, job_posted_site, n, n_companies, sum_salary " +
-            "FROM global_temp.job_summary " +
-            "ORDER BY job_type, job_posted_site")
-        val overWire = Iterator.continually(rs2)
-          .takeWhile(_.next())
-          .map(r => (r.getString(1), r.getString(2), r.getLong(3),
-            r.getLong(4), r.getDouble(5)))
-          .toList
-        val direct = spark.sql(
-          "SELECT * FROM global_temp.job_summary " +
-            "ORDER BY job_type, job_posted_site")
-          .collect()
-          .map(r => (r.getString(0), r.getString(1), r.getLong(2),
-            r.getLong(3), r.getDouble(4)))
-          .toList
-        assert(overWire == direct && direct.nonEmpty)
-        // the skills explosion view answers too (join-shaped lineage)
-        val rs3 = st.executeQuery(
-          "SELECT count(DISTINCT skill) AS k FROM global_temp.job_skills")
-        assert(rs3.next() && rs3.getLong("k") > 0)
-      } finally conn.close()
+      val st = conn.createStatement()
+      // base table over the wire vs the engine's own count
+      val rs1 = st.executeQuery(
+        "SELECT count(*) AS n FROM global_temp.orders")
+      assert(rs1.next() &&
+        rs1.getLong("n") == Tables.orders(spark, sfDir).count())
+      // a derived BI view (the reference's job_summary analogue):
+      // grouped KPIs computed by Catalyst at query time, compared
+      // row-for-row with the direct DataFrame evaluation
+      val rs2 = st.executeQuery(
+        "SELECT job_type, job_posted_site, n, n_companies, sum_salary " +
+          "FROM global_temp.job_summary " +
+          "ORDER BY job_type, job_posted_site")
+      val overWire = Iterator.continually(rs2)
+        .takeWhile(_.next())
+        .map(r => (r.getString(1), r.getString(2), r.getLong(3),
+          r.getLong(4), r.getDouble(5)))
+        .toList
+      val direct = spark.sql(
+        "SELECT * FROM global_temp.job_summary " +
+          "ORDER BY job_type, job_posted_site")
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getDouble(4)))
+        .toList
+      assert(overWire == direct && direct.nonEmpty)
+      // the skills explosion view answers too (join-shaped lineage)
+      val rs3 = st.executeQuery(
+        "SELECT count(DISTINCT skill) AS k FROM global_temp.job_skills")
+      assert(rs3.next() && rs3.getLong("k") > 0)
+    } finally conn.close()
 
-      // ---- concurrent clients over every dashboard page (round-9 #6/#7) --
-      // Power BI issues slicer queries over several connections at once;
-      // the thrift server gives each connection an ISOLATED session, so
-      // global-temp-view visibility across simultaneous sessions is the
-      // risk this exercises. Two parallel hive-jdbc clients split the
-      // mounted q01–q27 dashboard views between them and each runs one
-      // wire query per page; counts are then compared to the engine's
-      // direct evaluation of the same views.
-      val pages = graft.server.SqlEndpoint.dashboardViews
-      assert(pages.size == 27, pages.mkString(","))
-      val wireCounts =
-        new java.util.concurrent.ConcurrentHashMap[String, Long]()
-      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
-      val threads = Seq(0, 1).map { par =>
-        new Thread(() => {
+    // ---- concurrent clients over every dashboard page (round-9 #6/#7) --
+    // Power BI issues slicer queries over several connections at once;
+    // the thrift server gives each connection an ISOLATED session, so
+    // global-temp-view visibility across simultaneous sessions is the
+    // risk this exercises. Two parallel hive-jdbc clients split the
+    // mounted q01–q27 dashboard views between them and each runs one
+    // wire query per page; counts are then compared to the engine's
+    // direct evaluation of the same views.
+    val pages = graft.server.SqlEndpoint.dashboardViews
+    assert(pages.size == 27, pages.mkString(","))
+    val wireCounts =
+      new java.util.concurrent.ConcurrentHashMap[String, Long]()
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = Seq(0, 1).map { par =>
+      new Thread(() => {
+        try {
+          val c = SharedEndpoint.connect()
           try {
-            val c = DriverManager.getConnection(
-              s"jdbc:hive2://localhost:$port/", "anonymous", "")
-            try {
-              val st = c.createStatement()
-              pages.zipWithIndex.filter(_._2 % 2 == par).foreach {
-                case (name, _) =>
-                  val rs = st.executeQuery(
-                    s"SELECT count(*) AS n FROM global_temp.$name")
-                  assert(rs.next())
-                  wireCounts.put(name, rs.getLong("n"))
-              }
-            } finally c.close()
-          } catch { case t: Throwable => errs.add(t) }
-        })
-      }
-      threads.foreach(_.start())
-      threads.foreach(_.join(120000))
-      assert(errs.isEmpty, s"concurrent client failed: ${errs.peek()}")
-      pages.foreach { name =>
-        val direct = spark.table(s"global_temp.$name").count()
-        assert(wireCounts.get(name) == direct,
-          s"$name: wire=${wireCounts.get(name)} direct=$direct")
-      }
-      // most pages carry rows even at the spec's tiny SF (q14's
-      // anti-join is legitimately empty there — parity above is the
-      // real check)
-      assert(pages.count(n => wireCounts.get(n) > 0) >= 25)
-    } finally server.stop()
+            val st = c.createStatement()
+            pages.zipWithIndex.filter(_._2 % 2 == par).foreach {
+              case (name, _) =>
+                val rs = st.executeQuery(
+                  s"SELECT count(*) AS n FROM global_temp.$name")
+                assert(rs.next())
+                wireCounts.put(name, rs.getLong("n"))
+            }
+          } finally c.close()
+        } catch { case t: Throwable => errs.add(t) }
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(120000))
+    assert(errs.isEmpty, s"concurrent client failed: ${errs.peek()}")
+    pages.foreach { name =>
+      val direct = spark.table(s"global_temp.$name").count()
+      assert(wireCounts.get(name) == direct,
+        s"$name: wire=${wireCounts.get(name)} direct=$direct")
+    }
+    // most pages carry rows even at the spec's tiny SF (q14's
+    // anti-join is legitimately empty there — parity above is the
+    // real check)
+    assert(pages.count(n => wireCounts.get(n) > 0) >= 25)
+  }
+
+  test("soak: 4 clients × all dashboard pages + ad-hoc SQL, store-maintenance stream in flight") {
+    // Round-10 verdict #6: Power BI issues BURSTS over several
+    // connections. Four concurrent hive-jdbc clients each sweep all 27
+    // dashboard pages (rotated start offsets so the same view is hit
+    // by several sessions at once), interleaved with ad-hoc SQL over
+    // the base views, while the q129 MinHash store-maintenance stream
+    // runs on the serving session. Bleed canary: every client creates
+    // a TEMPORARY VIEW under the SAME name holding its own client id
+    // and re-reads it between pages — any cross-session state bleed
+    // surfaces as a foreign id (per-connection isolated sessions are
+    // the thrift server's contract).
+    SharedEndpoint.port
+    val pages = graft.server.SqlEndpoint.dashboardViews
+    // direct evaluation BEFORE the burst (views are deterministic
+    // over static fixture data; the stream maintains its own stores
+    // and must not perturb them)
+    val direct = pages.map(n =>
+      n -> spark.table(s"global_temp.$n").count()).toMap
+    val directSkills = spark.table("global_temp.job_skills")
+      .groupBy(col("skill")).count().count()
+
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val streamDone = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val streamer = new Thread(() => {
+      try {
+        val out = graft.queries.Registry
+          .byName("q129_minhash_dedup_stream").run(spark, sfDir)
+        if (out.count() <= 0) errs.add("stream produced no verdicts")
+      } catch { case t: Throwable => errs.add(s"stream: $t") }
+      finally streamDone.set(true)
+    })
+    streamer.start()
+
+    val clients = (0 until 4).map { ci =>
+      new Thread(() => {
+        try {
+          val c = SharedEndpoint.connect()
+          try {
+            val st = c.createStatement()
+            st.execute(
+              s"CREATE TEMPORARY VIEW soak_canary AS SELECT $ci AS tag")
+            val rotated = pages.drop(ci * 7 % pages.size) ++
+              pages.take(ci * 7 % pages.size)
+            rotated.foreach { name =>
+              val rs = st.executeQuery(
+                s"SELECT count(*) AS n FROM global_temp.$name")
+              if (!rs.next() || rs.getLong("n") != direct(name))
+                errs.add(s"client $ci: $name wire!=direct")
+              val canary = st.executeQuery("SELECT tag FROM soak_canary")
+              if (!canary.next() || canary.getInt("tag") != ci)
+                errs.add(s"client $ci: canary bleed")
+            }
+            // ad-hoc shapes between page sweeps: a grouped aggregate
+            // and a join the BI tool would issue as slicer queries
+            val adhoc = st.executeQuery(
+              "SELECT count(*) AS g FROM (SELECT skill, count(*) " +
+                "FROM global_temp.job_skills GROUP BY skill)")
+            if (!adhoc.next() || adhoc.getLong("g") != directSkills)
+              errs.add(s"client $ci: ad-hoc group mismatch")
+          } finally c.close()
+        } catch { case t: Throwable => errs.add(s"client $ci: $t") }
+      })
+    }
+    clients.foreach(_.start())
+    clients.foreach(_.join(300000))
+    streamer.join(300000)
+    assert(streamDone.get(), "maintenance stream did not finish")
+    assert(errs.isEmpty, s"soak failures: ${errs.toArray.mkString("; ")}")
   }
 }
