@@ -37,7 +37,7 @@ FROM labeled ORDER BY doc_id"""
 Q155_SQL = CC_SQL + """,
 dt AS (SELECT doc_id,
          CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tok
-       FROM read_parquet('{sf}/documents.parquet')),
+       FROM read_parquet('{docs}')),
 wl AS (SELECT dt.doc_id, dt.n_tok, coalesce(l.cluster_rep, dt.doc_id) AS rep
        FROM dt LEFT JOIN labeled l ON dt.doc_id = l.doc_id),
 cl AS (SELECT rep, CAST(count(*) AS BIGINT) AS sz,
@@ -55,11 +55,16 @@ FROM cl, tot GROUP BY 1, tt ORDER BY 1"""
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
+    # driver fixtures are single files; ScaleUp rungs are directories
+    import os
+    docs = f"{sf_dir}/documents.parquet"
+    if os.path.isdir(docs):
+        docs = f"{docs}/*.parquet"
     failures = 0
     for name, fname, sql in [
             ("q134_incremental_cc_stream", "q134", Q134_SQL),
             ("q155_dedup_yield", "q155", Q155_SQL)]:
-        oracle = con.execute(sql.format(out=out_dir, sf=sf_dir)).fetchdf()
+        oracle = con.execute(sql.format(out=out_dir, docs=docs)).fetchdf()
         engine = con.execute(
             f"SELECT * FROM read_parquet('{out_dir}/{fname}.parquet/*.parquet')"
         ).fetchdf()
