@@ -100,9 +100,13 @@ object ConnectedComponents {
     // round-0 certificate would almost always burn a job to say "no".
     // largeStar is recomputed inside the round (its input is the
     // checkpointed frontier — two tiny cached stages beat materializing
-    // a third intermediate).
+    // a third intermediate). Each retired frontier releases its BLOCKS
+    // (CheckpointBlocks — Dataset.unpersist is a no-op on checkpoints),
+    // so live storage is one frontier, not O(rounds), at corpus scale.
     while (!done && rounds < maxRounds) {
+      val prev = e
       e = smallStar(largeStar(e)).localCheckpoint()
+      CheckpointBlocks.release(prev)
       rounds += 1
       done = isStarForest(e)
     }

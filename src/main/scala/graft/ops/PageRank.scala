@@ -91,22 +91,8 @@ object PageRank {
       p
     }
 
-  /** Release the blocks behind a localCheckpoint'ed frame.
-    * `Dataset.unpersist` is a no-op for these: it only clears
-    * CacheManager entries, while localCheckpoint persists the
-    * UNDERLYING RDD directly (round-10 advice). That RDD is reachable
-    * as the `LogicalRDD` the checkpointed frame wraps — unpersisting
-    * it frees the blocks immediately instead of waiting for JVM GC +
-    * the periodic ContextCleaner. The frame must never be read again
-    * (its lineage was truncated by the checkpoint), which is exactly
-    * the retired-snapshot contract of the callers below.
-    */
   private def releaseLocalCkpt(df: DataFrame): Unit =
-    org.apache.spark.sql.graftbridge.DatasetBridge.analyzed(df) match {
-      case lr: org.apache.spark.sql.execution.LogicalRDD =>
-        lr.rdd.unpersist(blocking = false); ()
-      case _ => ()
-    }
+    CheckpointBlocks.release(df)
 
   /** Release the edge cache: the columnar regime is a CacheManager
     * entry (`Dataset.unpersist` works); the localCheckpoint regime

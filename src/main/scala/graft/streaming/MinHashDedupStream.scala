@@ -304,6 +304,11 @@ object MinHashDedupStream {
       Load.expireNumericPartitions(spark, labelsDir, "batch", batchId - 1)
     }
     bands.unpersist(); base.unpersist(); batch.unpersist()
+    // qual is a localCheckpoint under the CC fold — release its blocks
+    // (plain unpersist is a no-op on checkpointed frames); retired here
+    // because every consumer (verdicts, pair store, label fold) has
+    // materialized above
+    if (foldCc) graft.ops.CheckpointBlocks.release(qual)
     ()
     }
   }
