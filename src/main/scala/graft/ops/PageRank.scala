@@ -29,22 +29,27 @@ import org.apache.spark.sql.functions._
   *
   * Iterative shape (the q60/q99 driver-round pattern):
   *  - the BARE edge list (src, dst[, w] — the narrowest possible big
-  *    table) is hash-partitioned by src, sorted within partitions, and
-  *    materialized ONCE (see [[persistEdges]]: localCheckpoint, or the
-  *    compressed columnar cache under the caller's corpus-scale hint);
-  *    the upstream derivation (often a large fact join) never re-runs,
-  *    and the per-round sort-merge join reuses both the partitioning
-  *    and the ordering — the edge side never moves again;
-  *  - per-src denominators (deg / Σw) live on the NODE table, not on
-  *    every edge row: each round pre-divides the rank share on the
-  *    node-sized side (share(u) = (85·r(u)) div (100·deg(u)) — one row
-  *    per node, not one div per edge), then the big join only ships
-  *    that share. Same integer value per edge, a third fewer cached
-  *    bytes, and one fewer corpus-sized shuffle at build time (the old
-  *    edges⋈deg materialization);
+  *    table) is materialized ONCE (see [[persistEdges]]); on the
+  *    corpus-scale columnar path it is hash-partitioned and sorted by
+  *    src FIRST, and the cache preserves both, so every round's
+  *    sort-merge join runs with zero exchange and zero sort on the
+  *    edge side. (localCheckpoint cannot carry that metadata — its
+  *    scans report UnknownPartitioning — so the small/medium path
+  *    skips the pre-shuffle and relies on AQE instead, below.)
+  *  - per-src denominators (deg / Σw) ride IN THE RANK FRAME, not on
+  *    every edge row: each round's share (share(u) = (85·r(u)) div
+  *    (100·deg(u)), one row per node) is a pure PROJECTION of the
+  *    rank frame. Same integer value per edge as the old per-edge
+  *    form, a third fewer cached bytes, one fewer corpus-sized
+  *    shuffle at build (the old edges⋈deg) — and, critically, a
+  *    single measurable stage on the small side of the big join, so
+  *    AQE converts it to broadcast-hash below the node-size
+  *    threshold (a join-shaped share side is unmeasurable mid-stage
+  *    and pinned the corpus side into a full per-round sort —
+  *    measured 2.5× on q130 at sf10, round 11);
   *  - each round is the canonical two-shuffle PageRank step: join
   *    shares into edges on src (shares are node-sized — only they
-  *    shuffle), then an integer-sum aggregate whose shuffle carries
+  *    move), then an integer-sum aggregate whose shuffle carries
   *    node-sized partial sums, not edge-sized rows (map-side combine);
   *  - ranks are localCheckpoint'ed per round, so lineage stays O(1)
   *    across rounds instead of O(k); retired snapshots release their
@@ -86,7 +91,16 @@ object PageRank {
   private def persistEdges(ed: DataFrame, columnar: Boolean): DataFrame =
     if (!columnar) ed.localCheckpoint()
     else {
-      val p = ed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      // partition+sort BEFORE caching: InMemoryRelation preserves both
+      // (unlike localCheckpoint, whose LogicalRDD scans report
+      // UnknownPartitioning — measured, round 11), so every round's
+      // sort-merge join runs with ZERO exchange and ZERO sort on the
+      // corpus-sized side. On the localCheckpoint path the pre-shuffle
+      // would be wasted metadata and is skipped; there the per-round
+      // join re-exchanges, and AQE's broadcast conversion (below the
+      // node-size threshold) short-circuits it anyway.
+      val p = ed.repartition(col("src")).sortWithinPartitions(col("src"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
       p.count()
       p
     }
@@ -111,29 +125,35 @@ object PageRank {
   def ranks(edges: DataFrame, k: Int,
             columnarEdgeCache: Boolean = false): DataFrame = {
     require(k >= 0, s"pagerank rounds must be >= 0, got $k")
-    // cache the BARE (src, dst) pairs, partitioned+sorted by src: the
-    // per-round SMJ reuses both, so the big side never shuffles or
-    // sorts again. Degrees are NOT carried per edge — they live on the
-    // node-sized table below and the round's share pre-division joins
-    // them back (same integer per-edge value, a third fewer cached
-    // bytes, one fewer corpus shuffle at build: the old edges⋈deg).
-    val ed = persistEdges(
-      edges.repartition(col("src")).sortWithinPartitions(col("src")),
-      columnarEdgeCache)
-    // computed FROM the cached layout: partial aggs are co-partitioned
-    // on src, so this shuffles node-sized partials only
+    // cache the BARE (src, dst) pairs: degrees are NOT carried per
+    // edge — they ride in the rank frame below and the round's share
+    // pre-division is a pure projection (same integer per-edge value,
+    // a third fewer cached bytes, one fewer corpus shuffle at build:
+    // the old edges⋈deg materialization).
+    val ed = persistEdges(edges, columnarEdgeCache)
+    // partial aggs combine map-side; the exchange carries node-sized
+    // partials only
     val deg = ed.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .select(col("src").as("node"), col("deg"))
-      .localCheckpoint()
+    // the node spine CARRIES deg (0 for dangling nodes): the per-round
+    // share is then a projection over the rank frame alone — one
+    // measurable shuffle stage on the small side of the big join, which
+    // is what lets AQE convert it to broadcast-hash below the node-size
+    // threshold (a join-shaped small side is unmeasurable mid-stage and
+    // pins the corpus side into a full per-round sort — measured 2.5×
+    // on q130 at sf10, round 11)
     val nodes = ed.select(col("src").as("node"))
       .unionByName(ed.select(col("dst").as("node")))
       .distinct()
+      .join(deg, Seq("node"), "left")
+      .select(col("node"), coalesce(col("deg"), lit(0L)).as("deg"))
       .localCheckpoint()
     val n = nodes.count()
     require(n > 0, "pagerank over an empty graph")
     val teleport = (15L * Mass) / (100L * n)
 
-    var r = nodes.select(col("node"), lit(Mass / n).as("rank"))
+    // the rank frame carries (node, deg, rank) — deg is loop-invariant
+    var r = nodes.select(col("node"), col("deg"), lit(Mass / n).as("rank"))
     // retire the previous rank snapshot once the next one is
     // materialized: live storage stays O(1) rounds instead of O(k)
     // (node-sized blocks, but at 16M+ nodes that is GBs per snapshot)
@@ -141,15 +161,16 @@ object PageRank {
     var i = 0
     while (i < k) {
       // pre-divide on the node side: one div per NODE, then the big
-      // join ships only (src, share)
-      val shares = r.join(deg, Seq("node"))
+      // join ships only (src, share). Dangling nodes (deg 0) emit no
+      // share — the same rows the old per-edge form never saw.
+      val shares = r.where(col("deg") > 0)
         .select(col("node").as("src"),
           expr("(85 * rank) div (100 * deg)").as("share"))
       val contribs = ed.join(shares, Seq("src"))
         .select(col("dst").as("node"), col("share").as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("sc"))
       val next = nodes.join(contribs, Seq("node"), "left")
-        .select(col("node"),
+        .select(col("node"), col("deg"),
           (lit(teleport) + coalesce(col("sc"), lit(0L))).as("rank"))
       if (i % CheckpointEvery == CheckpointEvery - 1 || i == k - 1) {
         r = next.localCheckpoint()
@@ -159,11 +180,10 @@ object PageRank {
       i += 1
     }
     // the final round always checkpoints, so the edge cache and the
-    // node-sized helpers can be released before the caller's (top-k,
-    // join-back) follow-up work
+    // node spine can be released before the caller's (top-k, join-back)
+    // follow-up work
     if (k > 0) {
       releaseEdges(ed, columnarEdgeCache)
-      releaseLocalCkpt(deg)
       releaseLocalCkpt(nodes)
     }
     r.select(col("node"), col("rank").as("rank_units"))
@@ -196,29 +216,32 @@ object PageRank {
   def personalized(edges: DataFrame, seeds: DataFrame, k: Int,
                    columnarEdgeCache: Boolean = false): DataFrame = {
     require(k >= 0, s"pagerank rounds must be >= 0, got $k")
-    // same cached-layout discipline as [[ranks]]: bare (src, dst, w)
-    // partitioned+sorted by src; the Σw denominator lives node-sized
-    val ed = persistEdges(
-      edges.repartition(col("src")).sortWithinPartitions(col("src")),
-      columnarEdgeCache)
+    // same cached-layout discipline as [[ranks]]: bare (src, dst, w);
+    // the Σw denominator rides in the rank frame (see ranks — the
+    // projection-shaped share side is what keeps the big join
+    // AQE-convertible)
+    val ed = persistEdges(edges, columnarEdgeCache)
     val wsum = ed.groupBy(col("src")).agg(sum(col("w")).as("tw"))
       .select(col("src").as("node"), col("tw"))
-      .localCheckpoint()
     val nodes = ed.select(col("src").as("node"))
       .unionByName(ed.select(col("dst").as("node")))
       .distinct()
-    // seed flag materialized once onto the node list (nodes are the
-    // small side; the per-round join reuses this checkpointed frame)
+    // seed flag AND Σw materialized once onto the node spine (the
+    // rank frame below carries both, so the per-round share side is a
+    // pure projection — see ranks)
     val nodesS = nodes
       .join(seeds.select(col("node"), lit(1L).as("seed1")).distinct(),
         Seq("node"), "left")
-      .select(col("node"), coalesce(col("seed1"), lit(0L)).as("seed"))
+      .join(wsum, Seq("node"), "left")
+      .select(col("node"), coalesce(col("seed1"), lit(0L)).as("seed"),
+        coalesce(col("tw"), lit(0L)).as("tw"))
       .localCheckpoint()
     val ns = nodesS.where(col("seed") === 1L).count()
     require(ns > 0, "personalized pagerank needs at least one in-graph seed")
     val teleport = (15L * Mass) / (100L * ns)
 
-    var r = nodesS.select(col("node"),
+    // rank frame carries (node, seed, tw, rank) — seed/tw loop-invariant
+    var r = nodesS.select(col("node"), col("seed"), col("tw"),
       (col("seed") * lit(Mass / ns)).as("rank"))
     var prevCkpt: DataFrame = null
     var i = 0
@@ -226,8 +249,9 @@ object PageRank {
       // weighted pre-division carries the per-node NUMERATOR (85·r)
       // and DENOMINATOR (100·Σw); the per-edge value
       // (r85 · w) div tw100 = (85·r·w) div (100·Σw) is the identical
-      // long product and floor-division — same bits, narrower big join
-      val shares = r.join(wsum, Seq("node"))
+      // long product and floor-division — same bits, narrower big join.
+      // Nodes with no out-edges (tw 0) emit no share, as before.
+      val shares = r.where(col("tw") > 0)
         .select(col("node").as("src"),
           (lit(85L) * col("rank")).as("r85"),
           (lit(100L) * col("tw")).as("tw100"))
@@ -236,7 +260,7 @@ object PageRank {
           expr("(r85 * w) div tw100").as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("sc"))
       val next = nodesS.join(contribs, Seq("node"), "left")
-        .select(col("node"),
+        .select(col("node"), col("seed"), col("tw"),
           (col("seed") * lit(teleport) + coalesce(col("sc"), lit(0L)))
             .as("rank"))
       if (i % CheckpointEvery == CheckpointEvery - 1 || i == k - 1) {
@@ -248,7 +272,6 @@ object PageRank {
     }
     if (k > 0) {
       releaseEdges(ed, columnarEdgeCache)
-      releaseLocalCkpt(wsum)
       releaseLocalCkpt(nodesS)
     }
     r.select(col("node"), col("rank").as("rank_units"))
