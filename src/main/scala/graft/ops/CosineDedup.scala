@@ -283,25 +283,45 @@ object CosineDedup {
     val k = graft.queries.SelectionOps.adaptiveK(nRows)
     val assigned = graft.queries.SelectionOps.assignTwoLevelTop2(e, k)
       .localCheckpoint(false)
-    // Routed-path block size: every block is SHIPPED once per partner
-    // block, so the block-pair join's shuffle volume is
-    // Σ_cells m_i² × |block bytes| ∝ Σc_i² / B — bigger blocks shed
-    // shuffle linearly while the per-task kernel cost grows only to
-    // B²/2 cosines (~3M at 2500: a fine task grain, ~1.4 MB of block
-    // payload). At the sf100 rung B=512 shipped ~60 GB of block
-    // arrays (disk-bound, the 14.8×/decade leg of round 10); B=2500
-    // — one block per mean cell-half (k ∝ n pins mean cell near
-    // 2·2500) — ships ~4×. Pure physical partitioning: the pair set
-    // and every cos_r are unchanged, so the oracle replay is
-    // untouched. Callers passing a LARGER targetBlock keep it.
-    val routedBlock = math.max(targetBlock, 2500)
-    // per-cluster sub-block counts: k = n/2500 rows — joined back (not a
+    // top-2 multi-assignment can co-locate the same pair in BOTH shared
+    // cells; cos_r is a pure function of the pair (same kernel), so the
+    // dedup never has to pick between conflicting rows
+    pairsWithinBuckets(assigned, dim, threshold, targetBlock)
+      .dropDuplicates("vec_a", "vec_b")
+  }
+
+  /** All within-bucket pairs of `assigned` (bucket, vec_id, v, n2) with
+    * round(cosine, 4) ≥ threshold, via the blocked exact kernel —
+    * (vec_a, vec_b, cos_r), vec_a < vec_b; rows may repeat if the input
+    * multi-assigns a vector to several buckets (callers dedup to their
+    * need). Shared by [[pairsAboveAuto]]'s routed path and the
+    * cluster-scoped q106 witness join: one block-pair row replaces
+    * ~targetBlock² joined rows through the expression evaluator, the
+    * same ~5× that motivated the kernel in [[pairsAbove]].
+    *
+    * Block size: every block is SHIPPED once per partner block, so the
+    * block-pair join's shuffle volume is Σ_cells m_i² × |block bytes|
+    * ∝ Σc_i² / B — bigger blocks shed shuffle linearly while the
+    * per-task kernel cost grows only to B²/2 cosines (~3M at the 2500
+    * floor: a fine task grain, ~1.4 MB of block payload). At the sf100
+    * rung B=512 shipped ~60 GB of block arrays (disk-bound, the
+    * 14.8×/decade leg of round 10); B=2500 — one block per mean
+    * cell-half under adaptive k — ships ~4×. Pure physical
+    * partitioning: the pair set and every cos_r are unchanged, so
+    * oracle replays are untouched. Callers passing a LARGER
+    * targetBlock keep it.
+    */
+  private[graft] def pairsWithinBuckets(
+      assigned: DataFrame, dim: Int, threshold: Double,
+      targetBlock: Int = 512): DataFrame = {
+    val blockSize = math.max(targetBlock, 2500)
+    // per-cluster sub-block counts: k ∝ n/2500 rows — joined back (not a
     // driver-built when-chain, which would not scale past a few dozen
     // buckets) so the plan shape survives corpus-scale k
     val counts = assigned.groupBy(col("bucket"))
       .agg(count(lit(1)).as("n"))
       .withColumn("m", greatest(lit(1L),
-        ceil(col("n").cast("double") / routedBlock).cast("long")).cast("int"))
+        ceil(col("n").cast("double") / blockSize).cast("long")).cast("int"))
       .select(col("bucket"), col("m"))
     val blocks = assigned.join(counts, Seq("bucket"))
       .withColumn("sub", pmod(xxhash64(col("vec_id")), col("m")).cast("int"))
@@ -320,10 +340,6 @@ object CosineDedup {
         col("B.bucket") === col("P.bucket") && col("B.sub") === col("P.sb"))
       .select(col("A.items").as("ia"), col("B.items").as("ib"),
         (col("P.sa") === col("P.sb")).as("same"))
-    // top-2 multi-assignment can co-locate the same pair in BOTH shared
-    // cells; cos_r is a pure function of the pair (same kernel), so the
-    // dedup never has to pick between conflicting rows
     scoreBlocks(joined, dim, threshold)
-      .dropDuplicates("vec_a", "vec_b")
   }
 }

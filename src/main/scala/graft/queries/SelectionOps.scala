@@ -770,14 +770,16 @@ object SelectionOps {
         // checkpoint each would re-scan and re-assign the corpus —
         // the q111 bucket store is the durable form of the same idea
         val assigned = assignTwoLevel(e, k).localCheckpoint()
-        val a = assigned.select(col("bucket"), col("vec_id").as("a_id"),
-          col("v").as("av"), col("n2").as("an2"))
-        val drops = assigned.join(a, Seq("bucket"))
-          .where(col("a_id") < col("vec_id"))
-          .withColumn("cs",
-            round(dotProduct(col("v"), col("av")) / sqrt(col("n2") * col("an2")), 4))
-          .where(col("cs") >= 0.45)
-          .select(col("vec_id")).distinct()
+        // within-cell witnesses via the BLOCKED exact kernel (round 11):
+        // the former row-pair self-join streamed Σc² joined rows — each
+        // carrying two 64-double vectors — through the expression
+        // evaluator; the kernel scores the same pairs (bit-identical
+        // left-to-right dot + round-4) in ~targetBlock²-sized primitive
+        // loops. A drop is any vector with a lower-id ≥0.45 witness in
+        // its cell — exactly the kernel's vec_b side (vec_a < vec_b).
+        val drops = graft.ops.CosineDedup
+          .pairsWithinBuckets(assigned, dim = 64, threshold = 0.45)
+          .select(col("vec_b").as("vec_id")).distinct()
         assigned
           .join(drops.withColumn("dropped", lit(1L)), Seq("vec_id"), "left")
           .select(col("vec_id"), col("bucket").cast("long").as("bucket"),
