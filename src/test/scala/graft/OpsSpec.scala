@@ -318,6 +318,41 @@ class OpsSpec extends SparkSpec {
       s"extra=${(routed -- exact).take(5)}")
   }
 
+  test("pairsWithinBuckets equals the row-pair self-join on every bucketing") {
+    // the blocked kernel path q106's witness join rides (round 11) vs
+    // the straightforward within-bucket self-join it replaced — same
+    // pair set, same cos_r, under both a single-assign and a synthetic
+    // multi-assign bucketing (where the helper may emit duplicates and
+    // the caller dedups)
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("n2", expr("aggregate(v, 0D, (acc, x) -> acc + x * x)"))
+    val single = graft.queries.SelectionOps.q106Assign(e)
+    val multi = single.unionByName(
+      single.withColumn("bucket", pmod(col("vec_id"), lit(3L))))
+    for (assigned <- Seq(single, multi)) {
+      val a = assigned.select(col("bucket"), col("vec_id").as("a_id"),
+        col("v").as("av"), col("n2").as("an2"))
+      val reference = assigned.join(a, Seq("bucket"))
+        .where(col("a_id") < col("vec_id"))
+        .withColumn("cos_r", round(graft.functions.VectorFunctions
+          .dotProduct(col("v"), col("av")) /
+          sqrt(col("n2") * col("an2")), 4))
+        .where(col("cos_r") >= 0.45)
+        .select(col("a_id").as("vec_a"), col("vec_id").as("vec_b"),
+          col("cos_r"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      val kernel = graft.ops.CosineDedup
+        .pairsWithinBuckets(assigned, dim = 64, threshold = 0.45)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      assert(kernel == reference,
+        s"extra=${(kernel -- reference).take(3)} missing=${(reference -- kernel).take(3)}")
+      assert(reference.nonEmpty)
+    }
+  }
+
   test("pairsAboveAuto: measured recall on the planted-cluster fixture") {
     // three tight clusters interleaved over the id space so the seeded
     // centroids (first adaptiveK = 8 ids) span all three — the corpus
