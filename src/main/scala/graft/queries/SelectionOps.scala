@@ -764,22 +764,41 @@ object SelectionOps {
         val e = Tables.embeddings(s, d)
           .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
           .withColumn("n2", squaredNorm(col("v")))
-        val k = adaptiveK(e.count())
+        val n = e.count()
+        val k = adaptiveK(n)
         // materialize the assignment once: it feeds three consumers
         // (both pair-join sides + the output spine), and without the
         // checkpoint each would re-scan and re-assign the corpus —
         // the q111 bucket store is the durable form of the same idea
         val assigned = assignTwoLevel(e, k).localCheckpoint()
-        // within-cell witnesses via the BLOCKED exact kernel (round 11):
-        // the former row-pair self-join streamed Σc² joined rows — each
-        // carrying two 64-double vectors — through the expression
-        // evaluator; the kernel scores the same pairs (bit-identical
-        // left-to-right dot + round-4) in ~targetBlock²-sized primitive
-        // loops. A drop is any vector with a lower-id ≥0.45 witness in
-        // its cell — exactly the kernel's vec_b side (vec_a < vec_b).
-        val drops = graft.ops.CosineDedup
-          .pairsWithinBuckets(assigned, dim = 64, threshold = 0.45)
-          .select(col("vec_b").as("vec_id")).distinct()
+        // A drop is any vector with a lower-id ≥0.45 witness in its
+        // cell. Two physically-identical-result regimes (OpsSpec pins
+        // kernel ≡ row-join on the fixture; both engines' answers and
+        // the oracle are unchanged either way):
+        //  - corpus scale: the BLOCKED exact kernel (round 11) — the
+        //    row-pair self-join streamed Σc² joined rows, each carrying
+        //    two 64-double vectors, through the expression evaluator;
+        //    the kernel scores the same pairs (bit-identical
+        //    left-to-right dot + round-4) in block-sized primitive
+        //    loops. Measured: sf10 26.8 → 10.5 s, sf100 155.1 → 29.6 s.
+        //  - small corpora: the plain row-pair join — the kernel's
+        //    block build (counts join + collect_list + block-pair
+        //    join) is fixed overhead that outweighs its per-pair win
+        //    below ~100K vectors (measured +0.7-1.2 s at sf0.1's 20K).
+        val drops =
+          if (n >= 100000L)
+            graft.ops.CosineDedup
+              .pairsWithinBuckets(assigned, dim = 64, threshold = 0.45)
+              .select(col("vec_b").as("vec_id")).distinct()
+          else {
+            val a = assigned.select(col("bucket"), col("vec_id").as("a_id"),
+              col("v").as("av"), col("n2").as("an2"))
+            assigned.join(a, Seq("bucket"))
+              .where(col("a_id") < col("vec_id"))
+              .where(round(dotProduct(col("v"), col("av")) /
+                sqrt(col("n2") * col("an2")), 4) >= 0.45)
+              .select(col("vec_id")).distinct()
+          }
         assigned
           .join(drops.withColumn("dropped", lit(1L)), Seq("vec_id"), "left")
           .select(col("vec_id"), col("bucket").cast("long").as("bucket"),
