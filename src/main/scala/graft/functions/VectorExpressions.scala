@@ -41,14 +41,18 @@ object VectorOps2 {
   }
 
   /** Spark's `round(x, 4)` for DoubleType, verbatim: both the
-    * interpreted and codegen paths of Catalyst's RoundBase compute
+    * interpreted and codegen paths of Catalyst's RoundBase return
+    * NaN/Infinity unchanged and otherwise compute
     * java.math.BigDecimal.valueOf(x).setScale(scale, HALF_UP) — the
     * kernel below must round IDENTICALLY or its argmax could disagree
     * with the oracle's at a 4-dp tie (CentroidKernelSpec pins this
-    * equality over the fixture corpus).
+    * equality over the fixture corpus, including a zero-norm vector
+    * whose 0/0 cosine is NaN: without the guard,
+    * BigDecimal.valueOf(NaN) throws NumberFormatException).
     */
   def round4(x: Double): Double =
-    java.math.BigDecimal.valueOf(x)
+    if (x.isNaN || x.isInfinite) x
+    else java.math.BigDecimal.valueOf(x)
       .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
 
   /** The two best (rounded-cosine DESC, id ASC) centroids of `members`
@@ -61,8 +65,17 @@ object VectorOps2 {
     * candidate centroids) where this loop is ~10× cheaper. Exact same
     * total order as the fold it replaces: ties on the 4-dp rounded
     * cosine resolve to the lower id, and a slot-1 win demotes the old
-    * best to slot 2. (NaN cosines — zero-norm vectors — never beat
-    * either slot here; the corpora this serves have no zero vectors.)
+    * best to slot 2.
+    *
+    * NaN cosines (zero-norm vectors: 0/0) no longer crash — round4
+    * passes NaN through like Catalyst's RoundBase — and are PINNED to
+    * never beat either slot (Java's `NaN > x` is false). This is a
+    * deliberate deviation from the replaced Catalyst fold, whose
+    * comparison semantics order NaN greatest: a zero-norm vector has
+    * no meaningful nearest centroid, and "NaN wins" would dump every
+    * zero vector on whichever centroid the fold visited first.
+    * CentroidKernelSpec pins both the no-crash and the
+    * degenerate-slot result for a zero-norm input.
     */
   def centroidTop2(members: ArrayData, v: ArrayData, n2: Double)
       : org.apache.spark.sql.catalyst.InternalRow = {

@@ -274,6 +274,7 @@ object CosineDedup {
       dim: Int,
       signBits: Int = 3,
       targetBlock: Int = 512,
+      routedBlock: Int = 2500,
       seed: Long = 7L,
       maxRows: Long = DefaultMaxRows): DataFrame = {
     val nRows = e.count()
@@ -285,8 +286,14 @@ object CosineDedup {
       .localCheckpoint(false)
     // top-2 multi-assignment can co-locate the same pair in BOTH shared
     // cells; cos_r is a pure function of the pair (same kernel), so the
-    // dedup never has to pick between conflicting rows
-    pairsWithinBuckets(assigned, dim, threshold, targetBlock)
+    // dedup never has to pick between conflicting rows. The routed
+    // path's block size is its OWN knob (routedBlock): targetBlock
+    // tunes the sub-guard exact path, where 512 is the measured
+    // optimum; above the guard, Σc² shuffle volume dominates and 2500
+    // is (round-11 sf100 measurement: ~60 GB shipped at 512, ~¼ at
+    // ≥2500). Callers bound per-task memory by passing routedBlock
+    // explicitly — it is honored verbatim, no silent floor.
+    pairsWithinBuckets(assigned, dim, threshold, routedBlock)
       .dropDuplicates("vec_a", "vec_b")
   }
 
@@ -302,19 +309,20 @@ object CosineDedup {
     * Block size: every block is SHIPPED once per partner block, so the
     * block-pair join's shuffle volume is Σ_cells m_i² × |block bytes|
     * ∝ Σc_i² / B — bigger blocks shed shuffle linearly while the
-    * per-task kernel cost grows only to B²/2 cosines (~3M at the 2500
-    * floor: a fine task grain, ~1.4 MB of block payload). At the sf100
-    * rung B=512 shipped ~60 GB of block arrays (disk-bound, the
-    * 14.8×/decade leg of round 10); B=2500 — one block per mean
+    * per-task kernel cost grows only to B²/2 cosines (~3M at the
+    * default 2500: a fine task grain, ~1.4 MB of block payload). At
+    * the sf100 rung B=512 shipped ~60 GB of block arrays (disk-bound,
+    * the 14.8×/decade leg of round 10); B=2500 — one block per mean
     * cell-half under adaptive k — ships ~4×. Pure physical
     * partitioning: the pair set and every cos_r are unchanged, so
-    * oracle replays are untouched. Callers passing a LARGER
-    * targetBlock keep it.
+    * oracle replays are untouched. targetBlock is honored VERBATIM
+    * (no silent floor): a caller bounding per-task memory with a
+    * smaller block gets it, and pays the shuffle volume knowingly.
     */
   private[graft] def pairsWithinBuckets(
       assigned: DataFrame, dim: Int, threshold: Double,
-      targetBlock: Int = 512): DataFrame = {
-    val blockSize = math.max(targetBlock, 2500)
+      targetBlock: Int = 2500): DataFrame = {
+    val blockSize = math.max(targetBlock, 1)
     // per-cluster sub-block counts: k ∝ n/2500 rows — joined back (not a
     // driver-built when-chain, which would not scale past a few dozen
     // buckets) so the plan shape survives corpus-scale k

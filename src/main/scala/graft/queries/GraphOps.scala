@@ -154,8 +154,9 @@ object GraphOps {
     * mode, where driver and executors share one machine.
     */
   private def stageParquet(s: org.apache.spark.sql.SparkSession,
-                           df: DataFrame, tag: String): (DataFrame, String) = {
-    val dir = s.conf.getOption("spark.graft.scratchDir") match {
+                           df: DataFrame, tag: String,
+                           scratchRoot: Option[String]): (DataFrame, String) = {
+    val dir = scratchRoot match {
       case Some(root) =>
         s"${root.stripSuffix("/")}/graft_${tag}_${java.util.UUID.randomUUID}"
       case None =>
@@ -203,11 +204,17 @@ object GraphOps {
     val parts = math.max(factShuffleWidth(s, d, prev), floor)
     if (parts == prev) build(s, identity, false)
     else {
+      // scratchDir must be read off the CALLER's session before the
+      // fork: newSession() starts from cloned defaults, not the
+      // caller's runtime conf.set values, so resolving it on `gs`
+      // would silently drop a runtime-set shared-FS staging root on
+      // exactly the (wide) path that stages.
+      val scratchRoot = s.conf.getOption("spark.graft.scratchDir")
       val gs = s.newSession()
       gs.conf.set("spark.sql.shuffle.partitions", parts.toString)
       val staged = scala.collection.mutable.ArrayBuffer.empty[String]
       try build(gs, { df =>
-        val (out, dir) = stageParquet(gs, df, "graph")
+        val (out, dir) = stageParquet(gs, df, "graph", scratchRoot)
         staged += dir
         out
       }, true).localCheckpoint()

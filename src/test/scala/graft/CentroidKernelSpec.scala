@@ -100,4 +100,41 @@ class CentroidKernelSpec extends SparkSpec {
       assert(r.getLong(1) == Long.MaxValue)
     }
   }
+
+  test("zero-norm vector: NaN cosines neither crash nor win a slot") {
+    // A zero vector's cosine is 0/0 = NaN. Catalyst's RoundBase passes
+    // NaN through; before the guard, VectorOps2.round4 threw
+    // NumberFormatException from BigDecimal.valueOf(NaN) — one zero
+    // embedding crashed every query through the kernel. PINNED
+    // behavior (documented deviation from the replaced fold, whose
+    // Catalyst comparisons order NaN greatest): NaN never beats either
+    // slot, so a zero-norm QUERY vector keeps both sentinels, and a
+    // zero-norm CANDIDATE never becomes anyone's best centroid.
+    import spark.implicits._
+    val dim = 4
+    val rows = Seq(
+      (0L, Array(1.0, 0.0, 0.0, 0.0)),
+      (1L, Array.fill(dim)(0.0)), // zero-norm
+      (2L, Array(0.0, 1.0, 0.0, 0.0)))
+    val e = rows.toDF("vec_id", "v").withColumn("n2", squaredNorm(col("v")))
+    val cents = e.agg(collect_list(struct(col("vec_id").as("id"),
+      col("v").as("cv"), col("n2").as("cn2"))).as("cands"))
+    val out = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), centroidTop2(col("cands"), col("v"), col("n2")).as("t"))
+      .select(col("vec_id"), col("t.c1"), col("t.i1"), col("t.i2"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // zero-norm query: every cosine NaN, both slots stay at sentinels
+    assert(out(1L) == ((-2.0, Long.MaxValue, Long.MaxValue)))
+    // non-zero queries: best is self (cos 1.0); the zero candidate's
+    // NaN cosine never displaced a real slot
+    assert(out(0L)._1 == 1.0 && out(0L)._2 == 0L && out(0L)._3 == 2L)
+    assert(out(2L)._1 == 1.0 && out(2L)._2 == 2L && out(2L)._3 == 0L)
+    // and the scalar path itself: RoundBase parity on non-finites
+    assert(graft.functions.VectorOps2.round4(Double.NaN).isNaN)
+    assert(graft.functions.VectorOps2.round4(Double.PositiveInfinity)
+      == Double.PositiveInfinity)
+    assert(graft.functions.VectorOps2.round4(Double.NegativeInfinity)
+      == Double.NegativeInfinity)
+  }
 }

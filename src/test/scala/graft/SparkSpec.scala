@@ -19,10 +19,16 @@ object SharedSpark {
     s.sparkContext.setLogLevel("WARN")
     s
   }
+
+  /** THE fixture dir for the shared-session suites — SharedEndpoint
+    * serves this same dir, so wire-vs-direct asserts compare like for
+    * like; change it HERE only.
+    */
+  val sfDir = "/root/testdata/sf0.001"
 }
 
 /** Base for all suites: one shared session, sf0.001 fixture dir. */
 trait SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SharedSpark.spark
-  val sfDir = "/root/testdata/sf0.001"
+  val sfDir = SharedSpark.sfDir
 }

@@ -16,7 +16,7 @@ object SharedEndpoint {
       val ss = new java.net.ServerSocket(0)
       try ss.getLocalPort finally ss.close()
     }
-    graft.server.SqlEndpoint.start(SharedSpark.spark, "/root/testdata/sf0.001", p)
+    graft.server.SqlEndpoint.start(SharedSpark.spark, SharedSpark.sfDir, p)
     Class.forName("org.apache.hive.jdbc.HiveDriver")
     p
   }
