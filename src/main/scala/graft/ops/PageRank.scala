@@ -30,12 +30,17 @@ import org.apache.spark.sql.functions._
   * Iterative shape (the q60/q99 driver-round pattern):
   *  - the BARE edge list (src, dst[, w] — the narrowest possible big
   *    table) is materialized ONCE (see [[persistEdges]]); on the
-  *    corpus-scale columnar path it is hash-partitioned and sorted by
-  *    src FIRST, and the cache preserves both, so every round's
-  *    sort-merge join runs with zero exchange and zero sort on the
-  *    edge side. (localCheckpoint cannot carry that metadata — its
-  *    scans report UnknownPartitioning — so the small/medium path
-  *    skips the pre-shuffle and relies on AQE instead, below.)
+  *    corpus-scale columnar path it is hash-partitioned by DST, and
+  *    the cache preserves that, so every round's contribution
+  *    aggregate — the only edge-sized exchange left after round 11's
+  *    layout — needs NO shuffle at all: the share side broadcasts
+  *    (node-sized), the broadcast-hash join preserves the streamed
+  *    edge partitioning, and groupBy(dst) finds its required
+  *    distribution already satisfied. A corpus round is one cache
+  *    scan plus node-sized work. (localCheckpoint cannot carry
+  *    partitioning metadata — its scans report UnknownPartitioning —
+  *    so the small/medium path skips the pre-shuffle and relies on
+  *    AQE instead, below.)
   *  - per-src denominators (deg / Σw) ride IN THE RANK FRAME, not on
   *    every edge row: each round's share (share(u) = (85·r(u)) div
   *    (100·deg(u)), one row per node) is a pure PROJECTION of the
@@ -47,10 +52,15 @@ import org.apache.spark.sql.functions._
   *    threshold (a join-shaped share side is unmeasurable mid-stage
   *    and pinned the corpus side into a full per-round sort —
   *    measured 2.5× on q130 at sf10, round 11);
-  *  - each round is the canonical two-shuffle PageRank step: join
-  *    shares into edges on src (shares are node-sized — only they
-  *    move), then an integer-sum aggregate whose shuffle carries
-  *    node-sized partial sums, not edge-sized rows (map-side combine);
+  *  - each small/medium round is the canonical two-shuffle PageRank
+  *    step: join shares into edges on src (shares are node-sized —
+  *    only they move), then an integer-sum aggregate; corpus rounds
+  *    (columnar path) drop both exchanges — broadcast join + an
+  *    aggregate running in the cache's own dst partitioning (a
+  *    src-partitioned cache looks cheaper on the JOIN but re-shuffles
+  *    ~every edge row in the aggregate every round: dsts scatter
+  *    across src-keyed tasks, so map-side combine collapses almost
+  *    nothing — measured ~19 GB/round at sf100, round 11);
   *  - ranks are localCheckpoint'ed per round, so lineage stays O(1)
   *    across rounds instead of O(k); retired snapshots release their
   *    BLOCKS, not just cache entries (see [[releaseLocalCkpt]]).
@@ -91,15 +101,27 @@ object PageRank {
   private def persistEdges(ed: DataFrame, columnar: Boolean): DataFrame =
     if (!columnar) ed.localCheckpoint()
     else {
-      // partition+sort BEFORE caching: InMemoryRelation preserves both
-      // (unlike localCheckpoint, whose LogicalRDD scans report
-      // UnknownPartitioning — measured, round 11), so every round's
-      // sort-merge join runs with ZERO exchange and ZERO sort on the
-      // corpus-sized side. On the localCheckpoint path the pre-shuffle
-      // would be wasted metadata and is skipped; there the per-round
-      // join re-exchanges, and AQE's broadcast conversion (below the
-      // node-size threshold) short-circuits it anyway.
-      val p = ed.repartition(col("src")).sortWithinPartitions(col("src"))
+      // partition by DST before caching: InMemoryRelation preserves the
+      // partitioning (unlike localCheckpoint, whose LogicalRDD scans
+      // report UnknownPartitioning — measured, round 11). Round 11
+      // partitioned by SRC for a zero-exchange sort-merge join — but
+      // the join was never the edge-sized cost: the corpus path
+      // BROADCASTS the node-sized share frame (see ranks), so the join
+      // needs no edge exchange under EITHER layout. The edge-sized
+      // cost was the per-round contribution aggregate: groupBy(dst)
+      // over a src-partitioned cache re-shuffles ~every edge row every
+      // round (dsts are scattered across tasks, so map-side combine
+      // collapses almost nothing — at sf100 that was ~19 GB of shuffle
+      // per round, ×8 rounds). dst-partitioned, the aggregate's
+      // required distribution is already satisfied and every round
+      // runs ZERO-exchange end to end: scan → broadcast-hash join →
+      // in-partition final aggregate. The one-time price is the deg/Σw
+      // build aggregate, which loses its co-partitioning and pays ONE
+      // edge-sized shuffle at build — 1 vs the 8 per-round ones it
+      // buys back. The within-partition sort keeps the dst column
+      // RLE/delta-friendly for the columnar compressor (the cache is
+      // scanned 8×; narrower is faster).
+      val p = ed.repartition(col("dst")).sortWithinPartitions(col("dst"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
       p.count()
       p
@@ -166,7 +188,21 @@ object PageRank {
       val shares = r.where(col("deg") > 0)
         .select(col("node").as("src"),
           expr("(85 * rank) div (100 * deg)").as("share"))
-      val contribs = ed.join(shares, Seq("src"))
+      // corpus path: broadcast the node-sized share frame explicitly —
+      // nodes run orders of magnitude below edges (|C|+|S| vs the
+      // distinct trade pairs), so even at the 100 TB point the share
+      // frame is a few hundred MB against TBs of edges. With the cache
+      // dst-partitioned (persistEdges), the whole round is then
+      // exchange-free on the edge side: broadcast-hash join preserves
+      // the streamed side's partitioning, the (dst→node) alias keeps
+      // it through the projection, and the aggregate's required
+      // distribution is already met. Below the threshold AQE makes the
+      // same call on its own. Bit-identical either way: the join emits
+      // the same rows and integer sums are order-independent
+      // (PageRankSpec pins the columnar path against the sequential
+      // recurrence).
+      val contribs = ed
+        .join(if (columnarEdgeCache) broadcast(shares) else shares, Seq("src"))
         .select(col("dst").as("node"), col("share").as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("sc"))
       val next = nodes.join(contribs, Seq("node"), "left")
@@ -255,7 +291,12 @@ object PageRank {
         .select(col("node").as("src"),
           (lit(85L) * col("rank")).as("r85"),
           (lit(100L) * col("tw")).as("tw100"))
-      val contribs = ed.join(shares, Seq("src"))
+      // same broadcast-the-node-frame discipline as ranks: the
+      // dst-partitioned cache + broadcast share side make each round
+      // exchange-free on the edge side (see ranks for the full
+      // reasoning and the bit-identity argument)
+      val contribs = ed
+        .join(if (columnarEdgeCache) broadcast(shares) else shares, Seq("src"))
         .select(col("dst").as("node"),
           expr("(r85 * w) div tw100").as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("sc"))

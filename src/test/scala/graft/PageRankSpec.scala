@@ -44,6 +44,19 @@ class PageRankSpec extends SparkSpec {
     }
   }
 
+  test("columnar corpus path (dst-partitioned cache + broadcast shares) is bit-identical") {
+    // the corpus-scale regime: dst-partitioned columnar edge cache and
+    // an explicitly-broadcast share frame (round-12 layout). Integer
+    // sums are order-independent and the broadcast join emits the same
+    // rows, so the ranks must equal the sequential recurrence exactly
+    for (k <- Seq(1, 5, 8)) {
+      val got = PageRank.ranks(g.toDF("src", "dst"), k,
+        columnarEdgeCache = true)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == seqRanks(g, k), s"k=$k")
+    }
+  }
+
   test("ranks are invariant under edge partitioning and order") {
     val want = seqRanks(g, 5)
     val shuffled = scala.util.Random.shuffle(g)
@@ -103,6 +116,15 @@ class PageRankSpec extends SparkSpec {
     for (k <- Seq(0, 1, 3, 6)) {
       assert(sparkPersonalized(wg, Seq(5L, 2L, 99L), k) ==
         seqPersonalized(wg, Set(5L, 2L, 99L), k), s"k=$k")
+    }
+  }
+
+  test("personalized columnar corpus path is bit-identical") {
+    for (k <- Seq(1, 6)) {
+      val got = PageRank.personalized(wg.toDF("src", "dst", "w"),
+        Seq(5L, 2L).toDF("node"), k, columnarEdgeCache = true)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == seqPersonalized(wg, Set(5L, 2L), k), s"k=$k")
     }
   }
 
