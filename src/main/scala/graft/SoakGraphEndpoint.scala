@@ -1,0 +1,141 @@
+package graft
+
+import java.sql.DriverManager
+
+import org.apache.spark.sql.SparkSession
+
+/** BI-endpoint soak AGAINST A CORPUS-RUNG GRAPH BUILD (round-11
+  * verdict #7). GraphIsolationSpec proves the widened shuffle width
+  * cannot leak into concurrent thrift plans on fixture data; what it
+  * cannot prove is that the endpoint stays RESPONSIVE and EXACT while
+  * a q130 corpus-rung build holds the shared SparkContext's block
+  * manager, disk, and scheduler. This main measures exactly that:
+  *
+  *  1. mount the dashboard views on `endpointSf` and start the thrift
+  *     endpoint; record every page's direct count first;
+  *  2. launch q130 on `graphSf` (a scale rung — its fact size trips
+  *     the wide path, so the build runs on the isolated newSession());
+  *  3. while it builds, 4 hive-jdbc clients sweep all 27 pages in
+  *     rotation, checking wire == direct on every read and recording
+  *     per-read latency;
+  *  4. report: build seconds, sweeps completed, per-read latency
+  *     median/p99/max during the build, zero-error + exactness
+  *     verdict. Exit 1 on any wire mismatch, client error, empty
+  *     graph answer, or a max latency above `maxLatencySec`.
+  *
+  * Usage: `SoakGraphEndpoint <endpointSfDir> <graphSfDir>
+  *         [maxLatencySec]` (default bound 60 s per page read — the
+  * BI contract is interactive-grade reads while the cluster crunches).
+  */
+object SoakGraphEndpoint {
+  def main(args: Array[String]): Unit = {
+    val endpointSf = args(0)
+    val graphSf = args(1)
+    val maxLatencySec = if (args.length > 2) args(2).toDouble else 60.0
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.cleaner.periodicGC.interval", "1min")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val port = {
+      val ss = new java.net.ServerSocket(0)
+      try ss.getLocalPort finally ss.close()
+    }
+    server.SqlEndpoint.start(spark, endpointSf, port)
+    Class.forName("org.apache.hive.jdbc.HiveDriver")
+    def connect(): java.sql.Connection = {
+      var conn: java.sql.Connection = null
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      while (conn == null) {
+        try conn = DriverManager.getConnection(
+          s"jdbc:hive2://localhost:$port/", "anonymous", "")
+        catch {
+          case e: Exception =>
+            if (System.nanoTime() > deadline) throw e
+            Thread.sleep(500)
+        }
+      }
+      conn
+    }
+
+    val pages = server.SqlEndpoint.dashboardViews
+    val direct = pages.map(n =>
+      n -> spark.table(s"global_temp.$n").count()).toMap
+
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val lats = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Double]()
+    val sweeps = new java.util.concurrent.atomic.AtomicLong(0)
+    val buildDone = new java.util.concurrent.atomic.AtomicBoolean(false)
+    @volatile var graphRows = -1L
+    @volatile var buildSec = -1.0
+
+    val builder = new Thread(() => {
+      val t0 = System.nanoTime()
+      try graphRows = queries.Registry.byName("q130_pagerank")
+        .run(spark, graphSf).count()
+      catch { case t: Throwable => errs.add(s"graph build: $t") }
+      finally {
+        buildSec = (System.nanoTime() - t0) / 1e9
+        buildDone.set(true)
+      }
+    })
+    builder.start()
+
+    val clients = (0 until 4).map { ci =>
+      new Thread(() => {
+        try {
+          val c = connect()
+          try {
+            val st = c.createStatement()
+            // each client starts at a rotated offset so the same view
+            // is concurrently hit by several sessions
+            val rotated = pages.drop(ci * 7 % pages.size) ++
+              pages.take(ci * 7 % pages.size)
+            while (!buildDone.get()) {
+              rotated.foreach { name =>
+                val t0 = System.nanoTime()
+                val rs = st.executeQuery(
+                  s"SELECT count(*) AS n FROM global_temp.$name")
+                if (!rs.next() || rs.getLong("n") != direct(name))
+                  errs.add(s"client $ci: $name wire!=direct")
+                // count a read toward the latency profile only while
+                // the build is actually in flight
+                if (!buildDone.get())
+                  lats.add((System.nanoTime() - t0) / 1e9)
+              }
+              sweeps.incrementAndGet()
+            }
+          } finally c.close()
+        } catch { case t: Throwable => errs.add(s"client $ci: $t") }
+      })
+    }
+    clients.foreach(_.start())
+    builder.join()
+    clients.foreach(_.join(600000))
+
+    val ls = lats.toArray(Array.empty[java.lang.Double])
+      .map(_.doubleValue).sorted
+    def pct(p: Double): Double =
+      if (ls.isEmpty) -1.0 else ls(math.min(ls.length - 1, (p * ls.length).toInt))
+    val maxL = if (ls.isEmpty) -1.0 else ls.last
+    println(f"[soak] graph build: $buildSec%.1f s, rows=$graphRows")
+    println(f"[soak] ${sweeps.get()} full 27-page sweeps during build; " +
+      f"${ls.length} in-flight reads: median ${pct(0.5)}%.2f s, " +
+      f"p99 ${pct(0.99)}%.2f s, max $maxL%.2f s")
+    val latOk = ls.nonEmpty && maxL <= maxLatencySec
+    val ok = errs.isEmpty && graphRows > 0 && latOk
+    if (!ok) {
+      println(s"[soak] FAIL: errs=${errs.toArray.mkString("; ")} " +
+        s"graphRows=$graphRows reads=${ls.length} max=$maxL")
+    } else println("[soak] PASS: zero errors, wire==direct on every read, " +
+      s"latency bounded at $maxLatencySec s")
+    spark.stop()
+    sys.exit(if (ok) 0 else 1)
+  }
+}
