@@ -3,10 +3,13 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Scratch plan inspector for the columnar edge-cache claim: does the
-  * per-round join over a repartition+sort+persist'ed frame run without
-  * an Exchange/Sort on the cached side? (Not part of the driver
-  * surface.)
+/** Scratch plan inspector for the columnar edge-cache claim (round 12
+  * regime): does a corpus PageRank round — broadcast-hash join of the
+  * node-sized share frame into a DST-partitioned cached edge list,
+  * then groupBy(dst) — run with ZERO Exchange end to end? The cache's
+  * HashPartitioning(dst) must survive the BHJ and the dst→node alias
+  * so the aggregate's required distribution is already met. (Not part
+  * of the driver surface.)
   */
 object PlanDiag {
   def main(args: Array[String]): Unit = {
@@ -27,7 +30,7 @@ object PlanDiag {
     val edges = pairs.select(col("c").as("src"), col("sp").as("dst"))
       .unionByName(pairs.select(col("sp").as("src"), col("c").as("dst")))
     // the columnar regime, exactly as PageRank.persistEdges builds it
-    val ed = edges.repartition(col("src")).sortWithinPartitions(col("src"))
+    val ed = edges.repartition(col("dst")).sortWithinPartitions(col("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     ed.count()
     val nodes = ed.select(col("src").as("node"))
@@ -39,12 +42,18 @@ object PlanDiag {
     val r = nodes.select(col("node"), col("deg"), lit(1000000L).as("rank"))
     val shares = r.where(col("deg") > 0)
       .select(col("node").as("src"), expr("(85 * rank) div (100 * deg)").as("share"))
-    val contribs = ed.join(shares, Seq("src"))
+    // the corpus round, exactly as PageRank.ranks builds it
+    val contribs = ed.join(broadcast(shares), Seq("src"))
       .select(col("dst").as("node"), col("share").as("c"))
       .groupBy(col("node")).agg(sum(col("c")).as("sc"))
     contribs.collect()
-    println("=== COLUMNAR round, AQE final ===")
+    println("=== COLUMNAR round (dst-partitioned cache + broadcast shares), AQE final ===")
     contribs.explain()
+    val plan = contribs.queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(plan).length -
+      "BroadcastExchange".r.findAllIn(plan).length
+    println(s"[plandiag] non-broadcast Exchange operators in the round: $exchanges" +
+      (if (exchanges == 0) " (zero-exchange round confirmed)" else " (UNEXPECTED)"))
     spark.stop()
   }
 }

@@ -15,6 +15,13 @@ Every quantity is a BIGINT and every division a floor division
 (graft/ops/PageRank.scala:6-28), so the comparison is exact equality,
 no tolerance.
 
+Execution shape: rounds fold SEQUENTIALLY through tables in an
+ON-DISK DuckDB database, dropping each retired round — the one-shot
+materialized-CTE chain held the edge set plus every round's join
+state live at once and spilled past the box's free disk at 352M
+edges; this form keeps peak state at (edge table + two node-sized
+rank tables).
+
 Usage: python3 tools/stagedcheck_graph.py <sfDir> <stagedOutDir>
 """
 import os
@@ -31,85 +38,102 @@ PROUNDS = 6           # graft.queries.GraphOps.PRounds
 SEED_SEGMENT = "BUILDING"
 
 
-def q130_sql(out, supplier):
-    iters = ",\n".join(f"""r{i} AS MATERIALIZED (
-  SELECT n.node, ({TELEPORT_NUM} // (100 * nn.n)) + COALESCE(c.sc, 0) AS rank
-  FROM nodes n CROSS JOIN nn
-  LEFT JOIN (SELECT e.dst AS node,
-                    CAST(sum((85 * r.rank) // (100 * e.deg)) AS BIGINT) AS sc
-             FROM ed e JOIN r{i - 1} r ON e.src = r.node
-             GROUP BY e.dst) c ON n.node = c.node)""" for i in range(1, ROUNDS + 1))
-    return f"""WITH pairs AS MATERIALIZED (
-  SELECT c, sp FROM read_parquet('{out}/pairs.parquet/*.parquet')),
-edges AS (SELECT c AS src, sp AS dst FROM pairs
-          UNION ALL SELECT sp, c FROM pairs),
-deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
-ed AS MATERIALIZED (
-  SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d ON e.src = d.src),
-nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges),
-nn AS (SELECT count(*) AS n FROM nodes),
-r0 AS MATERIALIZED (
-  SELECT node, {MASS} // nn.n AS rank FROM nodes CROSS JOIN nn),
-{iters}
-SELECT s.s_suppkey, s.s_name, r.rank AS rank_units
-FROM r{ROUNDS} r JOIN read_parquet('{supplier}') s
-  ON (r.node - 1) // 2 = s.s_suppkey
-WHERE r.node % 2 = 1
-ORDER BY rank_units DESC, s_suppkey
-LIMIT 20"""
-
-
-def q132_sql(out, supplier, customer):
-    iters = ",\n".join(f"""p{i} AS MATERIALIZED (
-  SELECT n.node, n.seed * ({TELEPORT_NUM} // (100 * ns.n)) + COALESCE(c.sc, 0) AS rank
-  FROM nodesS n CROSS JOIN ns
-  LEFT JOIN (SELECT e.dst AS node,
-                    CAST(sum((85 * r.rank * e.w) // (100 * e.tw)) AS BIGINT) AS sc
-             FROM ed e JOIN p{i - 1} r ON e.src = r.node
-             GROUP BY e.dst) c ON n.node = c.node)""" for i in range(1, PROUNDS + 1))
-    return f"""WITH pw AS MATERIALIZED (
-  SELECT c, sp, w FROM read_parquet('{out}/pw.parquet/*.parquet')),
-edges AS (SELECT c AS src, sp AS dst, w FROM pw
-          UNION ALL SELECT sp, c, w FROM pw),
-wsum AS (SELECT src, CAST(sum(w) AS BIGINT) AS tw FROM edges GROUP BY src),
-ed AS MATERIALIZED (
-  SELECT e.src, e.dst, CAST(e.w AS BIGINT) AS w, s.tw
-  FROM edges e JOIN wsum s ON e.src = s.src),
-nodes AS (SELECT DISTINCT src AS node FROM edges),
-seeds AS (SELECT c_custkey * 2 AS node FROM read_parquet('{customer}')
-          WHERE c_mktsegment = '{SEED_SEGMENT}'),
-nodesS AS MATERIALIZED (
-  SELECT n.node, CASE WHEN s.node IS NOT NULL THEN 1 ELSE 0 END AS seed
-  FROM nodes n LEFT JOIN seeds s ON n.node = s.node),
-ns AS (SELECT CAST(sum(seed) AS BIGINT) AS n FROM nodesS),
-p0 AS MATERIALIZED (
-  SELECT node, seed * ({MASS} // ns.n) AS rank FROM nodesS CROSS JOIN ns),
-{iters}
-SELECT s.s_suppkey, s.s_name, r.rank AS rank_units
-FROM p{PROUNDS} r JOIN read_parquet('{supplier}') s
-  ON (r.node - 1) // 2 = s.s_suppkey
-WHERE r.node % 2 = 1
-ORDER BY rank_units DESC, s_suppkey
-LIMIT 20"""
-
-
 def glob_of(sf_dir, t):
     p = f"{sf_dir}/{t}.parquet"
     return f"{p}/*.parquet" if os.path.isdir(p) else p
 
 
+def fold_q130(con, out, supplier):
+    con.execute(f"""CREATE OR REPLACE TABLE ed AS
+WITH pairs AS (SELECT c, sp FROM read_parquet('{out}/pairs.parquet/*.parquet')),
+edges AS (SELECT c AS src, sp AS dst FROM pairs
+          UNION ALL SELECT sp, c FROM pairs),
+deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src)
+SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d ON e.src = d.src""")
+    # symmetrized edges: every node appears as a src, so the node spine
+    # and per-node deg both come off the deg-annotated edge table
+    con.execute("""CREATE OR REPLACE TABLE nodes AS
+SELECT DISTINCT src AS node FROM ed""")
+    n = con.execute("SELECT count(*) FROM nodes").fetchone()[0]
+    con.execute(f"""CREATE OR REPLACE TABLE r0 AS
+SELECT node, CAST({MASS // n} AS BIGINT) AS rank FROM nodes""")
+    for i in range(1, ROUNDS + 1):
+        con.execute(f"""CREATE TABLE r{i} AS
+SELECT n.node, CAST({TELEPORT_NUM // (100 * n)} AS BIGINT) + COALESCE(c.sc, 0) AS rank
+FROM nodes n
+LEFT JOIN (SELECT e.dst AS node,
+                  CAST(sum((85 * r.rank) // (100 * e.deg)) AS BIGINT) AS sc
+           FROM ed e JOIN r{i - 1} r ON e.src = r.node
+           GROUP BY e.dst) c ON n.node = c.node""")
+        con.execute(f"DROP TABLE r{i - 1}")
+    df = con.execute(f"""
+SELECT s.s_suppkey, s.s_name, r.rank AS rank_units
+FROM r{ROUNDS} r JOIN read_parquet('{supplier}') s
+  ON (r.node - 1) // 2 = s.s_suppkey
+WHERE r.node % 2 = 1
+ORDER BY rank_units DESC, s_suppkey
+LIMIT 20""").fetchdf()
+    con.execute(f"DROP TABLE r{ROUNDS}")
+    con.execute("DROP TABLE ed")
+    con.execute("DROP TABLE nodes")
+    return df
+
+
+def fold_q132(con, out, supplier, customer):
+    con.execute(f"""CREATE OR REPLACE TABLE ed AS
+WITH pw AS (SELECT c, sp, w FROM read_parquet('{out}/pw.parquet/*.parquet')),
+edges AS (SELECT c AS src, sp AS dst, w FROM pw
+          UNION ALL SELECT sp, c, w FROM pw),
+wsum AS (SELECT src, CAST(sum(w) AS BIGINT) AS tw FROM edges GROUP BY src)
+SELECT e.src, e.dst, CAST(e.w AS BIGINT) AS w, s.tw
+FROM edges e JOIN wsum s ON e.src = s.src""")
+    con.execute(f"""CREATE OR REPLACE TABLE nodesS AS
+WITH nodes AS (SELECT DISTINCT src AS node FROM ed),
+seeds AS (SELECT c_custkey * 2 AS node FROM read_parquet('{customer}')
+          WHERE c_mktsegment = '{SEED_SEGMENT}')
+SELECT n.node, CASE WHEN s.node IS NOT NULL THEN 1 ELSE 0 END AS seed
+FROM nodes n LEFT JOIN seeds s ON n.node = s.node""")
+    ns = con.execute("SELECT CAST(sum(seed) AS BIGINT) FROM nodesS").fetchone()[0]
+    con.execute(f"""CREATE OR REPLACE TABLE p0 AS
+SELECT node, CAST(seed AS BIGINT) * CAST({MASS // ns} AS BIGINT) AS rank FROM nodesS""")
+    for i in range(1, PROUNDS + 1):
+        con.execute(f"""CREATE TABLE p{i} AS
+SELECT n.node, CAST(n.seed AS BIGINT) * CAST({TELEPORT_NUM // (100 * ns)} AS BIGINT) + COALESCE(c.sc, 0) AS rank
+FROM nodesS n
+LEFT JOIN (SELECT e.dst AS node,
+                  CAST(sum((85 * r.rank * e.w) // (100 * e.tw)) AS BIGINT) AS sc
+           FROM ed e JOIN p{i - 1} r ON e.src = r.node
+           GROUP BY e.dst) c ON n.node = c.node""")
+        con.execute(f"DROP TABLE p{i - 1}")
+    df = con.execute(f"""
+SELECT s.s_suppkey, s.s_name, r.rank AS rank_units
+FROM p{PROUNDS} r JOIN read_parquet('{supplier}') s
+  ON (r.node - 1) // 2 = s.s_suppkey
+WHERE r.node % 2 = 1
+ORDER BY rank_units DESC, s_suppkey
+LIMIT 20""").fetchdf()
+    con.execute(f"DROP TABLE p{PROUNDS}")
+    con.execute("DROP TABLE ed")
+    con.execute("DROP TABLE nodesS")
+    return df
+
+
 def main(sf_dir, out_dir):
-    con = duckdb.connect()
-    con.execute("PRAGMA memory_limit='80GB'")
+    db = f"{out_dir}/stage.duckdb"
+    if os.path.exists(db):
+        os.remove(db)
+    con = duckdb.connect(db)
+    con.execute("PRAGMA memory_limit='48GB'")
     con.execute(f"PRAGMA temp_directory='{out_dir}/duck_tmp'")
     supplier = glob_of(sf_dir, "supplier")
     customer = glob_of(sf_dir, "customer")
     failures = 0
-    for name, fname, sql in [
-            ("q130_pagerank", "q130", q130_sql(out_dir, supplier)),
+    for name, fname, fold in [
+            ("q130_pagerank", "q130",
+             lambda: fold_q130(con, out_dir, supplier)),
             ("q132_personalized_pagerank", "q132",
-             q132_sql(out_dir, supplier, customer))]:
-        oracle = con.execute(sql).fetchdf()
+             lambda: fold_q132(con, out_dir, supplier, customer))]:
+        oracle = fold()
         engine = con.execute(
             f"SELECT * FROM read_parquet('{out_dir}/{fname}.parquet/*.parquet')"
         ).fetchdf()
