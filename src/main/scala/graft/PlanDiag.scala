@@ -49,10 +49,18 @@ object PlanDiag {
     contribs.collect()
     println("=== COLUMNAR round (dst-partitioned cache + broadcast shares), AQE final ===")
     contribs.explain()
-    val plan = contribs.queryExecution.executedPlan.toString
-    val exchanges = "Exchange".r.findAllIn(plan).length -
-      "BroadcastExchange".r.findAllIn(plan).length
-    println(s"[plandiag] non-broadcast Exchange operators in the round: $exchanges" +
+    // Count exchanges on the ROUND's own path only: the plan string
+    // embeds the InMemoryRelation's one-time BUILD plan (REPARTITION_BY_COL
+    // + the edge derivation's shuffles) below the InMemoryTableScan leaf —
+    // those run once at cache build, not per round. Everything printed
+    // ABOVE the first InMemoryRelation line is the per-round pipeline
+    // (final agg ← partial agg ← project ← broadcast join ← cached scan).
+    val roundLines = contribs.queryExecution.executedPlan.toString
+      .linesIterator.takeWhile(!_.contains("InMemoryRelation")).toSeq
+    val exchanges = roundLines.count(l =>
+      l.contains("Exchange") && !l.contains("BroadcastExchange"))
+    println(s"[plandiag] non-broadcast Exchange operators on the per-round " +
+      s"path: $exchanges" +
       (if (exchanges == 0) " (zero-exchange round confirmed)" else " (UNEXPECTED)"))
     spark.stop()
   }
