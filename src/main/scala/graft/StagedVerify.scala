@@ -56,6 +56,15 @@ object StagedVerify {
       queries.Registry.byName("q134_incremental_cc_stream").run(spark, sfDir)
         .write.mode(SaveMode.Overwrite).parquet(s"$outDir/q134.parquet")
     }
+    t("q129 stream verdicts") {
+      // q129's keep/drop verdicts are a single non-recursive fold over
+      // the same pair set (dedup-vs-ALL-priors is order-independent —
+      // see MinHashDedupStream's Scaladoc), so the staged oracle
+      // covers the stream's cross-batch store state at rungs the full
+      // MinHash replay can't reach
+      queries.Registry.byName("q129_minhash_dedup_stream").run(spark, sfDir)
+        .write.mode(SaveMode.Overwrite).parquet(s"$outDir/q129.parquet")
+    }
     spark.stop()
     println("[staged] export done")
   }

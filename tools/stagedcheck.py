@@ -53,6 +53,23 @@ SELECT CASE WHEN sz = 1 THEN '1' WHEN sz <= 4 THEN '2-4' ELSE '5+' END AS bucket
 FROM cl, tot GROUP BY 1, tt ORDER BY 1"""
 
 
+# q129's verdicts are a single NON-RECURSIVE fold over the pair set
+# (dedup-vs-ALL-priors is order-independent per doc; arrival is staged
+# in doc_id order — MinHashDedupStream's Scaladoc), so the stream's
+# cross-batch store state replays exactly at rungs the full MinHash
+# re-mine can't reach.
+Q129_SQL = """
+WITH pairs AS MATERIALIZED (
+  SELECT doc_a AS da, doc_b AS db FROM read_parquet('{out}/pairs.parquet/*.parquet')),
+prior AS (SELECT db, count(*) AS nd FROM pairs GROUP BY db)
+SELECT d.doc_id,
+       CAST(coalesce(p.nd, 0) AS BIGINT) AS n_dup_prior,
+       CAST(CASE WHEN p.nd IS NULL THEN 1 ELSE 0 END AS INTEGER) AS kept
+FROM (SELECT doc_id FROM read_parquet('{docs}')) d
+LEFT JOIN prior p ON d.doc_id = p.db
+ORDER BY doc_id"""
+
+
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     # driver fixtures are single files; ScaleUp rungs are directories
@@ -61,9 +78,15 @@ def main(sf_dir, out_dir):
     if os.path.isdir(docs):
         docs = f"{docs}/*.parquet"
     failures = 0
-    for name, fname, sql in [
-            ("q134_incremental_cc_stream", "q134", Q134_SQL),
-            ("q155_dedup_yield", "q155", Q155_SQL)]:
+    checks = [
+        ("q134_incremental_cc_stream", "q134", Q134_SQL),
+        ("q155_dedup_yield", "q155", Q155_SQL)]
+    # q129 is checked when the export includes it (added round 12;
+    # older staged dirs lack the file)
+    if (os.path.isdir(f"{out_dir}/q129.parquet")
+            or os.path.exists(f"{out_dir}/q129.parquet")):
+        checks.append(("q129_minhash_dedup_stream", "q129", Q129_SQL))
+    for name, fname, sql in checks:
         oracle = con.execute(sql.format(out=out_dir, docs=docs)).fetchdf()
         engine = con.execute(
             f"SELECT * FROM read_parquet('{out_dir}/{fname}.parquet/*.parquet')"
@@ -82,7 +105,7 @@ def main(sf_dir, out_dir):
     n_pairs = con.execute(
         f"SELECT count(*) FROM read_parquet('{out_dir}/pairs.parquet/*.parquet')"
     ).fetchone()[0]
-    print(f"{2 - failures} passed, {failures} failed "
+    print(f"{len(checks) - failures} passed, {failures} failed "
           f"(CC fold over {n_pairs} engine-exported pairs)")
     return 1 if failures else 0
 
