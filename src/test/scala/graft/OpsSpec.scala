@@ -318,6 +318,45 @@ class OpsSpec extends SparkSpec {
       s"extra=${(routed -- exact).take(5)}")
   }
 
+  test("zero-norm vectors survive BOTH pair paths: no crash, no pairs, others untouched") {
+    // round-11 advice (medium): before the RoundBase NaN guard, one
+    // zero-norm embedding (0/0 cosine = NaN) crashed every query
+    // through the centroid kernel with NumberFormatException.
+    // CentroidKernelSpec pins the kernel; this pins the OPERATORS:
+    // a zero vector as a plain corpus row AND as a seeded centroid
+    // (ids < k are the quantizer's candidate centroids) must leave the
+    // exact path and the routed path running, emit NO pair touching a
+    // zero vector (NaN never clears the threshold), and leave the
+    // non-zero vectors' pair set exactly as it is without them.
+    import spark.implicits._
+    val dim = 4
+    def unit(i: Int): Array[Double] = {
+      val a = Array.fill(dim)(0.1 * ((i % 3) + 1))
+      a(i % dim) = 1.0
+      a
+    }
+    val zeroIds = Set(3L, 15L) // 3 lands in the centroid range (< k=8)
+    val rows = (0L until 20L).map(i =>
+      (i, if (zeroIds(i)) Array.fill(dim)(0.0) else unit(i.toInt)))
+    val e = rows.toDF("vec_id", "v")
+      .withColumn("n2", expr("aggregate(v, 0D, (acc, x) -> acc + x * x)"))
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = pairSet(graft.ops.CosineDedup.pairsAbove(e, 0.45, dim = dim))
+    val routed = pairSet(graft.ops.CosineDedup
+      .pairsAboveAuto(e, 0.45, dim = dim, maxRows = 5L)) // forces the route
+    assert(exact.nonEmpty)
+    assert(!exact.exists(p => zeroIds(p._1) || zeroIds(p._2)))
+    assert(!routed.exists(p => zeroIds(p._1) || zeroIds(p._2)))
+    assert(routed.subsetOf(exact))
+    // and without the zero vectors the non-zero pair set is identical —
+    // a zero row influences nothing but its own (absent) pairs
+    val eNz = rows.filterNot(r => zeroIds(r._1)).toDF("vec_id", "v")
+      .withColumn("n2", expr("aggregate(v, 0D, (acc, x) -> acc + x * x)"))
+    assert(pairSet(graft.ops.CosineDedup.pairsAbove(eNz, 0.45, dim = dim))
+      == exact)
+  }
+
   test("pairsWithinBuckets equals the row-pair self-join on every bucketing") {
     // the blocked kernel path q106's witness join rides (round 11) vs
     // the straightforward within-bucket self-join it replaced — same
