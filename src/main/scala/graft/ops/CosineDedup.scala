@@ -68,6 +68,16 @@ object CosineDedup {
     * the centroids as CASE literals yields count + min member cosine (the
     * cap radius). Centroid norms are precomputed driver-side, so pass 2
     * is a single codegen'd dot product per row.
+    *
+    * Degenerate inputs: callers filter n2 > 0 before assignment (a zero
+    * vector has no cosine to anything and can never emit a pair), but a
+    * bucket's MEAN can still be the zero vector for symmetric members —
+    * that makes the cos_c divisor 0, which Spark 4's default ANSI mode
+    * turns into a query-killing DIVIDE_BY_ZERO. The divisor is
+    * null-guarded (null cos_c rows drop out of min()) and an all-null
+    * bucket falls back to minCos = -1: a full-sphere cap radius that
+    * [[survivingBucketPairs]] can never prune — correctness preserved,
+    * only pruning power lost on the degenerate bucket.
     */
   private def statsFromAssigned(assigned: DataFrame): Array[BucketStat] = {
     val centRows = assigned
@@ -81,14 +91,16 @@ object CosineDedup {
       centroids.foldLeft(lit(null).cast("double")) { case (acc, (b, cv)) =>
         when(col("bucket") === b, f(cv)).otherwise(acc)
       }
-    val cosC = caseOver(cv => dotProduct(col("v"), typedLit(cv.toSeq))) /
-      sqrt(col("n2") * caseOver(cv => lit(cv.map(x => x * x).sum)))
+    val denom = sqrt(col("n2") * caseOver(cv => lit(cv.map(x => x * x).sum)))
+    val cosC = when(denom === 0d, lit(null).cast("double"))
+      .otherwise(caseOver(cv => dotProduct(col("v"), typedLit(cv.toSeq))) / denom)
     assigned.withColumn("cos_c", cosC)
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n"), min(col("cos_c")).as("min_cos"))
       .collect()
       .map(r => BucketStat(r.getInt(0), r.getLong(1),
-        centroids(r.getInt(0)), r.getDouble(2)))
+        centroids(r.getInt(0)),
+        if (r.isNullAt(2)) -1d else r.getDouble(2)))
   }
 
   private def clampAcos(x: Double): Double = math.acos(math.max(-1d, math.min(1d, x)))
@@ -111,8 +123,14 @@ object CosineDedup {
     for {
       (a, ia) <- byId.zipWithIndex.toSeq
       b <- byId.drop(ia)
-      cosC = dot(a.centroid, b.centroid) / (norm(a.centroid) * norm(b.centroid))
-      bound = clampAcos(cosC) - clampAcos(a.minCos) - clampAcos(b.minCos)
+      nProd = norm(a.centroid) * norm(b.centroid)
+      // a zero-norm centroid has no angle to anything: the cap bound is
+      // vacuous, so the pair must SURVIVE (pruning it would be a silent
+      // false negative — the pre-fix behavior, where the NaN bound
+      // failed the <= and dropped the pair)
+      bound = if (nProd == 0d) Double.NegativeInfinity
+              else clampAcos(dot(a.centroid, b.centroid) / nProd) -
+                clampAcos(a.minCos) - clampAcos(b.minCos)
       if bound <= tAngle + 1e-12
     } yield (a.bucket, b.bucket)
   }
@@ -160,8 +178,12 @@ object CosineDedup {
     // Compute the bucket assignment once and truncate lineage so the two
     // stats passes and the block build share one materialization (at
     // cluster scale: persist(DISK) or recompute — the assignment is one
-    // narrow map over the scan).
-    val assigned = e.withColumn("bucket", bucketExpr(col("v"), planes))
+    // narrow map over the scan). Zero-norm rows are dropped up front:
+    // cosine to a zero vector is undefined (0/0), so such a row can
+    // never emit a pair — and letting it reach the cap-stat pass turns
+    // the n2=0 divisor into an ANSI DIVIDE_BY_ZERO that kills the query.
+    val assigned = e.where(col("n2") > 0d)
+      .withColumn("bucket", bucketExpr(col("v"), planes))
       .localCheckpoint(false)
     val stats = statsFromAssigned(assigned)
     val survivors = survivingBucketPairs(stats, threshold)
@@ -282,7 +304,11 @@ object CosineDedup {
       return pairsAbove(e, threshold, dim, signBits, targetBlock, seed, maxRows)
 
     val k = graft.queries.SelectionOps.adaptiveK(nRows)
-    val assigned = graft.queries.SelectionOps.assignTwoLevelTop2(e, k)
+    // same zero-norm semantics as the exact leg: a zero vector joins no
+    // cluster and emits no pair (it would only waste a kernel slot —
+    // its NaN cosines can never clear the threshold)
+    val assigned = graft.queries.SelectionOps
+      .assignTwoLevelTop2(e.where(col("n2") > 0d), k)
       .localCheckpoint(false)
     // top-2 multi-assignment can co-locate the same pair in BOTH shared
     // cells; cos_r is a pure function of the pair (same kernel), so the
