@@ -243,9 +243,13 @@ object GraphOps {
           .select((col("o_custkey") * 2).as("c"),
             (col("l_suppkey") * 2 + 1).as("sp"))
           .distinct())
-        val edges = pairs.select(col("c").as("src"), col("sp").as("dst"))
-          .unionByName(pairs.select(col("sp").as("src"), col("c").as("dst")))
-        PageRank.ranks(edges, Rounds, columnarEdgeCache = big)
+        // symmetrization + deg/spine derivation live in ranksSymmetric:
+        // deg comes from the HALF-sized pair frame and the spine is the
+        // deg frame itself — the old 2·|edges| endpoint distinct (the
+        // largest build aggregate at the sf100 rung) is gone
+        PageRank.ranksSymmetric(
+          pairs.select(col("c").as("a"), col("sp").as("b")),
+          Rounds, columnarEdgeCache = big)
           .where(col("node") % 2 === 1)
           .select(expr("(node - 1) div 2").as("s_suppkey"), col("rank_units"))
           .join(broadcast(Tables.supplier(gs, d).select(col("s_suppkey"), col("s_name"))),
@@ -276,12 +280,14 @@ object GraphOps {
           .groupBy((col("o_custkey") * 2).as("c"),
             (col("l_suppkey") * 2 + 1).as("sp"))
           .agg(count(lit(1)).as("w")))
-        val edges = pw.select(col("c").as("src"), col("sp").as("dst"), col("w"))
-          .unionByName(pw.select(col("sp").as("src"), col("c").as("dst"), col("w")))
         val seeds = Tables.customer(gs, d)
           .where(col("c_mktsegment") === SeedSegment)
           .select((col("c_custkey") * 2).as("node"))
-        PageRank.personalized(edges, seeds, PRounds, columnarEdgeCache = big)
+        // Σw + spine from the half-sized pre-symmetrized pair frame —
+        // the r12 verdict's named lever (see personalizedSymmetric)
+        PageRank.personalizedSymmetric(
+          pw.select(col("c").as("a"), col("sp").as("b"), col("w")),
+          seeds, PRounds, columnarEdgeCache = big)
           .where(col("node") % 2 === 1)
           .select(expr("(node - 1) div 2").as("s_suppkey"), col("rank_units"))
           .join(broadcast(Tables.supplier(gs, d).select(col("s_suppkey"), col("s_name"))),

@@ -144,6 +144,35 @@ class PageRankSpec extends SparkSpec {
     assert(r(5L) == (15L * PageRank.Mass) / 100L)
   }
 
+  // Undirected pair graph for the *Symmetric builders: a triangle, a
+  // pendant, and a node (7) appearing on BOTH pair sides — the general
+  // case the node-wise deg/Σw merge must handle (the q130 trade graph's
+  // disjoint even/odd spaces never exercise it).
+  private val upairs: Seq[(Long, Long)] =
+    Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (7L, 1L), (4L, 7L))
+
+  test("ranksSymmetric is bit-identical to ranks over the symmetrized edges") {
+    val sym = upairs.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    for (k <- Seq(0, 1, 5, 8); columnar <- Seq(false, true)) {
+      val got = PageRank.ranksSymmetric(upairs.toDF("a", "b"), k,
+        columnarEdgeCache = columnar)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == seqRanks(sym, k), s"k=$k columnar=$columnar")
+    }
+  }
+
+  test("personalizedSymmetric is bit-identical to personalized over the symmetrized edges") {
+    val wpairs = upairs.zipWithIndex.map { case ((a, b), i) => (a, b, i + 1L) }
+    val sym = wpairs.flatMap { case (a, b, w) => Seq((a, b, w), (b, a, w)) }
+    for (k <- Seq(0, 1, 6); columnar <- Seq(false, true)) {
+      val got = PageRank.personalizedSymmetric(wpairs.toDF("a", "b", "w"),
+        Seq(2L, 7L, 99L).toDF("node"), k, columnarEdgeCache = columnar)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == seqPersonalized(sym, Set(2L, 7L, 99L), k),
+        s"k=$k columnar=$columnar")
+    }
+  }
+
   test("q132 registered query returns segment-proximate suppliers at sf0.001") {
     val out = queries.Registry.byName("q132_personalized_pagerank")
       .run(spark, sfDir).collect()
