@@ -248,6 +248,91 @@ object Multimodal {
     }(enc)
   }
 
+  /** Perceptual difference-hash (dHash) of every payload: decode with
+    * the REAL P6 parser, gray each pixel as the integer mean of its
+    * channels, then one bit per horizontally-adjacent pixel pair —
+    * bit(r, c) = gray(r, c+1) > gray(r, c) — packed little-endian as
+    * h·(w−1) bits of a long. The standard image near-dup fingerprint
+    * (dHash; same family as aHash/pHash): brightness shifts and small
+    * re-encodes preserve most gradient signs, so near-identical images
+    * land within a few bits of Hamming distance. Integer-exact and
+    * codec-deterministic, so a SQL oracle replays it from the source
+    * floats. Output: (media_id, dhash long, bits int).
+    */
+  def dHash(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("dhash", LongType),
+      StructField("bits", IntegerType)))
+    val enc = ExpressionEncoder(outSchema)
+    val idIdx = media.schema.fieldIndex("media_id")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val img = decodePpm(r.getAs[Array[Byte]](payloadIdx))
+        val nBits = (img.w - 1) * img.h
+        require(nBits > 0 && nBits <= 63,
+          s"dHash needs 1..63 gradient bits, got $nBits (${img.w}x${img.h})")
+        def gray(p: Int): Int = {
+          val i = p * 3
+          ((img.rgb(i) & 0xff) + (img.rgb(i + 1) & 0xff) +
+            (img.rgb(i + 2) & 0xff)) / 3
+        }
+        var h = 0L
+        var row = 0
+        while (row < img.h) {
+          var c = 0
+          while (c < img.w - 1) {
+            if (gray(row * img.w + c + 1) > gray(row * img.w + c))
+              h |= 1L << (row * (img.w - 1) + c)
+            c += 1
+          }
+          row += 1
+        }
+        Row(r.getLong(idIdx), h, nBits)
+      }
+    }(enc)
+  }
+
+  /** EXACT Hamming-ball pair mining over perceptual hashes: every
+    * unordered pair with bit_count(ha XOR hb) ≤ maxDist, found without
+    * an all-pairs join. The q71 pigeonhole banding generalized to any
+    * bit width: the hash splits into maxDist+1 contiguous bands, and a
+    * pair within maxDist differs in at most maxDist bands, so it
+    * COLLIDES in at least one — candidate generation is a band-keyed
+    * equi-join (corpus shuffles on (band, bits), hot bands collapse
+    * map-side like any skewed group key), and the exact bit_count
+    * filter keeps no false positives. Output: (media_a, media_b,
+    * hamming), media_a < media_b.
+    */
+  def hammingPairs(hashes: DataFrame, bits: Int, maxDist: Int): DataFrame = {
+    require(bits >= 1 && bits <= 63, s"bits must be 1..63, got $bits")
+    require(maxDist >= 0 && maxDist < bits,
+      s"maxDist must be 0..${bits - 1}, got $maxDist")
+    val bands = maxDist + 1
+    val bounds = (0 to bands).map(i => i * bits / bands)
+    val bandCols = (0 until bands).map { i =>
+      val off = bounds(i)
+      val width = bounds(i + 1) - off
+      struct(lit(i).as("band"),
+        shiftright(col("dhash"), off).bitwiseAND(lit((1L << width) - 1))
+          .as("bk"))
+    }
+    val chunks = hashes.select(col("media_id"), col("dhash"),
+        explode(array(bandCols: _*)).as("bb"))
+      .select(col("media_id"), col("dhash"),
+        col("bb.band").as("band"), col("bb.bk").as("bk"))
+    chunks.as("x")
+      .join(chunks.as("y"),
+        col("x.band") === col("y.band") && col("x.bk") === col("y.bk") &&
+          col("x.media_id") < col("y.media_id"))
+      .select(col("x.media_id").as("media_a"), col("y.media_id").as("media_b"),
+        bit_count(col("x.dhash").bitwiseXOR(col("y.dhash")))
+          .cast("long").as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxDist)
+  }
+
   /** Feature-extract every payload via mapPartitions (codec state would be
     * initialized once per partition here).
     */

@@ -350,6 +350,102 @@ object PipelineOps {
              |       CAST(4 AS BIGINT) AS h, CAST(59 AS BIGINT) AS n_bytes,
              |       sum_r, sum_g, sum_b, rsum
              |FROM agg
-             |ORDER BY media_id""".stripMargin))
+             |ORDER BY media_id""".stripMargin)),
+
+    // ---- E5+E2: perceptual-hash image near-dup dedup ----------------------
+    // The multimodal counterpart of the text near-dup family (r12
+    // verdict stretch #8), as a genuine cross-modality pipeline: every
+    // document renders as a REAL 8x8 grayscale binary PPM thumbnail
+    // (a feature-hashed histogram of its distinct dual-hash 3-gram
+    // shingle packs — the q34/q70 shingle identity — one byte per
+    // cell), the spec-compliant P6 parser decodes it back, dHash packs
+    // the 56 horizontal gradient signs, and the q71 pigeonhole banding
+    // (5 bands ⇒ any hamming ≤ 4 pair collides somewhere) mines the
+    // EXACT Hamming ball — no all-pairs join, no false negatives. A
+    // near-dup document perturbs a few shingle bins, so the planted
+    // q34 pairs land at hamming 0-2 while the sf0.01 background floor
+    // is 9 (measured): at maxDist 4 the pair set IS the planted-dup
+    // set, non-empty by construction. The oracle replays shingle
+    // packing, bin fold, gradient bits, and the Hamming filter from
+    // the text — any defect in PPM round-trip, gray math, bit packing,
+    // or banding recall breaks the match.
+    Q(
+      "q165_image_phash_dups",
+      (s, d) => {
+        import org.apache.spark.sql.Row
+        import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+        import org.apache.spark.sql.types._
+        // (doc_id, bin, byte): the engine half of the render is one
+        // shingle-kernel pass + a 64-bin fold — shuffles carry
+        // (doc_id, bin) partials only
+        val bins = Tables.documents(s, d)
+          .select(col("doc_id").cast("long").as("doc_id"),
+            explode_outer(graft.functions.ShingleKernel
+              .shinglePacks(col("text"))).as("pack"))
+          .groupBy(col("doc_id"),
+            pmod(col("pack"), lit(64L)).cast("int").as("bin"))
+          .agg(sum(expr("(pack div 64) % 256")).as("sv"))
+          .groupBy(col("doc_id"))
+          .agg(collect_list(struct(col("bin"), col("sv"))).as("cells"))
+        val payloadSchema = StructType(Seq(
+          StructField("media_id", LongType),
+          StructField("payload", BinaryType)))
+        val payloads = bins.mapPartitions { rows =>
+          rows.map { r =>
+            val rgb = new Array[Byte](64 * 3)
+            r.getSeq[Row](1).foreach { cell =>
+              // a doc with < 3 tokens explodes one null pack → null bin
+              if (!cell.isNullAt(0)) {
+                val b = (((cell.getLong(1) % 256) + 256) % 256).toByte
+                val i = cell.getInt(0) * 3
+                rgb(i) = b; rgb(i + 1) = b; rgb(i + 2) = b
+              }
+            }
+            Row(r.getLong(0), Multimodal.encodePpm(8, 8, rgb))
+          }
+        }(ExpressionEncoder(payloadSchema))
+        val media = Multimodal.asMedia(payloads, "media_id", "payload",
+          "image/x-portable-pixmap")
+        Multimodal.hammingPairs(Multimodal.dHash(media), bits = 56, maxDist = 4)
+          .orderBy(col("media_a"), col("media_b"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             |shs AS (SELECT doc_id,
+             |          t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+             |        FROM toks, unnest(range(1, len(t) - 1)) AS u(i)
+             |        WHERE len(t) >= 3),
+             |pk AS (SELECT DISTINCT doc_id,
+             |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |           list_transform(range(1, len(sh) + 1),
+             |             j -> CAST(unicode(sh[j]) AS BIGINT))),
+             |           (acc, x) -> (acc * 31 + x) % 1000000007) * 1073741824
+             |         + list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |           list_transform(range(1, len(sh) + 1),
+             |             j -> CAST(unicode(sh[j]) AS BIGINT))),
+             |           (acc, x) -> (acc * 131 + x) % 1000000007) AS pack
+             |       FROM shs),
+             |cells AS (SELECT doc_id, pack % 64 AS bin,
+             |            sum((pack // 64) % 256) % 256 AS g
+             |          FROM pk GROUP BY doc_id, pack % 64),
+             |grid AS (SELECT d.doc_id, u.p,
+             |           coalesce(c.g, 0) AS g
+             |         FROM (SELECT DISTINCT doc_id FROM documents) d
+             |         CROSS JOIN unnest(range(0, 64)) AS u(p)
+             |         LEFT JOIN cells c ON c.doc_id = d.doc_id AND c.bin = u.p),
+             |bits AS (SELECT a.doc_id, (a.p // 8) * 7 + (a.p % 8) AS bitpos
+             |         FROM grid a JOIN grid b
+             |           ON a.doc_id = b.doc_id AND b.p = a.p + 1
+             |         WHERE a.p % 8 < 7 AND b.g > a.g),
+             |hs AS (SELECT d.doc_id, coalesce(bb.h, 0) AS dhash
+             |       FROM (SELECT DISTINCT doc_id FROM documents) d
+             |       LEFT JOIN (SELECT doc_id,
+             |                    CAST(sum(1::BIGINT << bitpos) AS BIGINT) AS h
+             |                  FROM bits GROUP BY doc_id) bb
+             |         ON d.doc_id = bb.doc_id)
+             |SELECT a.doc_id AS media_a, b.doc_id AS media_b,
+             |       CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
+             |FROM hs a JOIN hs b ON a.doc_id < b.doc_id
+             |WHERE bit_count(xor(a.dhash, b.dhash)) <= 4
+             |ORDER BY media_a, media_b""".stripMargin))
   )
 }
