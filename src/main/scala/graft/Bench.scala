@@ -10,8 +10,16 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // same multi-process hooks as Verify (round-12 verdict #3):
+    // SPARK_GRAFT_MASTER=local-cluster[n,c,mem] + SPARK_GRAFT_JARS run
+    // the identical bench against real executor JVMs
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val builder = SparkSession.builder()
+      .master(master)
+    sys.env.get("SPARK_GRAFT_JARS").foreach(j => builder.config("spark.jars", j))
+    sys.env.get("SPARK_GRAFT_EXEC_MEM")
+      .foreach(m => builder.config("spark.executor.memory", m))
+    val spark = builder
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")

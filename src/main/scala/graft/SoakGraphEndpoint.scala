@@ -23,22 +23,59 @@ import org.apache.spark.sql.SparkSession
   *     verdict. Exit 1 on any wire mismatch, client error, empty
   *     graph answer, or a max latency above `maxLatencySec`.
   *
+  * Scheduling: the r12 soak measured median 0.25 s but p99 14.1 s —
+  * pure CPU contention, a FIFO scheduler letting the build's
+  * 32-thread stages queue-starve the interactive reads. The fix is
+  * Spark's own answer to mixed workloads, not a latency waiver: FAIR
+  * scheduler mode with two pools — `serve` (weight 4, minShare half
+  * the cores: a page read gets slots the moment it arrives) and
+  * `build` (weight 1, the throughput job that absorbs whatever serve
+  * leaves idle). Thrift statements land in `serve` via
+  * `spark.sql.thriftserver.scheduler.pool` (a session DEFAULT, so the
+  * per-connection isolated sessions inherit it); the build thread pins
+  * itself to `build` with the thread-local scheduler property. Pool
+  * fairness is task-slot arithmetic on the scheduler — identical on a
+  * real cluster, nothing local-mode about it.
+  *
   * Usage: `SoakGraphEndpoint <endpointSfDir> <graphSfDir>
-  *         [maxLatencySec]` (default bound 60 s per page read — the
-  * BI contract is interactive-grade reads while the cluster crunches).
+  *         [maxLatencySec] [maxP99Sec]` (defaults: 60 s hard bound per
+  * page read, 3 s p99 — the BI contract is interactive-grade reads
+  * while the cluster crunches).
   */
 object SoakGraphEndpoint {
   def main(args: Array[String]): Unit = {
     val endpointSf = args(0)
     val graphSf = args(1)
     val maxLatencySec = if (args.length > 2) args(2).toDouble else 60.0
+    val maxP99Sec = if (args.length > 3) args(3).toDouble else 3.0
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // FAIR pools: serve gets a guaranteed minShare of half the cores
+    // and 4× the weight of the build pool beyond it
+    val poolsXml = java.nio.file.Files.createTempFile("graft-pools", ".xml")
+    java.nio.file.Files.writeString(poolsXml,
+      s"""<?xml version="1.0"?>
+         |<allocations>
+         |  <pool name="serve">
+         |    <schedulingMode>FIFO</schedulingMode>
+         |    <weight>4</weight>
+         |    <minShare>${math.max(1, cpus.toInt / 2)}</minShare>
+         |  </pool>
+         |  <pool name="build">
+         |    <schedulingMode>FIFO</schedulingMode>
+         |    <weight>1</weight>
+         |    <minShare>0</minShare>
+         |  </pool>
+         |</allocations>
+         |""".stripMargin)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.cleaner.periodicGC.interval", "1min")
+      .config("spark.scheduler.mode", "FAIR")
+      .config("spark.scheduler.allocation.file", poolsXml.toString)
+      .config("spark.sql.thriftserver.scheduler.pool", "serve")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -76,6 +113,10 @@ object SoakGraphEndpoint {
     @volatile var buildSec = -1.0
 
     val builder = new Thread(() => {
+      // thread-local scheduler property: every job this thread submits
+      // (and the AQE/broadcast sub-jobs that capture its properties)
+      // lands in the low-priority build pool
+      spark.sparkContext.setLocalProperty("spark.scheduler.pool", "build")
       val t0 = System.nanoTime()
       try graphRows = queries.Registry.byName("q130_pagerank")
         .run(spark, graphSf).count()
@@ -128,13 +169,13 @@ object SoakGraphEndpoint {
     println(f"[soak] ${sweeps.get()} full 27-page sweeps during build; " +
       f"${ls.length} in-flight reads: median ${pct(0.5)}%.2f s, " +
       f"p99 ${pct(0.99)}%.2f s, max $maxL%.2f s")
-    val latOk = ls.nonEmpty && maxL <= maxLatencySec
+    val latOk = ls.nonEmpty && maxL <= maxLatencySec && pct(0.99) <= maxP99Sec
     val ok = errs.isEmpty && graphRows > 0 && latOk
     if (!ok) {
       println(s"[soak] FAIL: errs=${errs.toArray.mkString("; ")} " +
         s"graphRows=$graphRows reads=${ls.length} max=$maxL")
     } else println("[soak] PASS: zero errors, wire==direct on every read, " +
-      s"latency bounded at $maxLatencySec s")
+      s"latency bounded at $maxLatencySec s, p99 bounded at $maxP99Sec s")
     spark.stop()
     sys.exit(if (ok) 0 else 1)
   }

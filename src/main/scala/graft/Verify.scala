@@ -7,8 +7,19 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // SPARK_GRAFT_MASTER overrides the in-process master — the
+    // multi-process evidence hook (round-12 verdict #3): with
+    // `local-cluster[n,c,mem]` the SAME gate runs against real executor
+    // JVMs (Netty shuffle, torrent broadcast, serialized task
+    // closures); SPARK_GRAFT_JARS ships the packaged engine jar to
+    // those executors, SPARK_GRAFT_EXEC_MEM sizes their heaps.
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val builder = SparkSession.builder()
+      .master(master)
+    sys.env.get("SPARK_GRAFT_JARS").foreach(j => builder.config("spark.jars", j))
+    sys.env.get("SPARK_GRAFT_EXEC_MEM")
+      .foreach(m => builder.config("spark.executor.memory", m))
+    val spark = builder
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.files.maxPartitionBytes", "4m")

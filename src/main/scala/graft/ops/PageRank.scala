@@ -212,7 +212,16 @@ object PageRank {
   private def iterateRanks(ed: DataFrame, nodes: DataFrame, k: Int,
                            columnarEdgeCache: Boolean): DataFrame = {
     val n = nodes.count()
-    require(n > 0, "pagerank over an empty graph")
+    if (n == 0) {
+      // empty graph (r13 degenerate sweep): no nodes, no ranks — an
+      // empty result, not a dead query (materialized BEFORE the spine's
+      // checkpoint blocks are released)
+      val out = nodes.select(col("node"), lit(0L).as("rank_units"))
+        .localCheckpoint()
+      releaseEdges(ed, columnarEdgeCache)
+      releaseLocalCkpt(nodes)
+      return out
+    }
     val teleport = (15L * Mass) / (100L * n)
 
     // the rank frame carries (node, deg, rank) — deg is loop-invariant
@@ -351,7 +360,17 @@ object PageRank {
   private def iteratePersonalized(ed: DataFrame, nodesS: DataFrame, k: Int,
                                   columnarEdgeCache: Boolean): DataFrame = {
     val ns = nodesS.where(col("seed") === 1L).count()
-    require(ns > 0, "personalized pagerank needs at least one in-graph seed")
+    if (ns == 0) {
+      // no in-graph seed (r13 degenerate sweep — includes the empty
+      // graph): the restart distribution is empty, so no mass ever
+      // enters and every node's rank is exactly 0 for any k — return
+      // that closed form instead of dying on the teleport division
+      releaseEdges(ed, columnarEdgeCache)
+      val out = nodesS.select(col("node"), lit(0L).as("rank_units"))
+        .localCheckpoint()
+      releaseLocalCkpt(nodesS)
+      return out
+    }
     val teleport = (15L * Mass) / (100L * ns)
 
     // rank frame carries (node, seed, tw, rank) — seed/tw loop-invariant

@@ -297,7 +297,14 @@ object Load {
   def readStoreIfExists(spark: SparkSession, path: String): Option[DataFrame] = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) Some(spark.read.parquet(path)) else None
+    // a store tree with ZERO parquet data files counts as missing: a
+    // partitionBy write of an all-empty batch (r13 degenerate sweep —
+    // every doc gated out) creates `batch=<id>/` with only _SUCCESS, and
+    // reading such a tree dies on UNABLE_TO_INFER_SCHEMA, not "empty
+    // store". Real read errors on a store WITH data still propagate.
+    if (fs.exists(p) && storeFileCount(spark, path) > 0)
+      Some(spark.read.parquet(path))
+    else None
   }
 
   /** Read a `batch=`-keyed store as the PRE-batch state: exclude the

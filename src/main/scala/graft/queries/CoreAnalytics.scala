@@ -723,12 +723,20 @@ object CoreAnalytics {
       (s, d) => {
         val urgent = Tables.orders(s, d)
           .where(col("o_orderpriority") === "1-URGENT")
-        val bloom = urgent.stat.bloomFilter("o_custkey", 2000, 0.01)
-        // the sketch ships to executors inside the probe closure
-        // (equivalently: broadcast it explicitly on a real cluster)
-        val mightContain = udf((k: Long) => bloom.mightContain(k))
+        // an EMPTY build side yields a degenerate sketch whose probe
+        // NPEs on a null bit buffer (r13 degenerate sweep); the exact
+        // semi-join makes the probe an optimization, so the empty case
+        // prunes everything outright — same rows, no sketch
+        val probe: org.apache.spark.sql.Column =
+          if (urgent.isEmpty) lit(false)
+          else {
+            val bloom = urgent.stat.bloomFilter("o_custkey", 2000, 0.01)
+            // the sketch ships to executors inside the probe closure
+            // (equivalently: broadcast it explicitly on a real cluster)
+            udf((k: Long) => bloom.mightContain(k)).apply(col("c_custkey"))
+          }
         Tables.customer(s, d)
-          .where(mightContain(col("c_custkey")))
+          .where(probe)
           .join(urgent.select(col("o_custkey").as("c_custkey")).distinct(),
                 Seq("c_custkey"), "left_semi")
           .agg(count(lit(1)).as("n_buyers"),

@@ -967,7 +967,8 @@ object SelectionOps {
         mmrCandidates(
           Tables.embeddings(s, d)
             .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-            .withColumn("n2", squaredNorm(col("v"))),
+            .withColumn("n2", squaredNorm(col("v")))
+            .where(col("n2") > 0d), // withNorm semantics: no cosine, no row
           n = 100),
         k = 10),
       Some(mmrSql(10, 100))),

@@ -347,6 +347,7 @@ object TrainingOps {
         val e = Tables.embeddings(s, d)
           .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
           .withColumn("n2", squaredNorm(col("v")))
+          .where(col("n2") > 0d) // withNorm semantics: no cosine, no row
         val cent = e.where(col("vec_id") < 8)
           .select(col("vec_id").as("c_id"), col("v").as("cv"), col("n2").as("cn2"))
         val assigned = e.crossJoin(broadcast(cent))
@@ -466,6 +467,7 @@ object TrainingOps {
         val e = Tables.embeddings(s, d)
           .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
           .withColumn("n2", squaredNorm(col("v")))
+          .where(col("n2") > 0d) // withNorm semantics: no cosine, no row
         val q0 = e.where(col("vec_id") === 0)
           .select(col("v").as("qv"), col("n2").as("qn2"))
         val wS = Window.orderBy(desc("cos_r"), col("vec_id"))

@@ -28,11 +28,20 @@ import org.apache.spark.sql.functions._
   */
 object VectorOps {
 
+  /** The embedding frame every similarity query starts from. Zero-norm
+    * rows are dropped at the source (r12 verdict #2, the CosineDedup
+    * semantics applied family-wide): a zero vector has no cosine to
+    * anything, and under Spark 4's default ANSI mode its n2=0 divisor
+    * turns every cosine expression downstream into a query-killing
+    * DIVIDE_BY_ZERO. Norm-free queries (q41/q114/q117...) read
+    * Tables.embeddings directly and keep all rows.
+    */
   private def withNorm(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
               col("label"))
       .withColumn("n2", squaredNorm(col("v")))
+      .where(col("n2") > 0d)
 
   private def dot(a: String, b: String): Column = dotProduct(col(a), col(b))
 
@@ -635,6 +644,7 @@ object VectorOps {
           .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
             col("label").cast("long").as("label"))
           .withColumn("n2", squaredNorm(col("v")))
+          .where(col("n2") > 0d) // withNorm semantics: no cosine, no row
         val q = e.where(col("vec_id") < 64)
           .select(col("vec_id").as("qid"), col("v").as("qv"),
             col("n2").as("qn2"), col("label").as("qlabel"))

@@ -51,39 +51,43 @@ object IvfStream {
         val big = graft.pipeline.Load.storeBytes(spark, storeDir) >=
           64L * 1024 * 1024
         BatchTuning.withNarrowShuffles(spark, narrow = !big) {
-        // staged via the shared doc_id-range stager; restore the key name
+        // staged via the shared doc_id-range stager; restore the key
+        // name. Zero-norm rows drop here like everywhere in the
+        // similarity family (r13 degenerate sweep): they can neither
+        // seed a centroid (cn2=0 divisor) nor join a bucket.
         val e = batch
           .select(col("doc_id").as("vec_id"),
             col("embedding").cast("array<double>").as("v"))
           .withColumn("n2", squaredNorm(col("v")))
+          .where(col("n2") > 0d)
         // pin the quantizer from the batch that carries the seed ids;
-        // id-ordered arrival puts all 8 in batch 0
+        // id-ordered arrival puts every seed the corpus HAS in batch 0.
+        // A corpus so small that its id span splits below 8 pins on the
+        // usable seeds batch 0 carries (documented degenerate-corpus
+        // deviation: the stream's seed set is split 0's prefix of the
+        // batch twin's); a corpus with NO usable seed ids builds no
+        // index and the probe answers empty.
         if (graft.pipeline.Load.readStoreIfExists(spark, centDir).isEmpty) {
           val seeds = SelectionOps.seedCentroids(e).cache()
           val k = seeds.count()
-          // a batch either carries ALL seed vectors or none: a partial
-          // seed set would silently build a different index than the
-          // batch twin, so it must be loud (id-ordered staging puts
-          // ids 0..7 in one batch; any other arrival order is a bug)
-          require(k == 0L || k == 8L,
-            s"seed vectors split across micro-batches ($k of 8 arrived)")
-          if (k == 8L) {
+          // a LATER batch carrying seeds when batch 0 pinned nothing
+          // would mean staging broke id order — that stays loud
+          require(k == 0L || k == 8L || batchId == 0L,
+            s"seed vectors split across micro-batches ($k of 8 in batch $batchId)")
+          if (k > 0L) {
             seeds.coalesce(1).write.mode(SaveMode.ErrorIfExists).parquet(centDir)
           }
           seeds.unpersist()
-          if (k == 0L) throw new IllegalStateException(
-            "first micro-batch carries no seed vectors: cannot pin the quantizer")
         }
-        val cent = graft.pipeline.Load.readStoreIfExists(spark, centDir)
-          .getOrElse(throw new IllegalStateException(
-            "centroid store missing after first batch"))
         // store layout: batch=<id>/bucket=<b> — idempotent per batch AND
         // prunable per bucket, so a probe reads only the cells it
         // searches (the same directory-pruning shape as the q101 gram
         // store; compaction on cadence would merge per-bucket files)
-        graft.pipeline.Load.writeBatchPartial(
-          SelectionOps.assignWith(e, cent).repartition(col("bucket")),
-          storeDir, batchId, partitionCols = Seq("bucket"))
+        graft.pipeline.Load.readStoreIfExists(spark, centDir).foreach { cent =>
+          graft.pipeline.Load.writeBatchPartial(
+            SelectionOps.assignWith(e, cent).repartition(col("bucket")),
+            storeDir, batchId, partitionCols = Seq("bucket"))
+        }
         ()
         }
       }
@@ -91,7 +95,12 @@ object IvfStream {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    // the q86 probe over the accumulated store
+    // the q86 probe over the accumulated store; a corpus that pinned no
+    // quantizer (no usable seed ids) built no store — empty answer
+    if (graft.pipeline.Load.readStoreIfExists(spark, storeDir).isEmpty)
+      return spark.range(0).select(
+        col("id").as("q_id"), col("id").as("bucket"),
+        col("id").as("n_id"), col("id").cast("double").as("cos_r"))
     val assigned = spark.read.parquet(storeDir)
     val probes = assigned.where(col("vec_id") >= 8 && col("vec_id") < 18)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),

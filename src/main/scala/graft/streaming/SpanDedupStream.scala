@@ -36,12 +36,32 @@ object SpanDedupStream {
     */
   def stageSplits(spark: SparkSession, docs: DataFrame, inputDir: String,
                   nSplits: Int): Unit = {
-    val bound = docs.agg(max(col("doc_id"))).collect().head.getLong(0) + 1
-    val span = math.max(1L, (bound + nSplits - 1) / nSplits)
+    val boundRow = docs.agg(max(col("doc_id"))).collect().head
     new java.io.File(inputDir).mkdirs()
+    val tmp = s"$inputDir/_stage"
+    if (boundRow.isNullAt(0)) {
+      // EMPTY corpus (r13 degenerate sweep): max(doc_id) is null, and a
+      // partitionBy write would stage zero files — the file source then
+      // has nothing to infer a schema from and every stream twin dies.
+      // Stage ONE zero-row file with the real schema instead: the
+      // stream runs one empty micro-batch and its accumulated output
+      // is the batch operator's empty result.
+      docs.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
+      val file = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet"))
+        .getOrElse(throw new IllegalStateException(
+          s"staging wrote no parquet part file under $tmp"))
+      val dest = new java.io.File(inputDir, "split_000.parquet")
+      java.nio.file.Files.move(file.toPath, dest.toPath)
+      require(dest.setLastModified(1000000L),
+        s"setLastModified failed on $dest")
+      deleteRecursively(new java.io.File(tmp))
+      return
+    }
+    val bound = boundRow.getLong(0) + 1
+    val span = math.max(1L, (bound + nSplits - 1) / nSplits)
     // one pass: hive-partition on the split id, then lift each part
     // file out as an ordered, timestamped arrival
-    val tmp = s"$inputDir/_stage"
     docs.withColumn("split", (col("doc_id") / span).cast("int"))
       .repartition(col("split"))
       .write.mode(SaveMode.Overwrite).partitionBy("split").parquet(tmp)
