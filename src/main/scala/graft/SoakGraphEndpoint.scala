@@ -25,17 +25,27 @@ import org.apache.spark.sql.SparkSession
   *
   * Scheduling: the r12 soak measured median 0.25 s but p99 14.1 s —
   * pure CPU contention, a FIFO scheduler letting the build's
-  * 32-thread stages queue-starve the interactive reads. The fix is
-  * Spark's own answer to mixed workloads, not a latency waiver: FAIR
-  * scheduler mode with two pools — `serve` (weight 4, minShare half
-  * the cores: a page read gets slots the moment it arrives) and
-  * `build` (weight 1, the throughput job that absorbs whatever serve
-  * leaves idle). Thrift statements land in `serve` via
-  * `spark.sql.thriftserver.scheduler.pool` (a session DEFAULT, so the
-  * per-connection isolated sessions inherit it); the build thread pins
-  * itself to `build` with the thread-local scheduler property. Pool
-  * fairness is task-slot arithmetic on the scheduler — identical on a
-  * real cluster, nothing local-mode about it.
+  * 32-thread stages queue-starve the interactive reads. Two fixes,
+  * both Spark's own answers to mixed workloads, not latency waivers:
+  *
+  *  1. FAIR scheduler mode with two pools — `serve` (weight 4,
+  *     minShare half the cores: a page read gets slots the moment
+  *     they free) and `build` (weight 1, the throughput job that
+  *     absorbs whatever serve leaves idle). Thrift statements land in
+  *     `serve` via `spark.sql.thriftserver.scheduler.pool` (a session
+  *     DEFAULT, so the per-connection isolated sessions inherit it);
+  *     the build thread pins itself to `build` with the thread-local
+  *     scheduler property.
+  *  2. FAIR is not preemptive — a serve task waits for a RUNNING
+  *     build task to release a core, so the latency tail equals the
+  *     build's task-duration tail (measured: p99 5.2 s with pools
+  *     alone). The build's tasks are therefore kept fine-grained:
+  *     16 MB scan splits (`files.maxPartitionBytes`) and a 4×-widened
+  *     graph shuffle (`spark.graft.graph.minShuffleWidth`) bound each
+  *     task to well under a second of work. This is the standard
+  *     latency-vs-per-task-overhead trade a serving cluster makes;
+  *     task-slot arithmetic is identical on a real cluster, nothing
+  *     local-mode about it.
   *
   * Usage: `SoakGraphEndpoint <endpointSfDir> <graphSfDir>
   *         [maxLatencySec] [maxP99Sec]` (defaults: 60 s hard bound per
@@ -76,9 +86,15 @@ object SoakGraphEndpoint {
       .config("spark.scheduler.mode", "FAIR")
       .config("spark.scheduler.allocation.file", poolsXml.toString)
       .config("spark.sql.thriftserver.scheduler.pool", "serve")
+      // fine-grained tasks (see Scaladoc #2): the non-preemptive tail
+      .config("spark.sql.files.maxPartitionBytes", "16m")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // widen the graph build's shuffle 4× past the fact-scaled width:
+    // shorter tasks, faster core handoff to the serve pool
+    spark.conf.set("spark.graft.graph.minShuffleWidth",
+      (cpus.toInt * 8).toString)
 
     val port = {
       val ss = new java.net.ServerSocket(0)
