@@ -112,8 +112,12 @@ object DegenerateSweep {
     SparkEntry.queries
       .filter { case (n, _) => names.forall(_.contains(n)) }
       .foreach { case (name, fn) =>
+        // NonFatal only: a dying JVM (OutOfMemoryError, LinkageError)
+        // must abort the sweep, not be logged as one query's failure
+        // while later queries run in a corrupted JVM and pollute the
+        // committed evidence log (ADVICE r13)
         try fn(spark, dir).count()
-        catch { case e: Throwable =>
+        catch { case scala.util.control.NonFatal(e) =>
           val msg = Option(e.getMessage).getOrElse("").linesIterator
             .find(_.nonEmpty).getOrElse("")
           errors(name) = s"${e.getClass.getSimpleName}: ${msg.take(300)}"

@@ -48,9 +48,16 @@ import org.apache.spark.sql.SparkSession
   *     local-mode about it.
   *
   * Usage: `SoakGraphEndpoint <endpointSfDir> <graphSfDir>
-  *         [maxLatencySec] [maxP99Sec]` (defaults: 60 s hard bound per
-  * page read, 3 s p99 — the BI contract is interactive-grade reads
-  * while the cluster crunches).
+  *         [maxLatencySec] [maxP99Sec] [spanSfDir]` (defaults: 60 s
+  * hard bound per page read, 3 s p99 — the BI contract is
+  * interactive-grade reads while the cluster crunches). When
+  * `spanSfDir` is given, a SECOND build — the q101 span-dedup STREAM
+  * on that rung — runs concurrently in the same low-priority pool
+  * (r13 verdict stretch #8: the production worst case is never one
+  * build; stream micro-batch jobs inherit the build pool because
+  * Spark propagates the starting thread's local properties to the
+  * stream execution thread). Latencies are profiled while ANY build
+  * is in flight.
   */
 object SoakGraphEndpoint {
   def main(args: Array[String]): Unit = {
@@ -77,6 +84,8 @@ object SoakGraphEndpoint {
          |  </pool>
          |</allocations>
          |""".stripMargin)
+    // one temp file per soak run otherwise leaks (ADVICE r13)
+    poolsXml.toFile.deleteOnExit()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -124,25 +133,38 @@ object SoakGraphEndpoint {
     val errs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     val lats = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Double]()
     val sweeps = new java.util.concurrent.atomic.AtomicLong(0)
-    val buildDone = new java.util.concurrent.atomic.AtomicBoolean(false)
-    @volatile var graphRows = -1L
-    @volatile var buildSec = -1.0
-
-    val builder = new Thread(() => {
-      // thread-local scheduler property: every job this thread submits
-      // (and the AQE/broadcast sub-jobs that capture its properties)
-      // lands in the low-priority build pool
-      spark.sparkContext.setLocalProperty("spark.scheduler.pool", "build")
-      val t0 = System.nanoTime()
-      try graphRows = queries.Registry.byName("q130_pagerank")
-        .run(spark, graphSf).count()
-      catch { case t: Throwable => errs.add(s"graph build: $t") }
-      finally {
-        buildSec = (System.nanoTime() - t0) / 1e9
-        buildDone.set(true)
-      }
-    })
-    builder.start()
+    // one graph build always; a second concurrent build (the span-dedup
+    // STREAM) when a fifth argument names its rung
+    val buildSpecs: Seq[(String, String)] =
+      Seq("q130_pagerank" -> graphSf) ++
+        (if (args.length > 4) Seq("q101_span_dedup_stream" -> args(4))
+         else Nil)
+    val remaining =
+      new java.util.concurrent.atomic.AtomicInteger(buildSpecs.size)
+    def buildDoneGet(): Boolean = remaining.get() == 0
+    val buildRows =
+      new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+    val buildSecs =
+      new java.util.concurrent.ConcurrentHashMap[String, java.lang.Double]()
+    val builders = buildSpecs.map { case (qn, dir) =>
+      new Thread(() => {
+        // thread-local scheduler property: every job this thread submits
+        // (and the AQE/broadcast sub-jobs that capture its properties)
+        // lands in the low-priority build pool; a streaming query started
+        // from this thread inherits it on its execution thread too
+        spark.sparkContext.setLocalProperty("spark.scheduler.pool", "build")
+        val t0 = System.nanoTime()
+        try buildRows.put(qn,
+          queries.Registry.byName(qn).run(spark, dir).count())
+        catch { case t: Throwable => errs.add(s"build $qn: $t") }
+        finally {
+          buildSecs.put(qn, (System.nanoTime() - t0) / 1e9)
+          remaining.decrementAndGet()
+          ()
+        }
+      })
+    }
+    builders.foreach(_.start())
 
     val clients = (0 until 4).map { ci =>
       new Thread(() => {
@@ -154,7 +176,7 @@ object SoakGraphEndpoint {
             // is concurrently hit by several sessions
             val rotated = pages.drop(ci * 7 % pages.size) ++
               pages.take(ci * 7 % pages.size)
-            while (!buildDone.get()) {
+            while (!buildDoneGet()) {
               rotated.foreach { name =>
                 val t0 = System.nanoTime()
                 val rs = st.executeQuery(
@@ -162,8 +184,8 @@ object SoakGraphEndpoint {
                 if (!rs.next() || rs.getLong("n") != direct(name))
                   errs.add(s"client $ci: $name wire!=direct")
                 // count a read toward the latency profile only while
-                // the build is actually in flight
-                if (!buildDone.get())
+                // a build is actually in flight
+                if (!buildDoneGet())
                   lats.add((System.nanoTime() - t0) / 1e9)
               }
               sweeps.incrementAndGet()
@@ -173,7 +195,7 @@ object SoakGraphEndpoint {
       })
     }
     clients.foreach(_.start())
-    builder.join()
+    builders.foreach(_.join())
     clients.foreach(_.join(600000))
 
     val ls = lats.toArray(Array.empty[java.lang.Double])
@@ -181,15 +203,23 @@ object SoakGraphEndpoint {
     def pct(p: Double): Double =
       if (ls.isEmpty) -1.0 else ls(math.min(ls.length - 1, (p * ls.length).toInt))
     val maxL = if (ls.isEmpty) -1.0 else ls.last
-    println(f"[soak] graph build: $buildSec%.1f s, rows=$graphRows")
+    buildSpecs.foreach { case (qn, dir) =>
+      val sec = buildSecs.getOrDefault(qn, java.lang.Double.valueOf(-1.0))
+        .doubleValue
+      println(f"[soak] build $qn ($dir): $sec%.1f s, " +
+        s"rows=${buildRows.getOrDefault(qn, -1L)}")
+    }
     println(f"[soak] ${sweeps.get()} full 27-page sweeps during build; " +
       f"${ls.length} in-flight reads: median ${pct(0.5)}%.2f s, " +
       f"p99 ${pct(0.99)}%.2f s, max $maxL%.2f s")
     val latOk = ls.nonEmpty && maxL <= maxLatencySec && pct(0.99) <= maxP99Sec
-    val ok = errs.isEmpty && graphRows > 0 && latOk
+    val rowsOk = buildSpecs.forall { case (qn, _) =>
+      buildRows.getOrDefault(qn, -1L) > 0L
+    }
+    val ok = errs.isEmpty && rowsOk && latOk
     if (!ok) {
       println(s"[soak] FAIL: errs=${errs.toArray.mkString("; ")} " +
-        s"graphRows=$graphRows reads=${ls.length} max=$maxL")
+        s"rowsOk=$rowsOk reads=${ls.length} max=$maxL")
     } else println("[soak] PASS: zero errors, wire==direct on every read, " +
       s"latency bounded at $maxLatencySec s, p99 bounded at $maxP99Sec s")
     spark.stop()

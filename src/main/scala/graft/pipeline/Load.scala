@@ -288,6 +288,26 @@ object Load {
     walk(p)
   }
 
+  /** True iff at least one parquet data file exists under `path` —
+    * the existence twin of [[storeFileCount]] that SHORT-CIRCUITS at
+    * the first data file instead of walking the whole tree. Streams
+    * probe store non-emptiness once or twice per micro-batch; on a
+    * large accumulated store (thousands of `batch=`/`bucket=` leaves
+    * at the sf100 rung) the full recursive count is O(files) of pure
+    * listing latency per batch, while the verdict only needs "any".
+    */
+  def storeHasData(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return false
+    def walk(d: org.apache.hadoop.fs.Path): Boolean =
+      fs.listStatus(d).exists { s =>
+        if (s.isDirectory) walk(s.getPath)
+        else s.getPath.getName.endsWith(".parquet")
+      }
+    walk(p)
+  }
+
   /** Read a parquet store only if its directory exists. Incremental
     * operators treat a MISSING store as "first run" — but a store that
     * exists and fails to read must propagate: swallowing a transient or
@@ -302,7 +322,7 @@ object Load {
     // every doc gated out) creates `batch=<id>/` with only _SUCCESS, and
     // reading such a tree dies on UNABLE_TO_INFER_SCHEMA, not "empty
     // store". Real read errors on a store WITH data still propagate.
-    if (fs.exists(p) && storeFileCount(spark, path) > 0)
+    if (fs.exists(p) && storeHasData(spark, path))
       Some(spark.read.parquet(path))
     else None
   }

@@ -70,10 +70,15 @@ object IvfStream {
         if (graft.pipeline.Load.readStoreIfExists(spark, centDir).isEmpty) {
           val seeds = SelectionOps.seedCentroids(e).cache()
           val k = seeds.count()
-          // a LATER batch carrying seeds when batch 0 pinned nothing
-          // would mean staging broke id order — that stays loud
-          require(k == 0L || k == 8L || batchId == 0L,
-            s"seed vectors split across micro-batches ($k of 8 in batch $batchId)")
+          // While NO quantizer is pinned yet, ANY batch may pin whatever
+          // usable seeds it carries (ADVICE r13): if split 0's seed-range
+          // vectors were all zero-norm (dropped by the n2>0 guard above)
+          // and a later split carries usable vec_id<8 rows, failing loud
+          // here would kill a degenerate stream that contracts to "empty
+          // result, not dead query". Seeds arriving AFTER a store is
+          // pinned never reach this block (guarded by isEmpty), so the
+          // ErrorIfExists write below stays the loud path for a
+          // double-pin, the one state that would mean staging broke.
           if (k > 0L) {
             seeds.coalesce(1).write.mode(SaveMode.ErrorIfExists).parquet(centDir)
           }

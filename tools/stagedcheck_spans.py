@@ -73,6 +73,15 @@ def main(sf_dir, out_dir):
     con.execute(f"CREATE VIEW documents AS SELECT * FROM '{docs}'")
     span_oracle = SPAN_SQL.format(out=out_dir, docs=docs, w=W)
     prep_oracle = open(f"{out_dir}/q98_oracle.sql").read()
+    # the election key doc_id*2^20+pos assumes pos < 2^20 per document;
+    # a pathological doc would silently corrupt first-occurrence ordering
+    # and make the ORACLE wrong — fail loudly instead (ADVICE r13)
+    max_pos = con.execute(
+        f"SELECT coalesce(max(pos), 0) FROM "
+        f"read_parquet('{out_dir}/grams.parquet/*.parquet')").fetchone()[0]
+    assert max_pos < 1048576, (
+        f"election key overflow: max gram pos {max_pos} >= 2^20 — "
+        f"widen the doc_id*1048576+pos key before trusting this oracle")
     checks = [
         ("q100_span_dedup", "q100", span_oracle),
         ("q101_span_dedup_stream", "q101", span_oracle),
