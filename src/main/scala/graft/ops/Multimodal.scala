@@ -618,8 +618,12 @@ object Multimodal {
       .select(col("x.media_id").as("media_a"), col("y.media_id").as("media_b"),
         bit_count(col("x.dhash").bitwiseXOR(col("y.dhash")))
           .cast("long").as("hamming"))
-      .distinct()
+      // filter BEFORE distinct: the bit_count gate runs map-side on the
+      // join output, so the dedup shuffle carries only the surviving
+      // Hamming-ball pairs — at corpus scale the band-collision
+      // candidates outnumber survivors by orders of magnitude
       .where(col("hamming") <= maxDist)
+      .distinct()
   }
 
   /** Feature-extract every payload via mapPartitions (codec state would be
