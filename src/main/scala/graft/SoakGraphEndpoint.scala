@@ -75,7 +75,7 @@ object SoakGraphEndpoint {
          |  <pool name="serve">
          |    <schedulingMode>FIFO</schedulingMode>
          |    <weight>4</weight>
-         |    <minShare>${math.max(1, cpus.toInt / 2)}</minShare>
+         |    <minShare>${math.max(1, cpus.toInt * 3 / 4)}</minShare>
          |  </pool>
          |  <pool name="build">
          |    <schedulingMode>FIFO</schedulingMode>
@@ -153,9 +153,23 @@ object SoakGraphEndpoint {
         // lands in the low-priority build pool; a streaming query started
         // from this thread inherits it on its execution thread too
         spark.sparkContext.setLocalProperty("spark.scheduler.pool", "build")
+        // each build gets its OWN isolated session with the shuffle
+        // width widened 8x past the core count: FAIR is not preemptive,
+        // so the serve tail equals the longest RUNNING build task — the
+        // same fine-grained-tasks lever that bounded the single-build
+        // p99 in r13, now applied to EVERY build's shuffles (the span
+        // stream's gram stages, not just the graph build's). The serve
+        // sessions keep their own width; newSession shares the context
+        // but not runtime SQLConf, so the widening cannot leak into
+        // page reads.
+        val bs = spark.newSession()
+        bs.conf.set("spark.sql.shuffle.partitions",
+          (cpus.toInt * 4).toString)
+        bs.conf.set("spark.graft.graph.minShuffleWidth",
+          (cpus.toInt * 8).toString)
         val t0 = System.nanoTime()
         try buildRows.put(qn,
-          queries.Registry.byName(qn).run(spark, dir).count())
+          queries.Registry.byName(qn).run(bs, dir).count())
         catch { case t: Throwable => errs.add(s"build $qn: $t") }
         finally {
           buildSecs.put(qn, (System.nanoTime() - t0) / 1e9)
