@@ -5,8 +5,40 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main: times every registered query on SPARK_GRAFT_SF_DIR and
   * prints one JSON line. Results are fully materialized via collect()
   * (not count(), which would let Catalyst prune the computed columns).
+  *
+  * Besides wall time, every row records two box-state-immune work
+  * metrics (round-14 verdict #4 — two consecutive rounds burned effort
+  * adjudicating ±20% wall drift that was box load, not plan cost):
+  *   - cpu_s: listener-summed executor CPU time (run + deserialize)
+  *   - shuffle_bytes: shuffle read + write bytes
+  * A wall regression with flat cpu_s/shuffle_bytes is box drift; one
+  * where they move too is a real plan change. tools/benchcmp.py
+  * classifies flagged regressions using exactly this split.
   */
 object Bench {
+
+  /** Accumulates per-task work metrics; snapshot deltas around each
+    * query attribute its jobs (incl. foreachBatch micro-batches, which
+    * run on the same SparkContext). The listener bus is drained via
+    * the graftbridge before every snapshot so no task-end race
+    * misattributes a stage to the next query.
+    */
+  private final class WorkMetricsListener
+      extends org.apache.spark.scheduler.SparkListener {
+    val cpuNs = new java.util.concurrent.atomic.AtomicLong(0L)
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    override def onTaskEnd(
+        t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = t.taskMetrics
+      if (m != null) {
+        cpuNs.addAndGet(m.executorCpuTime + m.executorDeserializeCpuTime)
+        shuffleBytes.addAndGet(
+          m.shuffleReadMetrics.totalBytesRead +
+            m.shuffleWriteMetrics.bytesWritten)
+        ()
+      }
+    }
+  }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -74,14 +106,37 @@ object Bench {
     // sub-100ms successes, poisoning round-over-round comparison. Omit
     // the row and report the failure on stderr + in a "failed" field.
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
+    val work = new WorkMetricsListener
+    spark.sparkContext.addSparkListener(work)
+    // drain the async listener bus so the snapshot below owns every
+    // task-end already produced; tolerate a slow bus rather than abort
+    def drain(): Unit =
+      try org.apache.spark.sql.graftbridge.ListenerBridge
+        .waitUntilEmpty(spark.sparkContext, 30000L)
+      catch { case _: java.util.concurrent.TimeoutException =>
+        System.err.println("[bench] listener bus drain timed out (30s); " +
+          "work metrics for the adjacent rows may bleed")
+      }
+    val workRows = scala.collection.mutable.LinkedHashMap
+      .empty[String, (Double, Long)] // name -> (cpu_s, shuffle_bytes)
+    def timed[A](name: String)(body: => A): A = {
+      drain()
+      val cpu0 = work.cpuNs.get(); val shf0 = work.shuffleBytes.get()
+      val r = body
+      drain()
+      workRows(name) =
+        ((work.cpuNs.get() - cpu0) / 1e9, work.shuffleBytes.get() - shf0)
+      r
+    }
     val results = picked.flatMap { case (name, fn) =>
       val t0 = System.nanoTime()
       try {
-        fn(spark, sfDir).collect()
+        timed(name) { fn(spark, sfDir).collect() }
         Some(name -> (System.nanoTime() - t0) / 1e9)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name: $e")
         failed += name
+        workRows.remove(name)
         None
       } finally {
         val heavy = (System.nanoTime() - t0) > 30L * 1000 * 1000 * 1000
@@ -114,7 +169,8 @@ object Bench {
           .createTempDirectory("bench_curation").toString
         val t0 = System.nanoTime()
         try {
-          val r = graft.pipeline.CurationJob.run(spark, sfDir, out)
+          val r = timed("curation") {
+            graft.pipeline.CurationJob.run(spark, sfDir, out) }
           System.err.println(s"[bench] curation funnel: input=${r.n_input} " +
             s"quality_kept=${r.n_quality_kept} ppl_kept=${r.n_ppl_kept} " +
             s"tokens=${r.n_tokens_out} shards=${r.n_shards}")
@@ -125,8 +181,18 @@ object Bench {
       .mkString("{", ",", "}")
     val total = (results ++ curation).map(_._2).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // parallel maps, not per-row objects: the driver parses
+    // "queries" as name->seconds, so the shape must stay stable
+    val cpuJson = workRows.map { case (k, (c, _)) =>
+      "\"" + k + "\":" +
+        String.format(java.util.Locale.ROOT, "%.3f", Double.box(c))
+    }.mkString("{", ",", "}")
+    val shfJson = workRows.map { case (k, (_, s)) => "\"" + k + "\":" + s }
+      .mkString("{", ",", "}")
+    val totalCpu = workRows.valuesIterator.map(_._1).sum
+    val totalShf = workRows.valuesIterator.map(_._2).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cpu_s":$cpuJson,"shuffle_bytes":$shfJson,"total_cpu_s":${String.format(java.util.Locale.ROOT, "%.1f", Double.box(totalCpu))},"total_shuffle_bytes":$totalShf,"failed":$failedJson,"sf":"$sfDir"}"""
     // Round-7 driver run recorded "parsed": null — the JSON line landed
     // interleaved with sbt/log4j noise. Two fixes: (1) persist the result
     // to a file so the authoritative copy never depends on stdout at all;
@@ -153,7 +219,7 @@ object Bench {
           String.format(java.util.Locale.ROOT, "%.3f", Double.box(v)) }
       .mkString("{", ",", "}")
     val summary =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsHead,"n":${results.size + curation.size},"failed":$failedJson,"sf":"$sfDir","detail":"$outFile"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsHead,"n":${results.size + curation.size},"total_cpu_s":${String.format(java.util.Locale.ROOT, "%.1f", Double.box(totalCpu))},"total_shuffle_bytes":$totalShf,"failed":$failedJson,"sf":"$sfDir","detail":"$outFile"}"""
     spark.stop()
     System.out.flush()
     println(summary)

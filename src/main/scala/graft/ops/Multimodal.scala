@@ -369,7 +369,9 @@ object Multimodal {
     val idat = new java.io.ByteArrayOutputStream()
     while (!sawIend) {
       val len = readBe32()
-      if (len < 0 || pos + 4 + len + 4 > payload.length) fail("truncated chunk")
+      // Long arithmetic: len near 2^31 would overflow an Int sum and
+      // bypass this bound, dying later with a non-contract IOOBE.
+      if (len < 0 || pos.toLong + 8L + len > payload.length) fail("truncated chunk")
       val tag = new String(payload, pos, 4,
         java.nio.charset.StandardCharsets.US_ASCII)
       val tagBytes = java.util.Arrays.copyOfRange(payload, pos, pos + 4)
@@ -407,7 +409,10 @@ object Multimodal {
     try {
       while (got < expect && !inflater.finished()) {
         val n = inflater.inflate(scan, got, expect - got)
-        if (n == 0 && inflater.needsInput()) fail("truncated IDAT stream")
+        // n==0 with the stream unfinished covers every stall: exhausted
+        // input (truncation) AND a zlib header demanding a preset
+        // dictionary (FDICT) — without this the FDICT case spins forever.
+        if (n == 0 && !inflater.finished()) fail("stalled IDAT stream (truncated or needs preset dictionary)")
         got += n
       }
     } catch {

@@ -80,6 +80,16 @@ object IvfStream {
           // ErrorIfExists write below stays the loud path for a
           // double-pin, the one state that would mean staging broke.
           if (k > 0L) {
+            // ADVICE r14: a pin on batchId > 0 is the degenerate-corpus
+            // path ONLY if the earlier splits carried no usable seeds;
+            // if staging ever delivers seed ids late in a healthy
+            // corpus, the pinned quantizer is partial. Keep that state
+            // loud in the logs so a mis-staged corpus is diagnosable.
+            if (batchId > 0L)
+              System.err.println(
+                s"[ivf-stream] LATE PIN: quantizer pinned on batch $batchId " +
+                  s"with $k seed(s) — expected batch 0 under id-ordered " +
+                  "staging; earlier splits carried no usable seed vectors")
             seeds.coalesce(1).write.mode(SaveMode.ErrorIfExists).parquet(centDir)
           }
           seeds.unpersist()

@@ -99,6 +99,20 @@ class PngCodecSpec extends SparkSpec {
     val noIdat = java.util.Arrays.copyOfRange(good, 0, 8) ++
       chunk("IHDR", ihdrRgb) ++ chunk("IEND", Array.emptyByteArray)
     intercept[IllegalArgumentException](Multimodal.decodePng(noIdat))
+    // ADVICE r14: zlib header with FDICT set — inflate() returns 0 with
+    // needsInput()==false forever; must throw, not spin. 0x78 0xBB has
+    // CM=8, CINFO=7, FDICT=1 and passes the (CMF*256+FLG)%31==0 check.
+    val dictId = Array[Byte](1, 2, 3, 4)
+    val fdictIdat = chunk("IDAT", Array[Byte](0x78, 0xBB.toByte) ++ dictId)
+    val fdict = java.util.Arrays.copyOfRange(good, 0, 8) ++
+      chunk("IHDR", ihdrRgb) ++ fdictIdat ++ chunk("IEND", Array.emptyByteArray)
+    boom(fdict, "stalled")
+    // ADVICE r14: a declared chunk length near 2^31 must hit the
+    // truncation check (Long math), not overflow into a raw IOOBE
+    val lenOverflow = java.util.Arrays.copyOfRange(good, 0, 8) ++
+      Array[Byte](0x7f, 0xff.toByte, 0xff.toByte, 0xf0.toByte) ++
+      "IDAT".getBytes ++ Array[Byte](0, 0, 0, 0)
+    boom(lenOverflow, "truncated")
   }
 
   test("q166 oracle twin: decoded PNG features match the grid replayed from text") {

@@ -10,6 +10,13 @@
 - regressions are |new - old| > ABS_S and new > REL * old, the same
   filter every round's verdict uses.
 
+Round-14 verdict #4: bench rows now also carry box-state-immune work
+metrics (`cpu_s`: executor CPU-time sum; `shuffle_bytes`: shuffle
+read+write). When both sides have them, this prints their intersection
+totals and classifies every wall-flagged regression: flat cpu AND flat
+shuffle => box drift, not plan cost; either moving with the wall =>
+a real plan change. Older JSONs without the maps compare wall-only.
+
 Usage: tools/benchcmp.py OLD.json[,OLD2.json] NEW.json[,NEW2.json]
 """
 import json
@@ -17,23 +24,30 @@ import sys
 
 ABS_S = 0.3
 REL = 1.3
+# a regression whose cpu AND shuffle stay within this relative band of
+# the old run is classified as box drift (wall moved, work did not)
+WORK_FLAT = 1.15
 
 
 def load_side(arg):
     runs = [json.load(open(p)) for p in arg.split(",")]
     failed = sorted({q for r in runs for q in r.get("failed", [])})
-    merged = {}
+    merged, cpu, shuffle = {}, {}, {}
     for r in runs:
         for k, v in r["queries"].items():
             merged[k] = min(v, merged.get(k, float("inf")))
-    return merged, failed
+        for k, v in r.get("cpu_s", {}).items():
+            cpu[k] = min(v, cpu.get(k, float("inf")))
+        for k, v in r.get("shuffle_bytes", {}).items():
+            shuffle[k] = min(v, shuffle.get(k, float("inf")))
+    return merged, failed, cpu, shuffle
 
 
 def main():
     if len(sys.argv) != 3:
         sys.exit(__doc__)
-    old, old_failed = load_side(sys.argv[1])
-    new, new_failed = load_side(sys.argv[2])
+    old, old_failed, old_cpu, old_shf = load_side(sys.argv[1])
+    new, new_failed, new_cpu, new_shf = load_side(sys.argv[2])
     for name, failed in (("OLD", old_failed), ("NEW", new_failed)):
         if failed:
             print(f"!! {name} side has FAILED queries (excluded from "
@@ -44,12 +58,43 @@ def main():
           f"new-only: {sorted(set(new) - set(old)) or '-'})")
     print(f"totals over intersection: old={sum(old[k] for k in both):.1f}s "
           f"new={sum(new[k] for k in both):.1f}s")
+    cpu_both = sorted(set(old_cpu) & set(new_cpu) & set(both))
+    if cpu_both:
+        oc, nc = sum(old_cpu[k] for k in cpu_both), sum(
+            new_cpu[k] for k in cpu_both)
+        print(f"cpu_s over intersection ({len(cpu_both)} rows): "
+              f"old={oc:.1f}s new={nc:.1f}s ({(nc - oc) / oc:+.1%})"
+              if oc else f"cpu_s: old=0 new={nc:.1f}s")
+    shf_both = sorted(set(old_shf) & set(new_shf) & set(both))
+    if shf_both:
+        os_, ns = sum(old_shf[k] for k in shf_both), sum(
+            new_shf[k] for k in shf_both)
+        print(f"shuffle_bytes over intersection ({len(shf_both)} rows): "
+              f"old={os_ / 1e6:.1f}MB new={ns / 1e6:.1f}MB"
+              + (f" ({(ns - os_) / os_:+.1%})" if os_ else ""))
+
+    def classify(k):
+        """box drift vs plan change, when work metrics exist on both sides."""
+        if k not in old_cpu or k not in new_cpu:
+            return ""
+        cpu_flat = new_cpu[k] <= WORK_FLAT * old_cpu[k] + 0.05
+        shf_flat = (k not in old_shf or k not in new_shf or
+                    new_shf[k] <= WORK_FLAT * old_shf[k] + 1e6)
+        detail = (f" [cpu {old_cpu[k]:.2f}->{new_cpu[k]:.2f}s"
+                  + (f", shuffle {old_shf.get(k, 0) / 1e6:.1f}->"
+                     f"{new_shf.get(k, 0) / 1e6:.1f}MB]" if k in new_shf
+                     else "]"))
+        if cpu_flat and shf_flat:
+            return f"{detail} => work flat: BOX DRIFT, not plan cost"
+        return f"{detail} => work moved with wall: PLAN CHANGE"
+
     regs = [(new[k] - old[k], k) for k in both
             if new[k] - old[k] > ABS_S and new[k] > REL * old[k]]
     if regs:
         print("regressions (>0.3s and >30%):")
         for d, k in sorted(regs, reverse=True):
-            print(f"  {k}: {old[k]:.2f}s -> {new[k]:.2f}s (+{d:.2f}s)")
+            print(f"  {k}: {old[k]:.2f}s -> {new[k]:.2f}s (+{d:.2f}s)"
+                  + classify(k))
     else:
         print("zero regressions (>0.3s and >30% filter)")
     # old-side failures gate too: an old run with failed queries is not

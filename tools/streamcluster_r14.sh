@@ -1,5 +1,5 @@
 #!/bin/bash
-# Round-14 verdict #2: the WHOLE streaming family (17 registered stream
+# Round-14 verdict #2: the WHOLE streaming family (16 registered stream
 # twins) dump-compared between local[32] and real executor JVMs
 # (local-cluster[4,4,4096]) at sf0.1 — batch= Overwrite partials,
 # bucket-pruned probes, and store consolidation across process
@@ -8,7 +8,7 @@
 # distribution.
 set -u
 cd /root/repo
-STREAMS=q57_events_hourly_stream,q80_events_segment_stream,q95_stream_quality,q95_stream_quality_gate,q101_span_dedup_stream,q104_corpus_prep_stream,q109_cms_stream,q111_ivf_stream,q122_bigram_lm_stream,q123_kmv_users_stream,q125_hll_stream,q129_minhash_dedup_stream,q134_incremental_cc_stream,q138_nb_stream,q142_dsir_stream,q146_mixture_stream,q158_yield_stream
+STREAMS=q57_events_hourly_stream,q80_events_segment_stream,q95_stream_quality_gate,q101_span_dedup_stream,q104_corpus_prep_stream,q109_cms_stream,q111_ivf_stream,q122_bigram_lm_stream,q123_kmv_users_stream,q125_hll_stream,q129_minhash_dedup_stream,q134_incremental_cc_stream,q138_nb_stream,q142_dsir_stream,q146_mixture_stream,q158_yield_stream
 SF=/root/testdata/sf0.1
 JAR=target/scala-2.13/avkjobskillanalyticsspark_2.13-0.1.0.jar
 if [ ! -d /tmp/streams_local ]; then
