@@ -448,13 +448,17 @@ object Multimodal {
     RgbImage(w, h, rgb)
   }
 
-  /** Decode a payload by sniffing its magic: PNG signature or PPM "P6".
-    * The per-task dispatch point a real multi-codec pipeline has.
+  /** Decode a payload by sniffing its magic: PNG signature, JPEG SOI
+    * (0xFFD8), or PPM "P6". The per-task dispatch point a real
+    * multi-codec pipeline has.
     */
   def decodeImage(payload: Array[Byte]): RgbImage = {
     if (payload != null && payload.length >= 8 &&
         payload(0) == PngSig(0) && payload(1) == 'P' && payload(2) == 'N')
       decodePng(payload)
+    else if (payload != null && payload.length >= 2 &&
+        (payload(0) & 0xff) == 0xff && (payload(1) & 0xff) == 0xd8)
+      Jpeg.decodeJpeg(payload)
     else decodePpm(payload)
   }
 

@@ -25,7 +25,7 @@ object PipelineOps {
     * filters (None/Sub/Up/Average/Paeth) on every single image.
     */
   private def docThumbs(s: SparkSession, d: String,
-                        png: Boolean): org.apache.spark.sql.DataFrame = {
+                        fmt: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
     import org.apache.spark.sql.types._
@@ -52,9 +52,14 @@ object PipelineOps {
             rgb(i) = b; rgb(i + 1) = b; rgb(i + 2) = b
           }
         }
-        val payload =
-          if (png) Multimodal.encodePng(8, 8, rgb, row => row % 5)
-          else Multimodal.encodePpm(8, 8, rgb)
+        val payload = fmt match {
+          case "png" => Multimodal.encodePng(8, 8, rgb, row => row % 5)
+          // full 3-component 4:4:4 color scan: the gray input makes the
+          // chroma planes EXACTLY 128 (the JFIF integer weights cancel),
+          // which is what lets the q168 oracle replay only the luma chain
+          case "jpeg" => graft.ops.Jpeg.encodeJpeg(8, 8, rgb, mode = "444")
+          case _ => Multimodal.encodePpm(8, 8, rgb)
+        }
         Row(r.getLong(0), payload)
       }
     }(ExpressionEncoder(payloadSchema))
@@ -446,7 +451,7 @@ object PipelineOps {
     Q(
       "q165_image_phash_dups",
       (s, d) => {
-        val media = Multimodal.asMedia(docThumbs(s, d, png = false),
+        val media = Multimodal.asMedia(docThumbs(s, d, "ppm"),
           "media_id", "payload", "image/x-portable-pixmap")
         Multimodal.hammingPairs(Multimodal.dHash(media), bits = 56, maxDist = 4)
           .orderBy(col("media_a"), col("media_b"))
@@ -482,7 +487,7 @@ object PipelineOps {
     Q(
       "q166_image_png_roundtrip",
       (s, d) => {
-        val media = Multimodal.asMedia(docThumbs(s, d, png = true),
+        val media = Multimodal.asMedia(docThumbs(s, d, "png"),
           "media_id", "payload", "image/png")
         Multimodal.decodeImages(media, 4, 4)
           .select(col("media_id"), col("w"), col("h"),
@@ -522,7 +527,7 @@ object PipelineOps {
     Q(
       "q167_image_phash_dct_dups",
       (s, d) => {
-        val media = Multimodal.asMedia(docThumbs(s, d, png = false),
+        val media = Multimodal.asMedia(docThumbs(s, d, "ppm"),
           "media_id", "payload", "image/x-portable-pixmap")
         Multimodal.hammingPairs(Multimodal.pHash(media), bits = 63, maxDist = 6)
           .orderBy(col("media_a"), col("media_b"))
@@ -558,6 +563,81 @@ object PipelineOps {
           |       CAST(bit_count(xor(a.ph, b.ph)) AS BIGINT) AS hamming
           |FROM hs a JOIN hs b ON a.doc_id < b.doc_id
           |WHERE bit_count(xor(a.ph, b.ph)) <= 6
-          |ORDER BY media_a, media_b""".stripMargin))
+          |ORDER BY media_a, media_b""".stripMargin)),
+
+    // ---- E5: REAL JPEG codec (T.81 baseline, LOSSY round-trip) ------------
+    // The same doc-thumbnail render, but through a genuine baseline JFIF
+    // JPEG: full 3-component 4:4:4 color scan — RGB→YCbCr, level shift,
+    // fixed-point DCT, Annex-K quantization, zigzag run-length Huffman
+    // entropy coding with in-stream DHT tables and byte stuffing — then
+    // the marker-walking decoder reverses every layer and the sniffing
+    // decode feeds the SAME feature chain as q96/q166. Unlike PNG this
+    // round-trip is LOSSY, so the oracle replays the quantization loss
+    // itself: the gray input makes chroma EXACTLY 128 on both sides of
+    // the transform (the JFIF integer weights cancel — Jpeg.scala), so
+    // DuckDB replays only the luma chain — forward DCT with the shared
+    // 64-literal folded-normalization basis, round-half-away-from-zero
+    // quantize at 2^26 scale, dequantize, inverse DCT, clamp — all
+    // BIGINT-exact. Any defect in marker framing, Huffman coding, DC
+    // prediction, zigzag, stuffing, quant rounding, or the color
+    // transform breaks the hash match. (n_bytes excluded as in q166.)
+    Q(
+      "q168_image_jpeg_roundtrip",
+      (s, d) => {
+        val media = Multimodal.asMedia(docThumbs(s, d, "jpeg"),
+          "media_id", "payload", "image/jpeg")
+        Multimodal.decodeImages(media, 4, 4)
+          .select(col("media_id"), col("w"), col("h"),
+            col("sum_r"), col("sum_g"), col("sum_b"), col("rsum"))
+          .orderBy(col("media_id"))
+      },
+      Some(GridSql + ",\n" +
+        """ib(u, x, c) AS (SELECT * FROM (VALUES
+          |  (0,0,2896),(0,1,2896),(0,2,2896),(0,3,2896),(0,4,2896),(0,5,2896),(0,6,2896),(0,7,2896),
+          |  (1,0,4017),(1,1,3406),(1,2,2276),(1,3,799),(1,4,-799),(1,5,-2276),(1,6,-3406),(1,7,-4017),
+          |  (2,0,3784),(2,1,1567),(2,2,-1567),(2,3,-3784),(2,4,-3784),(2,5,-1567),(2,6,1567),(2,7,3784),
+          |  (3,0,3406),(3,1,-799),(3,2,-4017),(3,3,-2276),(3,4,2276),(3,5,4017),(3,6,799),(3,7,-3406),
+          |  (4,0,2896),(4,1,-2896),(4,2,-2896),(4,3,2896),(4,4,2896),(4,5,-2896),(4,6,-2896),(4,7,2896),
+          |  (5,0,2276),(5,1,-4017),(5,2,799),(5,3,3406),(5,4,-3406),(5,5,-799),(5,6,4017),(5,7,-2276),
+          |  (6,0,1567),(6,1,-3784),(6,2,3784),(6,3,-1567),(6,4,-1567),(6,5,3784),(6,6,-3784),(6,7,1567),
+          |  (7,0,799),(7,1,-2276),(7,2,3406),(7,3,-4017),(7,4,4017),(7,5,-3406),(7,6,2276),(7,7,-799))),
+          |qt(u, v, q) AS (SELECT * FROM (VALUES
+          |  (0,0,16),(1,0,11),(2,0,10),(3,0,16),(4,0,24),(5,0,40),(6,0,51),(7,0,61),
+          |  (0,1,12),(1,1,12),(2,1,14),(3,1,19),(4,1,26),(5,1,58),(6,1,60),(7,1,55),
+          |  (0,2,14),(1,2,13),(2,2,16),(3,2,24),(4,2,40),(5,2,57),(6,2,69),(7,2,56),
+          |  (0,3,14),(1,3,17),(2,3,22),(3,3,29),(4,3,51),(5,3,87),(6,3,80),(7,3,62),
+          |  (0,4,18),(1,4,22),(2,4,37),(3,4,56),(4,4,68),(5,4,109),(6,4,103),(7,4,77),
+          |  (0,5,24),(1,5,35),(2,5,55),(3,5,64),(4,5,81),(5,5,104),(6,5,113),(7,5,92),
+          |  (0,6,49),(1,6,64),(2,6,78),(3,6,87),(4,6,103),(5,6,121),(6,6,120),(7,6,101),
+          |  (0,7,72),(1,7,92),(2,7,95),(3,7,98),(4,7,112),(5,7,100),(6,7,103),(7,7,99))),
+          |sv AS (SELECT doc_id, p % 8 AS x, p // 8 AS y, g - 128 AS s FROM grid),
+          |fq AS (SELECT sv.doc_id, cu.u AS u, cv.u AS v,
+          |         CAST(sum(sv.s * cu.c * cv.c) AS BIGINT) AS fv
+          |       FROM sv JOIN ib cu ON cu.x = sv.x JOIN ib cv ON cv.x = sv.y
+          |       GROUP BY sv.doc_id, cu.u, cv.u),
+          |dq AS (SELECT fq.doc_id, fq.u, fq.v,
+          |         (CASE WHEN fv >= 0
+          |               THEN (2*fv + 67108864::BIGINT*qt.q) // (2*67108864::BIGINT*qt.q)
+          |               ELSE -((2*(-fv) + 67108864::BIGINT*qt.q) // (2*67108864::BIGINT*qt.q))
+          |          END) * qt.q AS dv
+          |       FROM fq JOIN qt ON qt.u = fq.u AND qt.v = fq.v),
+          |rv AS (SELECT dq.doc_id, bu.x AS x, bv.x AS y,
+          |         CAST(sum(dq.dv * bu.c * bv.c) AS BIGINT) AS r
+          |       FROM dq JOIN ib bu ON bu.u = dq.u JOIN ib bv ON bv.u = dq.v
+          |       GROUP BY dq.doc_id, bu.x, bv.x),
+          |g2 AS (SELECT doc_id, x, y,
+          |         greatest(0, least(255,
+          |           (CASE WHEN r >= 0 THEN (2*r + 67108864) // 134217728
+          |                 ELSE -((2*(-r) + 67108864) // 134217728) END) + 128)) AS gv
+          |       FROM rv)
+          |SELECT doc_id AS media_id, CAST(8 AS BIGINT) AS w,
+          |       CAST(8 AS BIGINT) AS h,
+          |       CAST(sum(gv) AS BIGINT) AS sum_r,
+          |       CAST(sum(gv) AS BIGINT) AS sum_g,
+          |       CAST(sum(gv) AS BIGINT) AS sum_b,
+          |       CAST(3 * sum(CASE WHEN y % 2 = 0 AND x % 2 = 0
+          |                         THEN gv ELSE 0 END) AS BIGINT) AS rsum
+          |FROM g2 GROUP BY doc_id
+          |ORDER BY media_id""".stripMargin))
   )
 }
