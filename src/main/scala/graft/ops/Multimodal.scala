@@ -594,14 +594,28 @@ object Multimodal {
 
   /** EXACT Hamming-ball pair mining over perceptual hashes: every
     * unordered pair with bit_count(ha XOR hb) ≤ maxDist, found without
-    * an all-pairs join. The q71 pigeonhole banding generalized to any
-    * bit width: the hash splits into maxDist+1 contiguous bands, and a
-    * pair within maxDist differs in at most maxDist bands, so it
-    * COLLIDES in at least one — candidate generation is a band-keyed
-    * equi-join (corpus shuffles on (band, bits), hot bands collapse
-    * map-side like any skewed group key), and the exact bit_count
-    * filter keeps no false positives. Output: (media_a, media_b,
-    * hamming), media_a < media_b.
+    * an all-pairs join, via TWO-LEVEL pigeonhole banding.
+    *
+    * Level 1 (the q71 banding generalized to any bit width): the hash
+    * splits into maxDist+1 contiguous bands; a pair within maxDist
+    * differs in at most maxDist bands, so it agrees on at least one.
+    * Level 2 (the corpus-scale refinement, r14 verdict #3): one band's
+    * key space is only bits/(maxDist+1) wide (~11 bits for q165), so at
+    * N documents every bucket holds ~N/2^11 items and candidate
+    * generation degenerates to Σ C(n_k,2) ≈ N²/2^12 per band —
+    * quadratic blowup measured as THE cost at rung scale. But a pair
+    * that agrees on band i still has ≤ maxDist differing bits in the
+    * REMAINING bits, so those split into maxDist+1 sub-bands pigeonhole
+    * again: the pair collides on some (band, sub-band) composite key of
+    * ~2× the width, dividing expected bucket occupancy — and therefore
+    * candidates — by 2^subWidth (~512× for q165) at the price of a
+    * (maxDist+1)² explode instead of (maxDist+1). Still sound (exact
+    * bit_count filter keeps no false positives) and complete (both
+    * pigeonholes are over disjoint bit sets of the same hash).
+    * Candidate generation is a composite-keyed equi-join — the corpus
+    * shuffles on (band, bk, sk) — and the bit_count gate runs map-side
+    * BEFORE the pair distinct, so the dedup shuffle carries survivors
+    * only. Output: (media_a, media_b, hamming), media_a < media_b.
     */
   def hammingPairs(hashes: DataFrame, bits: Int, maxDist: Int): DataFrame = {
     require(bits >= 1 && bits <= 63, s"bits must be 1..63, got $bits")
@@ -609,28 +623,35 @@ object Multimodal {
       s"maxDist must be 0..${bits - 1}, got $maxDist")
     val bands = maxDist + 1
     val bounds = (0 to bands).map(i => i * bits / bands)
-    val bandCols = (0 until bands).map { i =>
+    def mask(w: Int): Long = if (w <= 0) 0L else (1L << w) - 1
+    val bandCols = for {
+      i <- 0 until bands
+      j <- 0 until bands
+    } yield {
       val off = bounds(i)
       val width = bounds(i + 1) - off
-      struct(lit(i).as("band"),
-        shiftright(col("dhash"), off).bitwiseAND(lit((1L << width) - 1))
-          .as("bk"))
+      // the hash with band i excised: low bits below the band OR'd with
+      // the high bits shifted down into its place (rem = bits - width)
+      val rem = bits - width
+      val remCol = shiftleft(shiftright(col("dhash"), off + width), off)
+        .bitwiseOR(col("dhash").bitwiseAND(lit(mask(off))))
+      val sb0 = j * rem / bands
+      val sw = (j + 1) * rem / bands - sb0
+      struct(lit(i * bands + j).as("band"),
+        shiftright(col("dhash"), off).bitwiseAND(lit(mask(width))).as("bk"),
+        shiftright(remCol, sb0).bitwiseAND(lit(mask(sw))).as("sk"))
     }
     val chunks = hashes.select(col("media_id"), col("dhash"),
         explode(array(bandCols: _*)).as("bb"))
       .select(col("media_id"), col("dhash"),
-        col("bb.band").as("band"), col("bb.bk").as("bk"))
+        col("bb.band").as("band"), col("bb.bk").as("bk"), col("bb.sk").as("sk"))
     chunks.as("x")
       .join(chunks.as("y"),
         col("x.band") === col("y.band") && col("x.bk") === col("y.bk") &&
-          col("x.media_id") < col("y.media_id"))
+          col("x.sk") === col("y.sk") && col("x.media_id") < col("y.media_id"))
       .select(col("x.media_id").as("media_a"), col("y.media_id").as("media_b"),
         bit_count(col("x.dhash").bitwiseXOR(col("y.dhash")))
           .cast("long").as("hamming"))
-      // filter BEFORE distinct: the bit_count gate runs map-side on the
-      // join output, so the dedup shuffle carries only the surviving
-      // Hamming-ball pairs — at corpus scale the band-collision
-      // candidates outnumber survivors by orders of magnitude
       .where(col("hamming") <= maxDist)
       .distinct()
   }
