@@ -439,6 +439,26 @@ class OpsSpec extends SparkSpec {
     assert(rounds <= 7, s"expected O(log n) rounds, took $rounds")
   }
 
+  test("CC driver fast path equals the distributed star rounds on random graphs") {
+    val rng = new scala.util.Random(77)
+    for (trial <- 1 to 3) {
+      val n = 40 + trial * 30
+      val edges = (1 to n).map(_ =>
+        (rng.nextInt(60).toLong, rng.nextInt(60).toLong)) :+
+        ((990L, 990L)) // self-loop must drop on both paths
+      val df = edges.toDF("src", "dst")
+      val fast = graft.ops.ConnectedComponents.clusters(df)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val dist = graft.ops.ConnectedComponents.clustersWithRounds(df)._1
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(fast == dist, s"trial $trial diverged")
+      // and the probe-overflow branch (cap 0 forces distributed) agrees
+      val capped = graft.ops.ConnectedComponents.clustersCapped(df, 0)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(capped == dist)
+    }
+  }
+
   test("multimodal feature extraction is deterministic and null-safe") {
     val df = Seq((1L, "hello world"), (2L, "")).toDF("id", "txt")
     val media = Multimodal.asMedia(df, "id", "txt", "text/plain")
