@@ -106,17 +106,37 @@ object ConnectedComponents {
   def clusters(edges: DataFrame): DataFrame =
     clustersCapped(edges, DriverFoldCap)
 
-  private[graft] def clustersCapped(edges: DataFrame, cap: Int): DataFrame = {
+  /** [[clusters]] for callers inside a LONG-LIVED stream (the q134/q158
+    * CC fold): when the graph exceeds [[DriverFoldCap]] the star rounds
+    * pin each frontier to `scratchDir` parquet instead of
+    * localCheckpoint. A localCheckpoint block lives only on its
+    * executor AND truncates lineage, so one executor kill mid-round is
+    * unrecoverable and fails the whole streaming query — measured,
+    * not hypothesized: the r15 SIGKILL-injection run lost q134 to
+    * CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND (`r15_streamkill_before.log`)
+    * while every non-localCheckpoint family survived. Parquet rounds
+    * cost one tiny write+read each (the frontier is ≤ one edge per
+    * node) and only engage above the driver cap. Batch-query callers
+    * keep localCheckpoint: a failed batch query is simply re-run by
+    * its caller, a dead stream is an ingest outage.
+    */
+  def clustersReliable(edges: DataFrame, scratchDir: String): DataFrame =
+    clustersCapped(edges, DriverFoldCap, Some(scratchDir))
+
+  private[graft] def clustersCapped(edges: DataFrame, cap: Int,
+                                    scratchDir: Option[String] = None)
+      : DataFrame = {
     import org.apache.spark.sql.types.LongType
     val longIds = edges.schema.fields.length >= 2 &&
       edges.schema("src").dataType == LongType &&
       edges.schema("dst").dataType == LongType
-    if (!longIds || cap <= 0) return clustersWithRounds(edges)._1
+    if (!longIds || cap <= 0)
+      return clustersWithRounds(edges, scratchDir = scratchDir)._1
     val canon = edges.where(col("src") =!= col("dst"))
       .select(greatest(col("src"), col("dst")).as("src"),
               least(col("src"), col("dst")).as("dst"))
     val probe = canon.limit(cap + 1).collect()
-    if (probe.length > cap) clustersWithRounds(edges)._1
+    if (probe.length > cap) clustersWithRounds(edges, scratchDir = scratchDir)._1
     else {
       // the probe returned the WHOLE canonical edge set: union-find with
       // path compression, then label every member with its component min
@@ -153,14 +173,28 @@ object ConnectedComponents {
   }
 
   private[graft] def clustersWithRounds(
-      edges: DataFrame, maxRounds: Int = 20): (DataFrame, Int) = {
+      edges: DataFrame, maxRounds: Int = 20,
+      scratchDir: Option[String] = None): (DataFrame, Int) = {
+    val spark = edges.sparkSession
+    // frontier pin per round: localCheckpoint (cheapest, executor-local,
+    // fine when the caller can re-run the whole query) or — for stream
+    // callers via scratchDir — a parquet round-trip that survives
+    // executor loss (see clustersReliable)
+    def pin(df: DataFrame, round: Int): DataFrame = scratchDir match {
+      case Some(dir) =>
+        df.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$dir/cc_round=$round")
+        spark.read.parquet(s"$dir/cc_round=$round")
+      case None => df.localCheckpoint()
+    }
+    def release(df: DataFrame): Unit =
+      if (scratchDir.isEmpty) CheckpointBlocks.release(df)
     // Canonical big→small orientation so the star-forest certificate is
     // meaningful on the input itself (pure dup-pair graphs finish here
     // with zero star rounds).
-    var e = edges.where(col("src") =!= col("dst"))
+    var e = pin(edges.where(col("src") =!= col("dst"))
       .select(greatest(col("src"), col("dst")).as("src"),
-              least(col("src"), col("dst")).as("dst"))
-      .localCheckpoint()
+              least(col("src"), col("dst")).as("dst")), 0)
     var rounds = 0
     var done = false
     // do-while: real pair graphs have some multi-member cluster, so a
@@ -172,8 +206,8 @@ object ConnectedComponents {
     // so live storage is one frontier, not O(rounds), at corpus scale.
     while (!done && rounds < maxRounds) {
       val prev = e
-      e = smallStar(largeStar(e)).localCheckpoint()
-      CheckpointBlocks.release(prev)
+      e = pin(smallStar(largeStar(e)), rounds + 1)
+      release(prev)
       rounds += 1
       done = isStarForest(e)
     }

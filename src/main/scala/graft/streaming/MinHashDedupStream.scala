@@ -246,8 +246,16 @@ object MinHashDedupStream {
       .select(col("da"), col("db"))
     // under the CC fold the confirmed pairs feed three consumers
     // (verdicts, pair store, label fold) — materialize once; the plain
-    // q129 path keeps the single lazy chain it always had
-    val qual = if (foldCc) qual0.localCheckpoint() else qual0
+    // q129 path keeps the single lazy chain it always had. persist, NOT
+    // localCheckpoint: a localCheckpoint block lives only on its
+    // executor and truncates lineage, so one executor kill turns into
+    // CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND and a dead stream (measured:
+    // the r15 SIGKILL-injection run, r15_streamkill_before.log).
+    // persist keeps lineage, so a lost block recomputes under Spark's
+    // own task retry — the at-least-once story this stream claims.
+    val qual = if (foldCc)
+      qual0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else qual0
     val dups = qual
       .groupBy(col("db").as("doc_id"))
       .agg(count(lit(1)).as("n_dup_prior"))
@@ -295,7 +303,11 @@ object MinHashDedupStream {
             StructField("src", LongType), StructField("dst", LongType))))
       val edges = prevEdges.unionByName(qual.select(
         col("da").cast("long").as("src"), col("db").cast("long").as("dst")))
-      graft.ops.ConnectedComponents.clusters(edges)
+      // reliable variant: a fold bigger than the driver cap pins its
+      // star-round frontiers to parquet scratch (Overwrite — retry-
+      // idempotent), never to executor-local checkpoint blocks
+      graft.ops.ConnectedComponents
+        .clustersReliable(edges, s"$workDir/cc_scratch")
         .write.mode("overwrite").parquet(s"$labelsDir/batch=$batchId")
       // keep-last-2 retention: only batch=<id-1> is ever read (the
       // next fold's input, and what a RETRY of this batch recomputes
@@ -304,11 +316,9 @@ object MinHashDedupStream {
       Load.expireNumericPartitions(spark, labelsDir, "batch", batchId - 1)
     }
     bands.unpersist(); base.unpersist(); batch.unpersist()
-    // qual is a localCheckpoint under the CC fold — release its blocks
-    // (plain unpersist is a no-op on checkpointed frames); retired here
-    // because every consumer (verdicts, pair store, label fold) has
-    // materialized above
-    if (foldCc) graft.ops.CheckpointBlocks.release(qual)
+    // qual is persisted under the CC fold — retire it here because
+    // every consumer (verdicts, pair store, label fold) materialized
+    if (foldCc) qual.unpersist(blocking = false)
     ()
     }
   }

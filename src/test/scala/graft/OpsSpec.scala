@@ -456,6 +456,14 @@ class OpsSpec extends SparkSpec {
       val capped = graft.ops.ConnectedComponents.clustersCapped(df, 0)
         .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
       assert(capped == dist)
+      // and the stream-reliable variant (parquet-pinned rounds instead
+      // of localCheckpoint) agrees through the distributed path too
+      val scratch = java.nio.file.Files
+        .createTempDirectory(s"cc_scratch_$trial").toString
+      val reliable = graft.ops.ConnectedComponents
+        .clustersCapped(df, 0, Some(scratch))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(reliable == dist)
     }
   }
 
