@@ -16,7 +16,7 @@
 set -u
 cd /root/repo
 STREAMS=q101_span_dedup_stream,q104_corpus_prep_stream,q129_minhash_dedup_stream,q134_incremental_cc_stream
-SF=/root/testdata/sf0.1
+SF=${SF:-/root/testdata/sf0.1}
 JAR=target/scala-2.13/avkjobskillanalyticsspark_2.13-0.1.0.jar
 KILL_EVERY=${KILL_EVERY:-15}
 OUT=${OUT:-/tmp/killrun}
