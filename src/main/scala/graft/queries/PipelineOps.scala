@@ -638,6 +638,61 @@ object PipelineOps {
           |       CAST(3 * sum(CASE WHEN y % 2 = 0 AND x % 2 = 0
           |                         THEN gv ELSE 0 END) AS BIGINT) AS rsum
           |FROM g2 GROUP BY doc_id
+          |ORDER BY media_id""".stripMargin)),
+
+    // ---- E5: REAL audio codec (RIFF/WAVE PCM) ------------------------------
+    // The audio tier next to the image ladder (PPM/PNG/JPEG): each doc's
+    // 64 gray cells synthesize one deterministic mono PCM clip
+    // (sample_p = (g_p − 128)·256, 8 kHz), encoded as a genuine RIFF/
+    // WAVE payload — magic + fmt + data chunks, little-endian 16-bit —
+    // then the spec-compliant chunk-walking parser decodes it back and
+    // emits exact integer clip features (frame count, rate, channels,
+    // sample sum, max |amplitude|, strict zero crossings). PCM is
+    // lossless, so the oracle replays every number from the text grid.
+    // Any defect in header layout, little-endian packing, chunk walk,
+    // sign handling, or the feature fold breaks the hash match.
+    Q(
+      "q169_audio_wav_roundtrip",
+      (s, d) => {
+        import org.apache.spark.sql.Row
+        import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+        import org.apache.spark.sql.types._
+        val payloadSchema = StructType(Seq(
+          StructField("media_id", LongType),
+          StructField("payload", BinaryType)))
+        val bins = docThumbs(s, d, "ppm")
+        val clips = bins.mapPartitions { rows =>
+          rows.map { r =>
+            val img = Multimodal.decodePpm(r.getAs[Array[Byte]](1))
+            val samples = new Array[Short](64)
+            var p = 0
+            while (p < 64) {
+              samples(p) = (((img.rgb(p * 3) & 0xff) - 128) * 256).toShort
+              p += 1
+            }
+            Row(r.getLong(0), graft.ops.Audio.encodeWav(8000, 1, samples))
+          }
+        }(ExpressionEncoder(payloadSchema))
+        val media = Multimodal.asMedia(clips, "media_id", "payload",
+          "audio/wav")
+        graft.ops.Audio.decodeClips(media).orderBy(col("media_id"))
+      },
+      Some(GridSql + ",\n" +
+        """smp AS (SELECT doc_id, p, (g - 128) * 256 AS s FROM grid),
+          |zc AS (SELECT a.doc_id,
+          |         CAST(sum(CASE WHEN a.s * b.s < 0 THEN 1 ELSE 0 END)
+          |           AS BIGINT) AS z
+          |       FROM smp a JOIN smp b
+          |         ON a.doc_id = b.doc_id AND b.p = a.p + 1
+          |       GROUP BY a.doc_id)
+          |SELECT smp.doc_id AS media_id, CAST(64 AS BIGINT) AS n_frames,
+          |       CAST(8000 AS BIGINT) AS sample_rate,
+          |       CAST(1 AS BIGINT) AS channels,
+          |       CAST(sum(smp.s) AS BIGINT) AS sum_samples,
+          |       CAST(max(abs(smp.s)) AS BIGINT) AS max_abs,
+          |       CAST(max(zc.z) AS BIGINT) AS zero_crossings
+          |FROM smp JOIN zc ON smp.doc_id = zc.doc_id
+          |GROUP BY smp.doc_id
           |ORDER BY media_id""".stripMargin))
   )
 }
