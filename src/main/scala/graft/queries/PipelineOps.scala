@@ -58,6 +58,11 @@ object PipelineOps {
           // chroma planes EXACTLY 128 (the JFIF integer weights cancel),
           // which is what lets the q168 oracle replay only the luma chain
           case "jpeg" => graft.ops.Jpeg.encodeJpeg(8, 8, rgb, mode = "444")
+          // 4:2:0: 16x16 MCU with 4 edge-padded luma blocks + 2x2-mean
+          // subsampled chroma — block (0,0) IS the image and gray chroma
+          // stays exactly 128 through the subsample, so q170 shares
+          // q168's oracle while gating the MCU-assembly/upsample path
+          case "jpeg420" => graft.ops.Jpeg.encodeJpeg(8, 8, rgb, mode = "420")
           case _ => Multimodal.encodePpm(8, 8, rgb)
         }
         Row(r.getLong(0), payload)
@@ -94,6 +99,60 @@ object PipelineOps {
       |         CROSS JOIN unnest(range(0, 64)) AS u(p)
       |         LEFT JOIN cells c ON c.doc_id = d.doc_id AND c.bin = u.p)"""
       .stripMargin
+
+  /** Shared q168/q170 oracle: the gray render keeps chroma at exactly
+    * 128 on BOTH jpeg sampling modes (4:4:4 trivially; 4:2:0 because a
+    * 2x2 mean of 128s is 128 and the decoded 8x8 crop is luma block
+    * (0,0) of the padded MCU), so one luma-chain replay gates both.
+    */
+  private val JpegLumaOracleSql: String = GridSql + ",\n" +
+    """ib(u, x, c) AS (SELECT * FROM (VALUES
+      |  (0,0,2896),(0,1,2896),(0,2,2896),(0,3,2896),(0,4,2896),(0,5,2896),(0,6,2896),(0,7,2896),
+      |  (1,0,4017),(1,1,3406),(1,2,2276),(1,3,799),(1,4,-799),(1,5,-2276),(1,6,-3406),(1,7,-4017),
+      |  (2,0,3784),(2,1,1567),(2,2,-1567),(2,3,-3784),(2,4,-3784),(2,5,-1567),(2,6,1567),(2,7,3784),
+      |  (3,0,3406),(3,1,-799),(3,2,-4017),(3,3,-2276),(3,4,2276),(3,5,4017),(3,6,799),(3,7,-3406),
+      |  (4,0,2896),(4,1,-2896),(4,2,-2896),(4,3,2896),(4,4,2896),(4,5,-2896),(4,6,-2896),(4,7,2896),
+      |  (5,0,2276),(5,1,-4017),(5,2,799),(5,3,3406),(5,4,-3406),(5,5,-799),(5,6,4017),(5,7,-2276),
+      |  (6,0,1567),(6,1,-3784),(6,2,3784),(6,3,-1567),(6,4,-1567),(6,5,3784),(6,6,-3784),(6,7,1567),
+      |  (7,0,799),(7,1,-2276),(7,2,3406),(7,3,-4017),(7,4,4017),(7,5,-3406),(7,6,2276),(7,7,-799))),
+      |qt(u, v, q) AS (SELECT * FROM (VALUES
+      |  (0,0,16),(1,0,11),(2,0,10),(3,0,16),(4,0,24),(5,0,40),(6,0,51),(7,0,61),
+      |  (0,1,12),(1,1,12),(2,1,14),(3,1,19),(4,1,26),(5,1,58),(6,1,60),(7,1,55),
+      |  (0,2,14),(1,2,13),(2,2,16),(3,2,24),(4,2,40),(5,2,57),(6,2,69),(7,2,56),
+      |  (0,3,14),(1,3,17),(2,3,22),(3,3,29),(4,3,51),(5,3,87),(6,3,80),(7,3,62),
+      |  (0,4,18),(1,4,22),(2,4,37),(3,4,56),(4,4,68),(5,4,109),(6,4,103),(7,4,77),
+      |  (0,5,24),(1,5,35),(2,5,55),(3,5,64),(4,5,81),(5,5,104),(6,5,113),(7,5,92),
+      |  (0,6,49),(1,6,64),(2,6,78),(3,6,87),(4,6,103),(5,6,121),(6,6,120),(7,6,101),
+      |  (0,7,72),(1,7,92),(2,7,95),(3,7,98),(4,7,112),(5,7,100),(6,7,103),(7,7,99))),
+      |sv AS (SELECT doc_id, p % 8 AS x, p // 8 AS y, g - 128 AS s FROM grid),
+      |fq AS (SELECT sv.doc_id, cu.u AS u, cv.u AS v,
+      |         CAST(sum(sv.s * cu.c * cv.c) AS BIGINT) AS fv
+      |       FROM sv JOIN ib cu ON cu.x = sv.x JOIN ib cv ON cv.x = sv.y
+      |       GROUP BY sv.doc_id, cu.u, cv.u),
+      |dq AS (SELECT fq.doc_id, fq.u, fq.v,
+      |         (CASE WHEN fv >= 0
+      |               THEN (2*fv + 67108864::BIGINT*qt.q) // (2*67108864::BIGINT*qt.q)
+      |               ELSE -((2*(-fv) + 67108864::BIGINT*qt.q) // (2*67108864::BIGINT*qt.q))
+      |          END) * qt.q AS dv
+      |       FROM fq JOIN qt ON qt.u = fq.u AND qt.v = fq.v),
+      |rv AS (SELECT dq.doc_id, bu.x AS x, bv.x AS y,
+      |         CAST(sum(dq.dv * bu.c * bv.c) AS BIGINT) AS r
+      |       FROM dq JOIN ib bu ON bu.u = dq.u JOIN ib bv ON bv.u = dq.v
+      |       GROUP BY dq.doc_id, bu.x, bv.x),
+      |g2 AS (SELECT doc_id, x, y,
+      |         greatest(0, least(255,
+      |           (CASE WHEN r >= 0 THEN (2*r + 67108864) // 134217728
+      |                 ELSE -((2*(-r) + 67108864) // 134217728) END) + 128)) AS gv
+      |       FROM rv)
+      |SELECT doc_id AS media_id, CAST(8 AS BIGINT) AS w,
+      |       CAST(8 AS BIGINT) AS h,
+      |       CAST(sum(gv) AS BIGINT) AS sum_r,
+      |       CAST(sum(gv) AS BIGINT) AS sum_g,
+      |       CAST(sum(gv) AS BIGINT) AS sum_b,
+      |       CAST(3 * sum(CASE WHEN y % 2 = 0 AND x % 2 = 0
+      |                         THEN gv ELSE 0 END) AS BIGINT) AS rsum
+      |FROM g2 GROUP BY doc_id
+      |ORDER BY media_id""".stripMargin
 
   /** Kaggle-shaped postings source synthesized from the TPC-H-ish
     * fixtures (messy titles, $-formatted salaries, mixed countries) —
@@ -591,54 +650,7 @@ object PipelineOps {
             col("sum_r"), col("sum_g"), col("sum_b"), col("rsum"))
           .orderBy(col("media_id"))
       },
-      Some(GridSql + ",\n" +
-        """ib(u, x, c) AS (SELECT * FROM (VALUES
-          |  (0,0,2896),(0,1,2896),(0,2,2896),(0,3,2896),(0,4,2896),(0,5,2896),(0,6,2896),(0,7,2896),
-          |  (1,0,4017),(1,1,3406),(1,2,2276),(1,3,799),(1,4,-799),(1,5,-2276),(1,6,-3406),(1,7,-4017),
-          |  (2,0,3784),(2,1,1567),(2,2,-1567),(2,3,-3784),(2,4,-3784),(2,5,-1567),(2,6,1567),(2,7,3784),
-          |  (3,0,3406),(3,1,-799),(3,2,-4017),(3,3,-2276),(3,4,2276),(3,5,4017),(3,6,799),(3,7,-3406),
-          |  (4,0,2896),(4,1,-2896),(4,2,-2896),(4,3,2896),(4,4,2896),(4,5,-2896),(4,6,-2896),(4,7,2896),
-          |  (5,0,2276),(5,1,-4017),(5,2,799),(5,3,3406),(5,4,-3406),(5,5,-799),(5,6,4017),(5,7,-2276),
-          |  (6,0,1567),(6,1,-3784),(6,2,3784),(6,3,-1567),(6,4,-1567),(6,5,3784),(6,6,-3784),(6,7,1567),
-          |  (7,0,799),(7,1,-2276),(7,2,3406),(7,3,-4017),(7,4,4017),(7,5,-3406),(7,6,2276),(7,7,-799))),
-          |qt(u, v, q) AS (SELECT * FROM (VALUES
-          |  (0,0,16),(1,0,11),(2,0,10),(3,0,16),(4,0,24),(5,0,40),(6,0,51),(7,0,61),
-          |  (0,1,12),(1,1,12),(2,1,14),(3,1,19),(4,1,26),(5,1,58),(6,1,60),(7,1,55),
-          |  (0,2,14),(1,2,13),(2,2,16),(3,2,24),(4,2,40),(5,2,57),(6,2,69),(7,2,56),
-          |  (0,3,14),(1,3,17),(2,3,22),(3,3,29),(4,3,51),(5,3,87),(6,3,80),(7,3,62),
-          |  (0,4,18),(1,4,22),(2,4,37),(3,4,56),(4,4,68),(5,4,109),(6,4,103),(7,4,77),
-          |  (0,5,24),(1,5,35),(2,5,55),(3,5,64),(4,5,81),(5,5,104),(6,5,113),(7,5,92),
-          |  (0,6,49),(1,6,64),(2,6,78),(3,6,87),(4,6,103),(5,6,121),(6,6,120),(7,6,101),
-          |  (0,7,72),(1,7,92),(2,7,95),(3,7,98),(4,7,112),(5,7,100),(6,7,103),(7,7,99))),
-          |sv AS (SELECT doc_id, p % 8 AS x, p // 8 AS y, g - 128 AS s FROM grid),
-          |fq AS (SELECT sv.doc_id, cu.u AS u, cv.u AS v,
-          |         CAST(sum(sv.s * cu.c * cv.c) AS BIGINT) AS fv
-          |       FROM sv JOIN ib cu ON cu.x = sv.x JOIN ib cv ON cv.x = sv.y
-          |       GROUP BY sv.doc_id, cu.u, cv.u),
-          |dq AS (SELECT fq.doc_id, fq.u, fq.v,
-          |         (CASE WHEN fv >= 0
-          |               THEN (2*fv + 67108864::BIGINT*qt.q) // (2*67108864::BIGINT*qt.q)
-          |               ELSE -((2*(-fv) + 67108864::BIGINT*qt.q) // (2*67108864::BIGINT*qt.q))
-          |          END) * qt.q AS dv
-          |       FROM fq JOIN qt ON qt.u = fq.u AND qt.v = fq.v),
-          |rv AS (SELECT dq.doc_id, bu.x AS x, bv.x AS y,
-          |         CAST(sum(dq.dv * bu.c * bv.c) AS BIGINT) AS r
-          |       FROM dq JOIN ib bu ON bu.u = dq.u JOIN ib bv ON bv.u = dq.v
-          |       GROUP BY dq.doc_id, bu.x, bv.x),
-          |g2 AS (SELECT doc_id, x, y,
-          |         greatest(0, least(255,
-          |           (CASE WHEN r >= 0 THEN (2*r + 67108864) // 134217728
-          |                 ELSE -((2*(-r) + 67108864) // 134217728) END) + 128)) AS gv
-          |       FROM rv)
-          |SELECT doc_id AS media_id, CAST(8 AS BIGINT) AS w,
-          |       CAST(8 AS BIGINT) AS h,
-          |       CAST(sum(gv) AS BIGINT) AS sum_r,
-          |       CAST(sum(gv) AS BIGINT) AS sum_g,
-          |       CAST(sum(gv) AS BIGINT) AS sum_b,
-          |       CAST(3 * sum(CASE WHEN y % 2 = 0 AND x % 2 = 0
-          |                         THEN gv ELSE 0 END) AS BIGINT) AS rsum
-          |FROM g2 GROUP BY doc_id
-          |ORDER BY media_id""".stripMargin)),
+      Some(JpegLumaOracleSql)),
 
     // ---- E5: REAL audio codec (RIFF/WAVE PCM) ------------------------------
     // The audio tier next to the image ladder (PPM/PNG/JPEG): each doc's
@@ -693,6 +705,27 @@ object PipelineOps {
           |       CAST(max(zc.z) AS BIGINT) AS zero_crossings
           |FROM smp JOIN zc ON smp.doc_id = zc.doc_id
           |GROUP BY smp.doc_id
-          |ORDER BY media_id""".stripMargin))
+          |ORDER BY media_id""".stripMargin)),
+
+    // ---- E5: JPEG 4:2:0 sampling path under the gate ----------------------
+    // Same render and features as q168 but encoded 4:2:0: a 16×16 MCU
+    // with four edge-padded luma blocks in entropy order plus 2×2-mean
+    // subsampled chroma. On the gray render the decoded 8×8 crop equals
+    // the 4:4:4 result EXACTLY (luma block (0,0) is the image; a 2×2
+    // mean of exact-128 chroma is 128), so q170 shares q168's oracle
+    // while putting the MCU geometry, padding, 4-block DC-prediction
+    // order, and chroma upsample under the DuckDB gate rather than
+    // spec-only coverage.
+    Q(
+      "q170_image_jpeg_420",
+      (s, d) => {
+        val media = Multimodal.asMedia(docThumbs(s, d, "jpeg420"),
+          "media_id", "payload", "image/jpeg")
+        Multimodal.decodeImages(media, 4, 4)
+          .select(col("media_id"), col("w"), col("h"),
+            col("sum_r"), col("sum_g"), col("sum_b"), col("rsum"))
+          .orderBy(col("media_id"))
+      },
+      Some(JpegLumaOracleSql))
   )
 }
