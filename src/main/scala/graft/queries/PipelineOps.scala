@@ -726,6 +726,89 @@ object PipelineOps {
             col("sum_r"), col("sum_g"), col("sum_b"), col("rsum"))
           .orderBy(col("media_id"))
       },
-      Some(JpegLumaOracleSql))
+      Some(JpegLumaOracleSql)),
+
+    // ---- E5: REAL video container demux (AVI/MJPEG) ------------------------
+    // The video tier: a genuine RIFF 'AVI ' container (hdrl with
+    // avih/strh 'vids'/'MJPG'/strf, LIST movi of '00dc' chunks) holding
+    // TWO baseline-JPEG frames per doc — frame 0 the gray grid, frame 1
+    // its inversion (255−g) — demuxed by the chunk walker and decoded
+    // frame-by-frame with the real T.81 decoder. This replaces q82's
+    // byte-stub frame sampler with the genuine demux→per-frame-codec
+    // chain. The oracle replays BOTH frames' lossy luma chains from the
+    // text grid (frame 1's level shift is 127−g), so container framing,
+    // stream-order demux, per-frame DC-prediction reset, and the codec
+    // all sit under the gate.
+    Q(
+      "q171_video_mjpeg_frames",
+      (s, d) => {
+        import org.apache.spark.sql.Row
+        import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+        import org.apache.spark.sql.types._
+        val payloadSchema = StructType(Seq(
+          StructField("media_id", LongType),
+          StructField("payload", BinaryType)))
+        val clips = docThumbs(s, d, "ppm").mapPartitions { rows =>
+          rows.map { r =>
+            val img = Multimodal.decodePpm(r.getAs[Array[Byte]](1))
+            val inv = img.rgb.map(b => (255 - (b & 0xff)).toByte)
+            val avi = graft.ops.Video.encodeAvi(8, 8, fps = 25, Seq(
+              graft.ops.Jpeg.encodeJpeg(8, 8, img.rgb, mode = "444"),
+              graft.ops.Jpeg.encodeJpeg(8, 8, inv, mode = "444")))
+            Row(r.getLong(0), avi)
+          }
+        }(ExpressionEncoder(payloadSchema))
+        val media = Multimodal.asMedia(clips, "media_id", "payload",
+          "video/avi")
+        graft.ops.Video.decodeFrames(media)
+          .orderBy(col("media_id"), col("frame_idx"))
+      },
+      Some(GridSql + ",\n" +
+        """ib(u, x, c) AS (SELECT * FROM (VALUES
+          |  (0,0,2896),(0,1,2896),(0,2,2896),(0,3,2896),(0,4,2896),(0,5,2896),(0,6,2896),(0,7,2896),
+          |  (1,0,4017),(1,1,3406),(1,2,2276),(1,3,799),(1,4,-799),(1,5,-2276),(1,6,-3406),(1,7,-4017),
+          |  (2,0,3784),(2,1,1567),(2,2,-1567),(2,3,-3784),(2,4,-3784),(2,5,-1567),(2,6,1567),(2,7,3784),
+          |  (3,0,3406),(3,1,-799),(3,2,-4017),(3,3,-2276),(3,4,2276),(3,5,4017),(3,6,799),(3,7,-3406),
+          |  (4,0,2896),(4,1,-2896),(4,2,-2896),(4,3,2896),(4,4,2896),(4,5,-2896),(4,6,-2896),(4,7,2896),
+          |  (5,0,2276),(5,1,-4017),(5,2,799),(5,3,3406),(5,4,-3406),(5,5,-799),(5,6,4017),(5,7,-2276),
+          |  (6,0,1567),(6,1,-3784),(6,2,3784),(6,3,-1567),(6,4,-1567),(6,5,3784),(6,6,-3784),(6,7,1567),
+          |  (7,0,799),(7,1,-2276),(7,2,3406),(7,3,-4017),(7,4,4017),(7,5,-3406),(7,6,2276),(7,7,-799))),
+          |qt(u, v, q) AS (SELECT * FROM (VALUES
+          |  (0,0,16),(1,0,11),(2,0,10),(3,0,16),(4,0,24),(5,0,40),(6,0,51),(7,0,61),
+          |  (0,1,12),(1,1,12),(2,1,14),(3,1,19),(4,1,26),(5,1,58),(6,1,60),(7,1,55),
+          |  (0,2,14),(1,2,13),(2,2,16),(3,2,24),(4,2,40),(5,2,57),(6,2,69),(7,2,56),
+          |  (0,3,14),(1,3,17),(2,3,22),(3,3,29),(4,3,51),(5,3,87),(6,3,80),(7,3,62),
+          |  (0,4,18),(1,4,22),(2,4,37),(3,4,56),(4,4,68),(5,4,109),(6,4,103),(7,4,77),
+          |  (0,5,24),(1,5,35),(2,5,55),(3,5,64),(4,5,81),(5,5,104),(6,5,113),(7,5,92),
+          |  (0,6,49),(1,6,64),(2,6,78),(3,6,87),(4,6,103),(5,6,121),(6,6,120),(7,6,101),
+          |  (0,7,72),(1,7,92),(2,7,95),(3,7,98),(4,7,112),(5,7,100),(6,7,103),(7,7,99))),
+          |fr(f) AS (SELECT * FROM (VALUES (0), (1))),
+          |sv AS (SELECT doc_id, f, p % 8 AS x, p // 8 AS y,
+          |         CASE WHEN f = 0 THEN g - 128 ELSE 127 - g END AS s
+          |       FROM grid CROSS JOIN fr),
+          |fq AS (SELECT sv.doc_id, sv.f, cu.u AS u, cv.u AS v,
+          |         CAST(sum(sv.s * cu.c * cv.c) AS BIGINT) AS fv
+          |       FROM sv JOIN ib cu ON cu.x = sv.x JOIN ib cv ON cv.x = sv.y
+          |       GROUP BY sv.doc_id, sv.f, cu.u, cv.u),
+          |dq AS (SELECT fq.doc_id, fq.f, fq.u, fq.v,
+          |         (CASE WHEN fv >= 0
+          |               THEN (2*fv + 67108864::BIGINT*qt.q) // (2*67108864::BIGINT*qt.q)
+          |               ELSE -((2*(-fv) + 67108864::BIGINT*qt.q) // (2*67108864::BIGINT*qt.q))
+          |          END) * qt.q AS dv
+          |       FROM fq JOIN qt ON qt.u = fq.u AND qt.v = fq.v),
+          |rv AS (SELECT dq.doc_id, dq.f, bu.x AS x, bv.x AS y,
+          |         CAST(sum(dq.dv * bu.c * bv.c) AS BIGINT) AS r
+          |       FROM dq JOIN ib bu ON bu.u = dq.u JOIN ib bv ON bv.u = dq.v
+          |       GROUP BY dq.doc_id, dq.f, bu.x, bv.x),
+          |g2 AS (SELECT doc_id, f, x, y,
+          |         greatest(0, least(255,
+          |           (CASE WHEN r >= 0 THEN (2*r + 67108864) // 134217728
+          |                 ELSE -((2*(-r) + 67108864) // 134217728) END) + 128)) AS gv
+          |       FROM rv)
+          |SELECT doc_id AS media_id, CAST(f AS BIGINT) AS frame_idx,
+          |       CAST(8 AS BIGINT) AS w, CAST(8 AS BIGINT) AS h,
+          |       CAST(sum(gv) AS BIGINT) AS gsum
+          |FROM g2 GROUP BY doc_id, f
+          |ORDER BY media_id, frame_idx""".stripMargin))
   )
 }

@@ -1,0 +1,90 @@
+package graft
+
+import graft.ops.{Jpeg, Video}
+
+/** AVI/MJPEG container (q171, SURVEY §2.11 E5 video tier): demux
+  * round-trips, per-frame payload fidelity, unknown-chunk skipping,
+  * and the malformed-payload quarantine contract.
+  */
+class AviCodecSpec extends SparkSpec {
+
+  private def grayJpeg(seed: Int): Array[Byte] = {
+    val rng = new scala.util.Random(seed)
+    val rgb = new Array[Byte](8 * 8 * 3)
+    var p = 0
+    while (p < 64) {
+      val v = rng.nextInt(256).toByte
+      rgb(p * 3) = v; rgb(p * 3 + 1) = v; rgb(p * 3 + 2) = v
+      p += 1
+    }
+    Jpeg.encodeJpeg(8, 8, rgb, "444")
+  }
+
+  test("demux returns the exact frame payloads in stream order") {
+    val frames = (1 to 5).map(grayJpeg)
+    val clip = Video.demuxAvi(Video.encodeAvi(8, 8, 25, frames))
+    assert(clip.w == 8 && clip.h == 8 && clip.fps == 25)
+    assert(clip.frames.length == 5)
+    clip.frames.zip(frames).zipWithIndex.foreach { case ((got, want), i) =>
+      assert(java.util.Arrays.equals(got, want), s"frame $i bytes differ")
+    }
+    // and every demuxed frame still decodes with the real JPEG decoder
+    clip.frames.foreach(f => assert(Jpeg.decodeJpeg(f).w == 8))
+  }
+
+  test("odd-length frames word-align; unknown chunks (JUNK/idx1) skip") {
+    // a frame of odd byte length forces the RIFF pad byte between chunks
+    val odd = grayJpeg(3)
+    val oddFrame =
+      if (odd.length % 2 == 0) odd ++ Array[Byte](0xff.toByte, 0xd9.toByte)
+      else odd
+    // (JPEG ends in FFD9; appending another EOI keeps it decodable-prefix
+    //  irrelevant — demux fidelity is byte-level, decode not needed here)
+    val clip = Video.demuxAvi(Video.encodeAvi(8, 8, 10,
+      Seq(oddFrame, grayJpeg(4))))
+    assert(clip.frames.length == 2)
+    assert(java.util.Arrays.equals(clip.frames(0), oddFrame))
+    // splice a JUNK chunk between hdrl and movi: skipped by size
+    val good = Video.encodeAvi(8, 8, 10, Seq(grayJpeg(5)))
+    val moviAt = (12 until good.length - 12).find(i =>
+      new String(good, i, 4) == "LIST" &&
+        new String(good, i + 8, 4) == "movi").get
+    val junk = "JUNK".getBytes ++ Array[Byte](4, 0, 0, 0) ++ "zzzz".getBytes
+    val spliced = good.take(moviAt) ++ junk ++ good.drop(moviAt)
+    assert(Video.demuxAvi(spliced).frames.length == 1)
+  }
+
+  test("malformed payloads fail loudly, never demux garbage") {
+    val good = Video.encodeAvi(8, 8, 25, Seq(grayJpeg(1), grayJpeg(2)))
+    def boom(payload: Array[Byte], clue: String): Unit = {
+      val e = intercept[IllegalArgumentException](Video.demuxAvi(payload))
+      assert(e.getMessage.toLowerCase.contains(clue),
+        s"wanted '$clue' in: ${e.getMessage}")
+    }
+    boom("definitely not a video container".getBytes, "riff")
+    boom(good.take(8) ++ "WAVE".getBytes ++ good.drop(12), "avi magic")
+    boom(good.take(good.length - 7), "truncated")
+    // patch the stream handler to a non-MJPG codec
+    val h264 = good.clone()
+    val strhAt = (12 until h264.length - 16).find(i =>
+      new String(h264, i, 4) == "strh").get
+    System.arraycopy("H264".getBytes, 0, h264, strhAt + 12, 4)
+    boom(h264, "handler")
+    // cut the movi list entirely
+    val moviAt = (12 until good.length - 12).find(i =>
+      new String(good, i, 4) == "LIST" &&
+        new String(good, i + 8, 4) == "movi").get
+    boom(good.take(moviAt), "movi")
+  }
+
+  test("q171 oracle twin: demuxed+decoded frame features match the replay from text") {
+    val out = queries.Registry.byName("q171_video_mjpeg_frames")
+      .run(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    // two frames per doc, 8x8 each
+    assert(out.length % 2 == 0)
+    assert(out.forall(r => r.getLong(2) == 8L && r.getLong(3) == 8L))
+    val byDoc = out.groupBy(_.getLong(0))
+    assert(byDoc.values.forall(_.length == 2))
+  }
+}
