@@ -27,14 +27,23 @@ object Bench {
       extends org.apache.spark.scheduler.SparkListener {
     val cpuNs = new java.util.concurrent.atomic.AtomicLong(0L)
     val shuffleBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    val spillBytes = new java.util.concurrent.atomic.AtomicLong(0L)
     override def onTaskEnd(
         t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
       val m = t.taskMetrics
-      if (m != null) {
+      // SUCCESSFUL attempts only (round-15 verdict #5): failed/killed
+      // attempts — lost-executor retries, speculation losers — burn real
+      // CPU that is box state, not plan cost, and were one source of the
+      // 1.9x cpu_s spread between bit-identical sf100 twins. Spill bytes
+      // are recorded as their own column for the same reason: spilling is
+      // real work, but its VOLUME tracks box memory pressure, so benchcmp
+      // attributes a cpu move with a matching spill move to the box.
+      if (m != null && t.reason == org.apache.spark.Success) {
         cpuNs.addAndGet(m.executorCpuTime + m.executorDeserializeCpuTime)
         shuffleBytes.addAndGet(
           m.shuffleReadMetrics.totalBytesRead +
             m.shuffleWriteMetrics.bytesWritten)
+        spillBytes.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
         ()
       }
     }
@@ -118,21 +127,29 @@ object Bench {
           "work metrics for the adjacent rows may bleed")
       }
     val workRows = scala.collection.mutable.LinkedHashMap
-      .empty[String, (Double, Long)] // name -> (cpu_s, shuffle_bytes)
-    def timed[A](name: String)(body: => A): A = {
+      .empty[String, (Double, Long, Long)] // name -> (cpu_s, shuffle, spill)
+    // Both listener-bus drains sit OUTSIDE the wall-time window (round-15
+    // ADVICE): the wall metric must cover only the query body, not up to
+    // 30s of bus-drain wait, or a slow bus inflates the very number the
+    // cpu_s/shuffle_bytes split exists to de-noise.
+    def timed[A](name: String)(body: => A): (A, Double) = {
       drain()
       val cpu0 = work.cpuNs.get(); val shf0 = work.shuffleBytes.get()
+      val spl0 = work.spillBytes.get()
+      val t0 = System.nanoTime()
       val r = body
+      val wall = (System.nanoTime() - t0) / 1e9
       drain()
       workRows(name) =
-        ((work.cpuNs.get() - cpu0) / 1e9, work.shuffleBytes.get() - shf0)
-      r
+        ((work.cpuNs.get() - cpu0) / 1e9, work.shuffleBytes.get() - shf0,
+          work.spillBytes.get() - spl0)
+      (r, wall)
     }
     val results = picked.flatMap { case (name, fn) =>
       val t0 = System.nanoTime()
       try {
-        timed(name) { fn(spark, sfDir).collect() }
-        Some(name -> (System.nanoTime() - t0) / 1e9)
+        val (_, wall) = timed(name) { fn(spark, sfDir).collect() }
+        Some(name -> wall)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name: $e")
         failed += name
@@ -167,15 +184,21 @@ object Bench {
       if (only.forall(_.contains("curation"))) {
         val out = java.nio.file.Files
           .createTempDirectory("bench_curation").toString
-        val t0 = System.nanoTime()
         try {
-          val r = timed("curation") {
+          val (r, wall) = timed("curation") {
             graft.pipeline.CurationJob.run(spark, sfDir, out) }
           System.err.println(s"[bench] curation funnel: input=${r.n_input} " +
             s"quality_kept=${r.n_quality_kept} ppl_kept=${r.n_ppl_kept} " +
             s"tokens=${r.n_tokens_out} shards=${r.n_shards}")
-        } catch { case e: Throwable => System.err.println(s"[bench] curation: $e") }
-        Seq("curation" -> (System.nanoTime() - t0) / 1e9)
+          Seq("curation" -> wall)
+        } catch { case e: Throwable =>
+          // same policy as the per-query rows (round-6 lesson): a failed
+          // run must NOT land as a timing row masquerading as fast
+          System.err.println(s"[bench] curation: $e")
+          failed += "curation"
+          workRows.remove("curation")
+          Seq.empty
+        }
       } else Seq.empty
     val qs = (results ++ curation).map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -183,16 +206,18 @@ object Bench {
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     // parallel maps, not per-row objects: the driver parses
     // "queries" as name->seconds, so the shape must stay stable
-    val cpuJson = workRows.map { case (k, (c, _)) =>
+    val cpuJson = workRows.map { case (k, (c, _, _)) =>
       "\"" + k + "\":" +
         String.format(java.util.Locale.ROOT, "%.3f", Double.box(c))
     }.mkString("{", ",", "}")
-    val shfJson = workRows.map { case (k, (_, s)) => "\"" + k + "\":" + s }
+    val shfJson = workRows.map { case (k, (_, s, _)) => "\"" + k + "\":" + s }
+      .mkString("{", ",", "}")
+    val splJson = workRows.map { case (k, (_, _, p)) => "\"" + k + "\":" + p }
       .mkString("{", ",", "}")
     val totalCpu = workRows.valuesIterator.map(_._1).sum
     val totalShf = workRows.valuesIterator.map(_._2).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cpu_s":$cpuJson,"shuffle_bytes":$shfJson,"total_cpu_s":${String.format(java.util.Locale.ROOT, "%.1f", Double.box(totalCpu))},"total_shuffle_bytes":$totalShf,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cpu_s":$cpuJson,"shuffle_bytes":$shfJson,"spill_bytes":$splJson,"total_cpu_s":${String.format(java.util.Locale.ROOT, "%.1f", Double.box(totalCpu))},"total_shuffle_bytes":$totalShf,"failed":$failedJson,"sf":"$sfDir"}"""
     // Round-7 driver run recorded "parsed": null — the JSON line landed
     // interleaved with sbt/log4j noise. Two fixes: (1) persist the result
     // to a file so the authoritative copy never depends on stdout at all;

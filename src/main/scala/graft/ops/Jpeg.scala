@@ -203,7 +203,13 @@ object Jpeg {
   }
 
   /** Decoder-side table (T.81 F.2.2.3 MINCODE/MAXCODE/VALPTR walk),
-    * built from the DHT bytes actually present in the stream.
+    * built from the DHT bytes actually present in the stream. The
+    * canonical assignment is validated while building: a hostile DHT
+    * whose bits[] over-subscribes the code space (Kraft sum > 1, i.e.
+    * more than 2^l codes of length <= l at some l) would otherwise
+    * yield maxCode/minCode pairs that send decode() outside vals() —
+    * an ArrayIndexOutOfBoundsException instead of the documented
+    * IllegalArgumentException quarantine contract.
     */
   private final class HuffTable(bits: Array[Int], vals: Array[Int]) {
     private val minCode = new Array[Int](17)
@@ -216,6 +222,10 @@ object Jpeg {
           valPtr(l) = k; minCode(l) = c
           c += bits(l - 1); k += bits(l - 1)
           maxCode(l) = c - 1
+          // canonical consistency: every code of length l fits in l bits
+          if (c > (1 << l))
+            throw new IllegalArgumentException(
+              s"over-subscribed DHT: $c codes exceed the length-$l code space")
         }
         c <<= 1; l += 1
       }
@@ -556,6 +566,17 @@ object Jpeg {
           val mcuPx = 8 * hMax
           val mcusX = (fw + mcuPx - 1) / mcuPx
           val mcusY = (fh + mcuPx - 1) / mcuPx
+          // plausibility cap BEFORE allocating: every coded block costs
+          // at least 2 entropy bits (1-bit DC code + 1-bit EOB), so a
+          // payload of B bytes cannot hold more than 4B blocks. A tiny
+          // hostile payload declaring 65535x65535 in SOF would otherwise
+          // trigger multi-GB plane allocations instead of the documented
+          // IllegalArgumentException quarantine.
+          val totalBlocks =
+            mcusX.toLong * mcusY * fcomps.map(c => c._2 * c._2).sum
+          if (totalBlocks > 4L * payload.length)
+            fail(s"implausible dimensions ${fw}x$fh: $totalBlocks blocks " +
+              s"cannot fit a ${payload.length}-byte payload")
           // per-component plane sized to its own block grid
           val planes = fcomps.map { case (_, hv, _) =>
             new Array[Int](mcusX * hv * 8 * mcusY * hv * 8)

@@ -61,9 +61,16 @@ object Video {
     fourcc("RIFF") ++ le32(body.length) ++ body
   }
 
-  /** Demux an AVI payload: magic checks, hdrl validation (one 'vids'
-    * stream, 'MJPG' handler), and the movi '00dc' frame walk. Throws
-    * IllegalArgumentException on anything malformed.
+  /** Demux an AVI payload: magic checks, hdrl validation, and the movi
+    * frame walk. Real-world files interleave a video stream with audio
+    * (and text) streams, so the demux takes the FIRST 'vids' stream —
+    * which must be MJPG, or the payload is quarantined — and SKIPS any
+    * other stream (auds/txts/mids and further vids): their movi chunks
+    * ('01wb', '01dc', ...) are passed over by stream number. Frame
+    * chunks are collected only while walking INSIDE the movi LIST
+    * (a stray top-level '##dc' is container garbage, not a frame), in
+    * stream order per the spec. Throws IllegalArgumentException on
+    * anything malformed.
     */
   def demuxAvi(payload: Array[Byte]): MjpegClip = {
     def fail(msg: String): Nothing = throw new IllegalArgumentException(msg)
@@ -76,12 +83,13 @@ object Video {
     if (tag(0) != "RIFF") fail("not an avi (bad RIFF magic)")
     if (tag(8) != "AVI ") fail("not an avi (bad AVI magic)")
     var w = -1; var h = -1; var fps = -1
-    var handlerOk = false
+    var streamIdx = 0 // strh order defines AVI stream numbering
+    var vidsStream = -1 // first 'vids' stream; the one we demux
     val frames = Vector.newBuilder[Array[Byte]]
     var sawMovi = false
 
     // walk chunks in [from, to); recurse into hdrl/strl/movi LISTs
-    def walk(from: Int, to: Int): Unit = {
+    def walk(from: Int, to: Int, inMovi: Boolean): Unit = {
       var pos = from
       while (pos + 8 <= to) {
         val ct = tag(pos)
@@ -91,9 +99,10 @@ object Video {
           case "LIST" =>
             if (len < 4) fail("LIST too short")
             val lt = tag(pos + 8)
-            if (lt == "hdrl" || lt == "strl" || lt == "movi") {
+            if (lt == "hdrl" || lt == "strl" || lt == "movi" || lt == "rec ") {
               if (lt == "movi") sawMovi = true
-              walk(pos + 12, pos + 8 + len.toInt)
+              walk(pos + 12, pos + 8 + len.toInt,
+                inMovi || lt == "movi" || lt == "rec ")
             }
           case "avih" =>
             if (len < 56) fail(s"avih too short ($len)")
@@ -106,20 +115,31 @@ object Video {
             if (w <= 0 || h <= 0) fail(s"bad avih dimensions ${w}x$h")
           case "strh" =>
             if (len < 8) fail(s"strh too short ($len)")
-            if (tag(pos + 8) != "vids") fail("unsupported stream type (want vids)")
-            if (tag(pos + 12) != "MJPG") fail("unsupported codec handler (want MJPG)")
-            handlerOk = true
-          case "00dc" =>
-            frames += java.util.Arrays
-              .copyOfRange(payload, pos + 8, pos + 8 + len.toInt)
-          case _ => () // strf/idx1/JUNK/...: skip by declared size
+            if (tag(pos + 8) == "vids" && vidsStream < 0) {
+              // the stream we will decode MUST be motion-JPEG; other
+              // streams are skipped wholesale, never decoded
+              if (tag(pos + 12) != "MJPG")
+                fail("unsupported codec handler (want MJPG)")
+              vidsStream = streamIdx
+            }
+            streamIdx += 1
+          case _ =>
+            // movi-scoped '##dc' chunks of the chosen vids stream are
+            // frames; everything else (strf/idx1/JUNK, other streams'
+            // '##wb'/'##dc', any stray top-level '##dc') skips by size
+            if (inMovi && vidsStream >= 0 && ct.length == 4 &&
+                ct(2) == 'd' && ct(3) == 'c' &&
+                ct(0).isDigit && ct(1).isDigit &&
+                (ct(0) - '0') * 10 + (ct(1) - '0') == vidsStream)
+              frames += java.util.Arrays
+                .copyOfRange(payload, pos + 8, pos + 8 + len.toInt)
         }
         pos += 8 + len.toInt + (len.toInt & 1)
       }
     }
-    walk(12, payload.length)
+    walk(12, payload.length, inMovi = false)
     if (w < 0) fail("missing avih header")
-    if (!handlerOk) fail("missing vids/MJPG stream header")
+    if (vidsStream < 0) fail("missing vids/MJPG stream header")
     if (!sawMovi) fail("missing movi list")
     val fs = frames.result()
     if (fs.isEmpty) fail("movi holds no frames")

@@ -570,14 +570,7 @@ object TextOps {
     // ---- E4: corpus token frequencies ------------------------------------
     Q(
       "q31_doc_tokens",
-      (s, d) =>
-        docs(s, d)
-          .select(explode(split(col("text"), " ")).as("tok"))
-          .where(col("tok") =!= "")
-          .groupBy(col("tok"))
-          .agg(count(lit(1)).as("n"))
-          .orderBy(col("n").desc, col("tok"))
-          .limit(25),
+      (s, d) => topTokens(s, d, "ascii"),
       Some("""SELECT tok, count(*) AS n
              |FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
              |WHERE tok <> ''
@@ -1198,8 +1191,96 @@ object TextOps {
           .agg(count(lit(1)).as("ndoc"))
         nbConfusion(c2, priors, nbToks(test))
       },
-      Some(nbOracleSql))
+      Some(nbOracleSql)),
+
+    // ---- E4: Unicode-real tokenization (NFC + UAX#29-lite) ---------------
+    // Round-15 verdict #2: every text operator tokenized by ASCII-space
+    // split, which real corpora break two ways — decomposed combining
+    // sequences (e + U+0301) and scripts without space separation. The
+    // unicode tokenizer mode composes NFC first (codegen'd
+    // [[graft.functions.NfcNormalize]]), then segments maximal
+    // letter/digit runs by Unicode category ([\p{L}\p{N}]+ — UAX#29's
+    // word shape without the ASCII-space assumption). The fixture is
+    // pure ASCII, so each doc is SALTED with a deterministic non-ASCII
+    // suffix containing decomposed sequences: without NFC, U+0308
+    // splits 'über' into 'u'+'ber' (token count moves) and the raw
+    // bytes change every md5 — both sides of the gate see the salt,
+    // DuckDB replaying it with nfc_normalize + the same RE2 class.
+    // Per-row work only — no shuffle until the final doc_id order.
+    Q(
+      "q173_tokens_unicode",
+      (s, d) => {
+        import graft.functions.NfcNormalize
+        val salts = array(
+          lit(" café latte"),
+          lit(" über straße"),
+          lit(" 中文 token42"),
+          lit(" nöel 2026"))
+        docs(s, d)
+          .select(col("doc_id").cast("long").as("doc_id"),
+            concat(coalesce(col("text"), lit("")),
+              element_at(salts,
+                (pmod(col("doc_id"), lit(4)) + 1).cast("int"))).as("salted"))
+          .withColumn("toks",
+            tokensCol(col("salted"), "unicode"))
+          .select(col("doc_id"),
+            size(col("toks")).cast("long").as("n_tok"),
+            size(array_distinct(col("toks"))).cast("long").as("n_uniq"),
+            aggregate(col("toks"), lit(0L),
+              (a, t) => a + length(t)).as("total_chars"),
+            md5(concat_ws(" ", col("toks"))).as("toks_md5"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH s AS (SELECT doc_id,
+             |  nfc_normalize(coalesce(text, '') ||
+             |    CASE doc_id % 4
+             |      WHEN 0 THEN ' café latte'
+             |      WHEN 1 THEN ' über straße'
+             |      WHEN 2 THEN ' 中文 token42'
+             |      ELSE ' nöel 2026' END) AS norm
+             |  FROM documents),
+             |t AS (SELECT doc_id,
+             |        regexp_extract_all(norm, '[\p{L}\p{N}]+') AS toks
+             |      FROM s)
+             |SELECT doc_id,
+             |  CAST(len(toks) AS BIGINT) AS n_tok,
+             |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq,
+             |  CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0)
+             |       AS BIGINT) AS total_chars,
+             |  md5(array_to_string(toks, ' ')) AS toks_md5
+             |FROM t
+             |ORDER BY doc_id""".stripMargin))
   )
+
+  /** The tokenizer every text consumer can opt into (round-15 verdict
+    * #2): "ascii" is the fixture-native single-space split; "unicode"
+    * is NFC composition + maximal \p{L}\p{N}-run segmentation. On pure
+    * printable-ASCII single-spaced text the two modes produce identical
+    * token arrays (UnicodeTokenSpec pins q31 in both modes), so
+    * consumers switch without result drift on clean corpora.
+    */
+  private[graft] def tokensCol(text: org.apache.spark.sql.Column,
+                               mode: String): org.apache.spark.sql.Column =
+    mode match {
+      case "unicode" =>
+        regexp_extract_all(graft.functions.NfcNormalize.nfc(text),
+          lit("[\\p{L}\\p{N}]+"), lit(0))
+      case _ => split(text, " ")
+    }
+
+  /** q31's body with the tokenizer mode exposed — the existing consumer
+    * offered in both modes (the registry row runs "ascii", the historic
+    * semantics; UnicodeTokenSpec asserts mode parity on the fixture).
+    */
+  private[graft] def topTokens(s: SparkSession, d: String,
+                               mode: String): DataFrame =
+    docs(s, d)
+      .select(explode(tokensCol(col("text"), mode)).as("tok"))
+      .where(col("tok") =!= "")
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok"))
+      .limit(25)
 
   /** q137/q138 token table: one (doc_id, lang, tok) row per occurrence. */
   private[graft] def nbToks(df: DataFrame): DataFrame = df

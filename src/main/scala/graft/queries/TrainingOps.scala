@@ -212,10 +212,17 @@ object TrainingOps {
   /** The corpus-prep oracle shared by q98 (batch) and q104 (streaming):
     * gate → prefix-dedup keep-lowest-doc_id → chunk → split → stats.
     */
-  private[graft] def corpusPrepSql: String =
-    s"""WITH d AS (SELECT doc_id, lang, text,
+  private[graft] def corpusPrepSql: String = corpusPrepSqlFrom("", "documents")
+
+  /** [[corpusPrepSql]] with the document source swapped: `prefixCtes`
+    * (zero or more `name AS (...),` clauses) is injected after WITH and
+    * `src` replaces the documents scan — how q175 replays the same
+    * chain over HTML-extracted text.
+    */
+  private[graft] def corpusPrepSqlFrom(prefixCtes: String, src: String): String =
+    s"""WITH ${prefixCtes}d AS (SELECT doc_id, lang, text,
        |         list_filter(string_split(text, ' '), x -> x <> '') AS ftoks
-       |       FROM documents),
+       |       FROM $src),
        |m AS (SELECT doc_id, lang, text,
        |        CAST(len(ftoks) AS BIGINT) AS n_words,
        |        CASE WHEN len(ftoks) > 0 THEN

@@ -77,6 +77,70 @@ class AviCodecSpec extends SparkSpec {
     boom(good.take(moviAt), "movi")
   }
 
+  // hand-rolled RIFF helpers for containers encodeAvi never produces
+  private def le16(v: Int) = Array((v & 0xff).toByte, ((v >>> 8) & 0xff).toByte)
+  private def le32(v: Int) = Array((v & 0xff).toByte, ((v >>> 8) & 0xff).toByte,
+    ((v >>> 16) & 0xff).toByte, ((v >>> 24) & 0xff).toByte)
+  private def cc(s: String) = s.getBytes("US-ASCII")
+  private def chunk(tag: String, data: Array[Byte]): Array[Byte] = {
+    val pad = if (data.length % 2 == 1) Array[Byte](0) else Array.emptyByteArray
+    cc(tag) ++ le32(data.length) ++ data ++ pad
+  }
+  private def list(tag: String, data: Array[Byte]): Array[Byte] =
+    chunk("LIST", cc(tag) ++ data)
+
+  test("mixed-stream AVI: audio stream skipped, vids frames demux by stream number") {
+    // stream 0 = auds (PCM), stream 1 = vids/MJPG — the first real-world
+    // shape a user feeds the demux. Frames live in '01dc'; '00wb' audio
+    // chunks interleave and must be passed over, not fail and not demux.
+    val f1 = grayJpeg(11); val f2 = grayJpeg(12)
+    val avih = le32(1000000 / 25) ++ le32(0) ++ le32(0) ++ le32(0) ++
+      le32(2) ++ le32(0) ++ le32(2) ++ le32(0) ++
+      le32(8) ++ le32(8) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+    val strhAud = cc("auds") ++ le32(0) ++ le32(0) ++
+      le16(0) ++ le16(0) ++ le32(0) ++ le32(1) ++ le32(8000) ++ le32(0) ++
+      le32(16000) ++ le32(0) ++ le32(0) ++ le32(0) ++
+      le16(0) ++ le16(0) ++ le16(0) ++ le16(0)
+    val strfAud = le16(1) ++ le16(1) ++ le32(8000) ++ le32(16000) ++
+      le16(2) ++ le16(16)
+    val strhVid = cc("vids") ++ cc("MJPG") ++ le32(0) ++
+      le16(0) ++ le16(0) ++ le32(0) ++ le32(1) ++ le32(25) ++ le32(0) ++
+      le32(2) ++ le32(0) ++ le32(0) ++ le32(0) ++
+      le16(0) ++ le16(0) ++ le16(8) ++ le16(8)
+    val strfVid = le32(40) ++ le32(8) ++ le32(8) ++ le16(1) ++ le16(24) ++
+      cc("MJPG") ++ le32(8 * 8 * 3) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+    val hdrl = list("hdrl", chunk("avih", avih) ++
+      list("strl", chunk("strh", strhAud) ++ chunk("strf", strfAud)) ++
+      list("strl", chunk("strh", strhVid) ++ chunk("strf", strfVid)))
+    val movi = list("movi",
+      chunk("00wb", Array.fill[Byte](32)(7)) ++ chunk("01dc", f1) ++
+        chunk("00wb", Array.fill[Byte](32)(9)) ++ chunk("01dc", f2))
+    val body = cc("AVI ") ++ hdrl ++ movi
+    val clip = Video.demuxAvi(cc("RIFF") ++ le32(body.length) ++ body)
+    assert(clip.w == 8 && clip.h == 8 && clip.frames.length == 2)
+    assert(java.util.Arrays.equals(clip.frames(0), f1))
+    assert(java.util.Arrays.equals(clip.frames(1), f2))
+    // vids is stream 1 here, so a '00dc' chunk (the AUDIO stream's
+    // number with a video suffix) inside movi must NOT be collected
+    val movi2 = list("movi", chunk("00dc", f1) ++ chunk("01dc", f2))
+    val body2 = cc("AVI ") ++ hdrl ++ movi2
+    val clip2 = Video.demuxAvi(cc("RIFF") ++ le32(body2.length) ++ body2)
+    assert(clip2.frames.length == 1)
+    assert(java.util.Arrays.equals(clip2.frames(0), f2))
+  }
+
+  test("stray top-level '00dc' outside movi is container garbage, not a frame") {
+    val good = Video.encodeAvi(8, 8, 25, Seq(grayJpeg(21)))
+    // append a top-level 00dc AFTER the movi list (inside RIFF bounds)
+    val stray = chunk("00dc", grayJpeg(22))
+    val riffLen = good.length - 8 + stray.length
+    val patched = cc("RIFF") ++ le32(riffLen) ++ good.drop(8) ++ stray
+    val clip = Video.demuxAvi(patched)
+    assert(clip.frames.length == 1, "stray top-level frame chunk was collected")
+    assert(java.util.Arrays.equals(clip.frames(0),
+      Video.demuxAvi(good).frames(0)))
+  }
+
   test("q171 oracle twin: demuxed+decoded frame features match the replay from text") {
     val out = queries.Registry.byName("q171_video_mjpeg_frames")
       .run(spark, sfDir).collect()

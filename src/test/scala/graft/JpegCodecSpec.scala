@@ -142,6 +142,55 @@ class JpegCodecSpec extends SparkSpec {
     boom(badSamp, "sampling")
     // missing EOI
     boom(java.util.Arrays.copyOfRange(good, 0, good.length - 2), "eoi")
+    // over-subscribed DHT (round-15 ADVICE): 3 codes of length 1 breaks
+    // the canonical-code invariant; must quarantine, not index out of
+    // vals(). The fixed encoder's first DHT row is DC: bits[0..15] then
+    // 12 symbol values — patch bits[0] (one byte after the table id).
+    val dhtAt = good.indices.drop(2).find(i =>
+      (good(i - 1) & 0xff) == 0xff && (good(i) & 0xff) == 0xc4).get
+    val overSub = good.clone()
+    overSub(dhtAt + 4) = 3 // bits[0] = 3 one-bit codes > 2^1
+    boom(overSub, "over-subscribed")
+    // implausible SOF dimensions (round-15 ADVICE): a tiny payload
+    // declaring 65535x65535 must quarantine BEFORE allocating planes
+    val hugeDims = good.clone()
+    val sof = hugeDims.indices.drop(2).find(i =>
+      (hugeDims(i - 1) & 0xff) == 0xff && (hugeDims(i) & 0xff) == 0xc0).get
+    hugeDims(sof + 4) = 0xff.toByte; hugeDims(sof + 5) = 0xff.toByte // h
+    hugeDims(sof + 6) = 0xff.toByte; hugeDims(sof + 7) = 0xff.toByte // w
+    boom(hugeDims, "implausible")
+  }
+
+  test("multi-MCU scan: cross-block DC prediction survives the round-trip (q174)") {
+    // 24x16 = 6 MCUs at 4:4:4; per-block constant values chosen so the
+    // DC diffs swing sign and magnitude across the prediction chain.
+    // A constant block quantizes exactly (only the DC coefficient is
+    // nonzero, and Q(0,0)=16 divides the fixed-point DC evenly enough
+    // that the closed-form round-trip is block-value-preserving for
+    // multiples of 2): decoded == encoded input per block.
+    val vals = Array(0, 254, 16, 240, 128, 64) // one per block, raster order
+    val rgb = new Array[Byte](24 * 16 * 3)
+    for (y <- 0 until 16; x <- 0 until 24) {
+      val b = (y / 8) * 3 + (x / 8)
+      val v = vals(b).toByte
+      val o = (y * 24 + x) * 3
+      rgb(o) = v; rgb(o + 1) = v; rgb(o + 2) = v
+    }
+    val img = Jpeg.decodeJpeg(Jpeg.encodeJpeg(24, 16, rgb, "444"))
+    assert(img.w == 24 && img.h == 16)
+    for (y <- 0 until 16; x <- 0 until 24) {
+      val b = (y / 8) * 3 + (x / 8)
+      val got = img.rgb((y * 24 + x) * 3) & 0xff
+      assert(math.abs(got - vals(b)) <= 1,
+        s"block $b at ($x,$y): $got != ${vals(b)}")
+    }
+    // the gated registry row: 500 docs, 24x16 each, grays agree
+    val out = queries.Registry.byName("q174_image_jpeg_multiblock")
+      .run(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => r.getLong(1) == 24L && r.getLong(2) == 16L))
+    assert(out.forall(r => r.getLong(3) == r.getLong(4) &&
+      r.getLong(4) == r.getLong(5)))
   }
 
   test("q168 oracle twin: decoded JPEG features match the quant chain replayed from text") {

@@ -15,7 +15,24 @@ metrics (`cpu_s`: executor CPU-time sum; `shuffle_bytes`: shuffle
 read+write). When both sides have them, this prints their intersection
 totals and classifies every wall-flagged regression: flat cpu AND flat
 shuffle => box drift, not plan cost; either moving with the wall =>
-a real plan change. Older JSONs without the maps compare wall-only.
+a real plan change.
+
+Round-15 verdict #5 — the cpu_s comparison RULE, after bit-identical
+sf100 twins showed a 1.9x executor-CPU spread on identical code:
+
+  1. cpu_s is compared MIN-OF-TWINS per side, like wall time. A single
+     run's cpu_s is NOT trustworthy for adjudication on heavy rows: CPU
+     burned by memory-pressure spilling and by JIT/GC interaction is
+     real CPU that varies with box state. This tool warns when either
+     side is a single file.
+  2. Bench rows now carry `spill_bytes` (memory+disk spill, successful
+     attempts only; failed/killed task attempts are excluded from all
+     work metrics at the listener). A cpu move that arrives with a
+     spill move is classified SPILL DRIFT (box memory state), not a
+     plan change — spill volume is a function of free executor memory,
+     not of the plan.
+  3. shuffle_bytes remains the only metric that is bit-stable across
+     identical plans; it adjudicates alone when cpu is ambiguous.
 
 Usage: tools/benchcmp.py OLD.json[,OLD2.json] NEW.json[,NEW2.json]
 """
@@ -27,12 +44,16 @@ REL = 1.3
 # a regression whose cpu AND shuffle stay within this relative band of
 # the old run is classified as box drift (wall moved, work did not)
 WORK_FLAT = 1.15
+# a cpu move accompanied by a spill move of at least this many bytes on
+# either side is attributed to box memory pressure, not the plan
+SPILL_SIG = 64 * 1024 * 1024
 
 
 def load_side(arg):
-    runs = [json.load(open(p)) for p in arg.split(",")]
+    paths = arg.split(",")
+    runs = [json.load(open(p)) for p in paths]
     failed = sorted({q for r in runs for q in r.get("failed", [])})
-    merged, cpu, shuffle = {}, {}, {}
+    merged, cpu, shuffle, spill = {}, {}, {}, {}
     for r in runs:
         for k, v in r["queries"].items():
             merged[k] = min(v, merged.get(k, float("inf")))
@@ -40,18 +61,26 @@ def load_side(arg):
             cpu[k] = min(v, cpu.get(k, float("inf")))
         for k, v in r.get("shuffle_bytes", {}).items():
             shuffle[k] = min(v, shuffle.get(k, float("inf")))
-    return merged, failed, cpu, shuffle
+        for k, v in r.get("spill_bytes", {}).items():
+            spill[k] = min(v, spill.get(k, float("inf")))
+    return merged, failed, cpu, shuffle, spill, len(paths)
 
 
 def main():
     if len(sys.argv) != 3:
         sys.exit(__doc__)
-    old, old_failed, old_cpu, old_shf = load_side(sys.argv[1])
-    new, new_failed, new_cpu, new_shf = load_side(sys.argv[2])
+    old, old_failed, old_cpu, old_shf, old_spl, old_n = load_side(sys.argv[1])
+    new, new_failed, new_cpu, new_shf, new_spl, new_n = load_side(sys.argv[2])
     for name, failed in (("OLD", old_failed), ("NEW", new_failed)):
         if failed:
             print(f"!! {name} side has FAILED queries (excluded from "
                   f"comparison, NOT a speedup): {', '.join(failed)}")
+    for name, n in (("OLD", old_n), ("NEW", new_n)):
+        if n < 2:
+            print(f"note: {name} side is a single run — cpu_s is "
+                  f"spill/JIT-noisy without min-of-twins; wall and cpu "
+                  f"verdicts below carry LOW confidence, trust "
+                  f"shuffle_bytes")
     both = sorted(set(old) & set(new))
     print(f"comparable queries: {len(both)} "
           f"(old-only: {sorted(set(old) - set(new))or '-'}, "
@@ -74,18 +103,27 @@ def main():
               + (f" ({(ns - os_) / os_:+.1%})" if os_ else ""))
 
     def classify(k):
-        """box drift vs plan change, when work metrics exist on both sides."""
+        """box drift vs spill drift vs plan change, when work metrics
+        exist on both sides."""
         if k not in old_cpu or k not in new_cpu:
             return ""
         cpu_flat = new_cpu[k] <= WORK_FLAT * old_cpu[k] + 0.05
         shf_flat = (k not in old_shf or k not in new_shf or
                     new_shf[k] <= WORK_FLAT * old_shf[k] + 1e6)
+        spill_moved = (max(old_spl.get(k, 0), new_spl.get(k, 0)) -
+                       min(old_spl.get(k, 0), new_spl.get(k, 0))) > SPILL_SIG
         detail = (f" [cpu {old_cpu[k]:.2f}->{new_cpu[k]:.2f}s"
                   + (f", shuffle {old_shf.get(k, 0) / 1e6:.1f}->"
-                     f"{new_shf.get(k, 0) / 1e6:.1f}MB]" if k in new_shf
-                     else "]"))
+                     f"{new_shf.get(k, 0) / 1e6:.1f}MB" if k in new_shf
+                     else "")
+                  + (f", spill {old_spl.get(k, 0) / 1e6:.0f}->"
+                     f"{new_spl.get(k, 0) / 1e6:.0f}MB]"
+                     if k in new_spl or k in old_spl else "]"))
         if cpu_flat and shf_flat:
             return f"{detail} => work flat: BOX DRIFT, not plan cost"
+        if shf_flat and spill_moved:
+            return (f"{detail} => cpu moved WITH spill, shuffle flat: "
+                    f"SPILL DRIFT (box memory state), not plan cost")
         return f"{detail} => work moved with wall: PLAN CHANGE"
 
     regs = [(new[k] - old[k], k) for k in both
