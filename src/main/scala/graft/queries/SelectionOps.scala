@@ -324,8 +324,12 @@ object SelectionOps {
     val bcounts = withB.groupBy(col("grp"), col("gb"))
       .agg(count(lit(1)).as("c"))
     // meta is TINY (≤ groups·nb rows) but derives from a corpus
-    // aggregate; it feeds both union branches below, so checkpoint it
-    // once instead of re-running the bucket-count scan per consumer
+    // aggregate; it feeds both union branches below, so pin it once
+    // instead of re-running the bucket-count scan per consumer.
+    // persist WITH lineage, not localCheckpoint: this helper sits on
+    // the q146 stream path, and a localCheckpoint block dies with its
+    // executor (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND under the r16
+    // kill-injection run) — persisted blocks recompute instead
     val meta = bcounts
       .withColumn("cum_before", coalesce(
         sum(col("c")).over(Window.partitionBy(col("grp")).orderBy(col("gb"))
@@ -335,7 +339,7 @@ object SelectionOps {
       .select(col("grp"), col("gb"),
         (col("cum_before") + col("c") <= col("target_n")).as("keep_all"),
         (col("target_n") - col("cum_before")).as("k_in"))
-      .localCheckpoint()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val joined = withB.join(meta, Seq("grp", "gb"))
     val full = joined.where(col("keep_all")).select(col("grp"), col("id"), col("h"))
     val partial = joined.where(!col("keep_all"))
@@ -459,8 +463,12 @@ object SelectionOps {
       : org.apache.spark.sql.DataFrame = {
     // ap is ≤|langs| rows but derives from a corpus count aggregate and
     // feeds two consumers (the election targets + the output spine) —
-    // checkpoint the tiny frame so the corpus agg runs once
-    val apC = ap.localCheckpoint()
+    // pin the tiny frame so the corpus agg runs once. persist WITH
+    // lineage, not localCheckpoint: this runs on the q146 STREAM path,
+    // where an executor SIGKILL kills a localCheckpoint block with no
+    // recompute path (measured: CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND in
+    // the r16 kill-injection BEFORE run)
+    val apC = ap.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sel = exactKPerGroup(
       docs.select(col("lang").as("grp"), col("doc_id").as("id"), col("h")),
       apC.select(col("lang").as("grp"), col("target_n")))
@@ -2514,10 +2522,13 @@ object SelectionOps {
     import graft.functions.TopKBy.topKBy
     val scored = dsirScored(toks, counts, dim)
       // scored feeds two consumers (the threshold aggregate + the final
-      // flag projection); without the checkpoint each re-runs the token
-      // scan, the count aggregate, and the scoring join — 4 corpus
-      // passes instead of 2 for one small row per doc (the q106 rule)
-      .localCheckpoint()
+      // flag projection); without the pin each re-runs the token scan,
+      // the count aggregate, and the scoring join — 4 corpus passes
+      // instead of 2 for one small row per doc (the q106 rule).
+      // persist WITH lineage, not localCheckpoint: q142's STREAM twin
+      // shares this helper, and executor-local checkpoint blocks die
+      // with their executor under real failure injection (W85/r16)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // O(k) selection state: the kth-largest key via the bounded-heap
     // aggregate, broadcast back as a threshold — never a global rank
     // window over the corpus. Fewer than k docs → min key → all selected.
