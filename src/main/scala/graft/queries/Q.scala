@@ -25,7 +25,7 @@ object Registry {
     CoreAnalytics.defs ++ TextOps.defs ++ VectorOps.defs ++
       EventOps.defs ++ CleanOps.defs ++ PipelineOps.defs ++ SketchOps.defs ++
       TrainingOps.defs ++ SelectionOps.defs ++ LayoutOps.defs ++
-      GraphOps.defs ++ HtmlOps.defs
+      GraphOps.defs ++ HtmlOps.defs ++ CurationOps.defs
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

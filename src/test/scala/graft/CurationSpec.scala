@@ -1,0 +1,135 @@
+package graft
+
+import graft.ops.WarcOps
+import graft.queries.Registry
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Web-corpus curation front-end (q176–q178): PII scrub precision on
+  * plants vs near-misses, URL canonicalization equivalence classes, and
+  * WARC framing — byte-exact round-trip, walked-offset contiguity, and
+  * the malformed-segment quarantine contract.
+  */
+class CurationSpec extends SparkSpec {
+
+  private def run(name: String) =
+    Registry.byName(name).run(spark, sfDir)
+
+  // ---- q176: PII scrub --------------------------------------------------
+
+  test("pii: planted counts match doc_id arithmetic; near-misses excluded") {
+    val rows = run("q176_pii_redact")
+      .select("doc_id", "n_email", "n_phone", "n_ip").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getLong(1) == 1 + (1 - id % 2),
+        s"doc $id email count (near-miss user@localhost must not count)")
+      assert(r.getLong(2) == 1L,
+        s"doc $id phone count (near-miss 55-555-5555 must not count)")
+      assert(r.getLong(3) == 1L,
+        s"doc $id ip count (near-miss 999.300.1.1 must not count)")
+    }
+  }
+
+  test("pii: golden — artifacts replaced by placeholders, body intact") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("pii").toString
+    Seq((7L, "plain body words")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = Registry.byName("q176_pii_redact").run(spark, dir).head()
+    val expected = "contact <EMAIL> mail user@localhost plain body words" +
+      " call <PHONE> not 55-555-5555 ip <IP> bad 999.300.1.1 end"
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(expected.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(r.getLong(4) == expected.length.toLong)
+    assert(r.getString(5) == md)
+  }
+
+  // ---- q177: URL canonicalization --------------------------------------
+
+  test("url: case/port/params/fragment variants collapse; u3 keeps :8080") {
+    val rows = run("q177_url_canonicalize").collect()
+    val hosts = rows.map(_.getString(0)).toSeq
+    assert(hosts == hosts.sorted)
+    assert(hosts.forall(h =>
+      h.matches("www\\.site[0-4]\\.com") ||
+      h.matches("mirror[0-6]\\.example\\.org")))
+    rows.foreach { r =>
+      val (host, nRaw, nCanon) = (r.getString(0), r.getLong(1), r.getLong(2))
+      if (host.startsWith("www.")) {
+        // u1+u2 per doc, one canonical each: exactly 2:1
+        assert(nRaw == 2 * nCanon, s"$host: u1/u2 must canonicalize equal")
+      } else {
+        // u3 collapses onto doc_id%50 path classes: massive dedup as soon
+        // as the corpus outgrows the class count
+        assert(nCanon <= 50, s"$host: canonical classes bounded by path mod")
+        assert(nCanon <= nRaw)
+      }
+    }
+  }
+
+  // ---- q178: WARC framing ----------------------------------------------
+
+  private def rec(uri: String, payload: Array[Byte]): Array[Byte] =
+    WarcOps.build(UTF8String.fromString(uri), payload)
+
+  test("warc: build/parse round-trips bytes, offsets are walked, not guessed") {
+    val p1 = "hello world".getBytes("UTF-8")
+    val p2 = Array.tabulate[Byte](300)(i => (i % 251).toByte) // binary, has \r\n
+    val r1 = rec("https://a/1", p1); val r2 = rec("https://a/2", p2)
+    val seg = r1 ++ r2
+    val parsed = WarcOps.parse(seg)
+    assert(parsed.numElements() == 2)
+    val g1 = parsed.getStruct(0, 5); val g2 = parsed.getStruct(1, 5)
+    assert(g1.getString(0) == "https://a/1" && g1.getString(1) == "response")
+    assert(g1.getLong(2) == 0L && g1.getLong(3) == p1.length.toLong)
+    assert(java.util.Arrays.equals(g1.getBinary(4), p1))
+    assert(g2.getLong(2) == r1.length.toLong, "second record offset = len(first)")
+    assert(g2.getLong(3) == p2.length.toLong)
+    assert(java.util.Arrays.equals(g2.getBinary(4), p2))
+  }
+
+  test("warc: payload containing CRLFCRLF does not split a record") {
+    val tricky = "a\r\n\r\nb\r\n\r\nc".getBytes("UTF-8")
+    val parsed = WarcOps.parse(rec("u", tricky))
+    assert(parsed.numElements() == 1)
+    assert(java.util.Arrays.equals(parsed.getStruct(0, 5).getBinary(4), tricky))
+  }
+
+  test("warc: malformed segments quarantine with IAE, never crash") {
+    val good = rec("u", "payload".getBytes("UTF-8"))
+    def iae(b: Array[Byte]) =
+      intercept[IllegalArgumentException](WarcOps.parse(b))
+    // bad magic
+    val bad = good.clone(); bad(0) = 'X'
+    assert(iae(bad).getMessage.contains("WARC/1.0"))
+    // truncated payload (Content-Length overruns)
+    assert(iae(good.dropRight(5)).getMessage.contains("overruns"))
+    // missing Content-Length
+    val noCl = ("WARC/1.0\r\nWARC-Type: response\r\n\r\n").getBytes("UTF-8")
+    assert(iae(noCl).getMessage.contains("Content-Length"))
+    // broken separator
+    val sep = good.clone(); sep(sep.length - 1) = 'x'
+    assert(iae(sep).getMessage.contains("separator"))
+  }
+
+  test("warc: q178 offsets are contiguous and md5s match a direct rebuild") {
+    val out = run("q178_warc_roundtrip").collect()
+    assert(out.nonEmpty)
+    // per file: offset(rec_idx=0)=0 and offsets increase strictly
+    out.groupBy(_.getLong(1)).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getLong(2))
+      assert(sorted.head.getLong(3) == 0L)
+      assert(sorted.map(_.getLong(3)).toSeq ==
+        sorted.map(_.getLong(3)).toSeq.sorted)
+    }
+    // payload md5 equals md5 of the html wrapper rendered directly
+    val direct = Tables.documents(spark, sfDir)
+      .select(col("doc_id").cast("long").as("doc_id"),
+        md5(graft.ops.HtmlExtract.htmlWrap(col("doc_id"),
+          coalesce(col("text"), lit("")))).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.foreach(r => assert(r.getString(5) == direct(r.getLong(0))))
+  }
+}
