@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.PolyHash.polyHash
-import graft.ops.{HtmlExtract, Warc}
+import graft.ops.{HtmlExtract, Robots, Warc}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -74,7 +74,7 @@ object CurationOps {
   // param order, fragment all normalized away); u3 keeps its non-default
   // port and loses its only (tracking) param, collapsing every doc with
   // the same (host, doc_id%50) path onto one canonical URL.
-  private def urlArray: Column = array(
+  private[graft] def urlArray: Column = array(
     concat(lit("HTTPS://WWW.Site"), str(pmod(col("doc_id"), lit(5L))),
       lit(".COM:443/Article/"), str(col("doc_id")),
       lit("?utm_source=feed&ref="), str(pmod(col("doc_id"), lit(3L))),
@@ -94,7 +94,7 @@ object CurationOps {
     * params (utm_*, fbclid, gclid), byte-sort the survivors, empty path
     * becomes '/'.
     */
-  private def canonParts(u: Column): (Column, Column) = {
+  private[graft] def canonParts(u: Column): (Column, Column) = {
     val scheme = lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     val host = lower(regexp_extract(u, SchemePfx + "([^/?#:]*)", 1))
     val port = regexp_extract(u, SchemePfx + "[^/?#:]*:([0-9]+)", 1)
@@ -144,6 +144,56 @@ object CurationOps {
       |               AND NOT starts_with(p, 'fbclid=')
       |               AND NOT starts_with(p, 'gclid='))) AS ps
       |        FROM parts))""".stripMargin
+
+  /** q180's planted per-host robots.txt — a pure function of the host
+    * string, so the oracle can replay the effective RULES while the
+    * engine parses the full FILE (decoy fancybot group, comments,
+    * Crawl-delay/Sitemap noise, an empty Disallow). Even-k www hosts
+    * carry an exact `GraftBot` group, which per RFC 9309 makes the `*`
+    * group inapplicable — a parser that merges the two flips decisions
+    * on /Article/1… paths and breaks the hash.
+    */
+  private def robotsTxt: Column = {
+    val k = regexp_extract(col("host"), "site([0-9])", 1)
+    val j = regexp_extract(col("host"), "mirror([0-9])", 1)
+    when(col("host").startsWith("www."),
+      concat(
+        lit("# corpus crawler policy\nUser-agent: fancybot\nDisallow: /\n\n"),
+        when(k.isin("0", "2", "4"),
+          lit("User-agent: GraftBot\nDisallow: /Article/7\nAllow: /Article/77\n\n"))
+          .otherwise(lit("")),
+        lit("User-agent: *\nCrawl-delay: 2\nDisallow: /Article/1\n" +
+          "Allow: /Article/12\nDisallow: /private/\nDisallow:\n")))
+      .otherwise(
+        concat(lit("User-agent: *\nDisallow: /p/"), j,
+          lit("\nAllow: /p/"), j, j,
+          lit("\nSitemap: https://example.org/sitemap.xml\n")))
+  }
+
+  /** DuckDB replay of the polynomial string hash (the q90 form). */
+  private def polyHashSql(c: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |  list_transform(range(1, len($c) + 1),
+       |    x -> CAST(unicode($c[x]) AS BIGINT))),
+       |  (acc, x) -> (acc * 31 + x) % 1000000007)""".stripMargin
+
+  /** Full q177 oracle — also q179's (the frontier stream folds to the
+    * identical per-host frame under any arrival order).
+    */
+  private val UrlAggSql: String = UrlCanonSql + """,
+    |raw AS (SELECT host, CAST(count(*) AS BIGINT) AS n_raw
+    |        FROM canon GROUP BY host),
+    |ded AS (SELECT host, CAST(count(*) AS BIGINT) AS n_canon,
+    |          CAST(sum(list_reduce(list_prepend(CAST(0 AS BIGINT),
+    |            list_transform(range(1, len(canon) + 1),
+    |              j -> CAST(unicode(canon[j]) AS BIGINT))),
+    |            (acc, x) -> (acc * 31 + x) % 1000000007)) AS BIGINT)
+    |            AS canon_hashsum
+    |        FROM (SELECT DISTINCT host, canon FROM canon)
+    |        GROUP BY host)
+    |SELECT host, n_raw, n_canon, canon_hashsum
+    |FROM raw JOIN ded USING (host)
+    |ORDER BY host""".stripMargin
 
   val defs: Seq[Q] = Seq(
     // ---- E4+: free-text PII scrubbing, staged-count semantics ----------
@@ -206,11 +256,13 @@ object CurationOps {
 
     // ---- E4+: URL canonicalization + domain-level dedup stats ----------
     // Per host: raw URL count, canonical-distinct count, and an
-    // order-free checksum (sum over DISTINCT polyHash(canon) — both
-    // engines sum the same distinct hash values, so the checksum is
-    // partition- and order-invariant by construction). The dedup
-    // exchange is keyed by (host, canon) in the distinct partial phase;
-    // the final fold sees only the 12-host domain.
+    // order-free checksum — the sum of polyHash over DISTINCT canonical
+    // URLs (distinct-by-URL first, THEN sum: hash-value collisions
+    // between different URLs still count once per URL, which is the
+    // invariant that lets the q179 frontier stream fold per-batch
+    // partial sums and land on the identical number). The dedup
+    // exchange is keyed by (host, canon) in the distinct phase; the
+    // final folds see only the 12-host domain.
     Q(
       "q177_url_canonicalize",
       (s, d) => {
@@ -218,26 +270,18 @@ object CurationOps {
           val u = col("u")
           canonParts(u)
         }
-        docs(s, d)
+        val withC = docs(s, d)
           .select(explode(urlArray).as("u"))
           .select(host.as("host"), canon.as("canon"))
+        val raw = withC.groupBy(col("host"))
+          .agg(count(lit(1)).as("n_raw"))
+        val ded = withC.distinct()
           .groupBy(col("host"))
-          .agg(count(lit(1)).as("n_raw"),
-            countDistinct(col("canon")).as("n_canon"),
-            sum_distinct(polyHash(col("canon"))).as("canon_hashsum"))
-          .orderBy(col("host"))
+          .agg(count(lit(1)).as("n_canon"),
+            sum(polyHash(col("canon"))).as("canon_hashsum"))
+        raw.join(ded, Seq("host")).orderBy(col("host"))
       },
-      Some(UrlCanonSql + """
-        |SELECT host, CAST(count(*) AS BIGINT) AS n_raw,
-        |       CAST(count(DISTINCT canon) AS BIGINT) AS n_canon,
-        |       CAST(sum(DISTINCT list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |              list_transform(range(1, len(canon) + 1),
-        |                j -> CAST(unicode(canon[j]) AS BIGINT))),
-        |              (acc, x) -> (acc * 31 + x) % 1000000007)) AS BIGINT)
-        |         AS canon_hashsum
-        |FROM canon
-        |GROUP BY host
-        |ORDER BY host""".stripMargin)),
+      Some(UrlAggSql)),
 
     // ---- E5+: WARC segment round-trip ----------------------------------
     // Pack each doc's deterministic HTML page (the q172 wrapper — this
@@ -325,6 +369,98 @@ object CurationOps {
             |       AS BIGINT) AS offset,
             |  clen AS content_length, payload_md5
             |FROM sized
-            |ORDER BY doc_id""".stripMargin))
+            |ORDER BY doc_id""".stripMargin)),
+
+    // ---- E6: incremental URL frontier (q177's streaming twin) ----------
+    // URLs arrive in micro-batches; "seen before" is a probe against a
+    // persistent canonical-URL store (dual-pack identities, bucketed,
+    // partition-pruned — the CorpusPrepStream contract), and the
+    // registered result folds per-batch per-host partials with plain
+    // sums. Canonical counts and the distinct-URL hashsum are arrival-
+    // order-free, so the stream shares q177's full oracle — which
+    // therefore checks the store handoff and the partial fold.
+    Q(
+      "q179_url_frontier_stream",
+      (s, d) => {
+        val prev = s.conf.get("spark.sql.shuffle.partitions")
+        try {
+          s.conf.set("spark.sql.shuffle.partitions", "8")
+          graft.streaming.UrlFrontierStream.runOn(
+            s, Tables.documents(s, d), nSplits = 2)
+        } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      },
+      Some(UrlAggSql)),
+
+    // ---- E4+: robots.txt politeness filter over the frontier -----------
+    // Dedup then politeness, the real pipeline order: every canonical
+    // URL is checked against its host's robots.txt with the RFC 9309
+    // rule (exact-token group beats *, longest path prefix wins, Allow
+    // wins ties) by the codegen'd [[graft.ops.RobotsAllow]] parser. The
+    // engine parses the full FILE — decoy group, comments, directive
+    // noise, empty Disallow — while the oracle replays only the
+    // effective rules and recomputes the longest-match decision with a
+    // rank window: any group-selection or precedence defect flips
+    // decisions and breaks counts and hashsum.
+    Q(
+      "q180_robots_filter",
+      (s, d) => {
+        val (host, canon) = {
+          val u = col("u")
+          canonParts(u)
+        }
+        val frontier = docs(s, d)
+          .select(explode(urlArray).as("u"))
+          .select(host.as("host"), canon.as("canon"))
+          .distinct()
+        frontier
+          .withColumn("allow", Robots.robotsAllow(robotsTxt, lit("graftbot"),
+            regexp_extract(col("canon"), "^[a-z]+://[^/?]*([^?]*)", 1)))
+          .groupBy(col("host"))
+          .agg(count(lit(1)).as("n_urls"),
+            sum(when(col("allow"), 1L).otherwise(0L)).as("n_allowed"),
+            sum(when(!col("allow"), 1L).otherwise(0L)).as("n_blocked"),
+            sum(when(col("allow"), polyHash(col("canon"))).otherwise(0L))
+              .as("allowed_hashsum"))
+          .orderBy(col("host"))
+      },
+      Some(UrlCanonSql + s""",
+        |f AS (SELECT DISTINCT host, canon FROM canon),
+        |u AS (SELECT host, canon,
+        |        regexp_extract(canon, '^[a-z]+://[^/?]*([^?]*)', 1) AS path
+        |      FROM f),
+        |hosts AS (SELECT DISTINCT host FROM f),
+        |rules AS (SELECT host, t.r.v AS rpath, t.r.a AS allow FROM hosts,
+        |  unnest(CASE
+        |    WHEN starts_with(host, 'www.')
+        |         AND regexp_extract(host, 'site([0-9])', 1) IN ('0','2','4')
+        |      THEN [{'v': '/Article/7', 'a': false},
+        |            {'v': '/Article/77', 'a': true}]
+        |    WHEN starts_with(host, 'www.')
+        |      THEN [{'v': '/Article/1', 'a': false},
+        |            {'v': '/Article/12', 'a': true},
+        |            {'v': '/private/', 'a': false}]
+        |    ELSE [{'v': '/p/' || regexp_extract(host, 'mirror([0-9])', 1),
+        |           'a': false},
+        |          {'v': '/p/' || repeat(regexp_extract(host, 'mirror([0-9])', 1), 2),
+        |           'a': true}]
+        |  END) AS t(r)),
+        |m AS (SELECT u.host, u.canon, r.rpath, r.allow
+        |      FROM u JOIN rules r
+        |        ON u.host = r.host AND starts_with(u.path, r.rpath)),
+        |best AS (SELECT host, canon, allow,
+        |    row_number() OVER (PARTITION BY host, canon
+        |                       ORDER BY len(rpath) DESC, allow DESC) AS rn
+        |  FROM m),
+        |dec AS (SELECT u.host, u.canon, coalesce(b.allow, true) AS allow
+        |        FROM u LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+        |          ON u.host = b.host AND u.canon = b.canon)
+        |SELECT host, CAST(count(*) AS BIGINT) AS n_urls,
+        |  CAST(sum(CASE WHEN allow THEN 1 ELSE 0 END) AS BIGINT) AS n_allowed,
+        |  CAST(sum(CASE WHEN allow THEN 0 ELSE 1 END) AS BIGINT) AS n_blocked,
+        |  CAST(sum(CASE WHEN allow THEN ${polyHashSql("canon")}
+        |           ELSE 0 END) AS BIGINT) AS allowed_hashsum
+        |FROM dec
+        |GROUP BY host
+        |ORDER BY host""".stripMargin))
   )
 }

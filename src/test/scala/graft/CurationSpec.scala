@@ -69,6 +69,90 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("url frontier stream: folds to the identical batch q177 frame") {
+    val batch = run("q177_url_canonicalize").collect().toSeq
+    val stream = run("q179_url_frontier_stream").collect().toSeq
+    assert(stream == batch)
+  }
+
+  test("url frontier: at-least-once batch retry replays bit-identically") {
+    import graft.streaming.UrlFrontierStream
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val work = java.nio.file.Files.createTempDirectory("urlretry").toString
+    val b0 = docs.where(col("doc_id") < 20)
+    val b1 = docs.where(col("doc_id") >= 20 && col("doc_id") < 40)
+    UrlFrontierStream.processBatch(spark, b0, 0L, work, 16, 0)
+    UrlFrontierStream.processBatch(spark, b1, 1L, work, 16, 0)
+    def snap() = (
+      spark.read.parquet(s"$work/partials").collect()
+        .map(_.toString).sorted.toSeq,
+      spark.read.parquet(s"$work/url_store").collect()
+        .map(_.toString).sorted.toSeq)
+    val before = snap()
+    // the retry scenario: batch 1 completed its appends, then the batch
+    // was re-run — partials and store must come back bit-identical
+    UrlFrontierStream.processBatch(spark, b1, 1L, work, 16, 0)
+    assert(snap() == before)
+  }
+
+  // ---- q180: robots.txt (RFC 9309) -------------------------------------
+
+  private def allow(robots: String, path: String,
+                    token: String = "graftbot"): Boolean =
+    graft.ops.RobotsOps.allowed(UTF8String.fromString(robots),
+      UTF8String.fromString(token), UTF8String.fromString(path))
+
+  test("robots: exact-token group wins, * ignored when it exists") {
+    val txt = "User-agent: GraftBot\nDisallow: /a\n\n" +
+      "User-agent: *\nDisallow: /b\n"
+    assert(!allow(txt, "/a/x"))
+    assert(allow(txt, "/b/x"), "* group must not apply when exact matches")
+    assert(!allow(txt, "/b/x", token = "otherbot"))
+  }
+
+  test("robots: multiple exact groups merge; consecutive UA lines share") {
+    val txt = "User-agent: graftbot\nUser-agent: other\nDisallow: /a\n\n" +
+      "User-agent: graftbot\nDisallow: /b\n"
+    assert(!allow(txt, "/a") && !allow(txt, "/b"))
+    assert(!allow(txt, "/a", token = "other"))
+    assert(allow(txt, "/b", token = "other"))
+  }
+
+  test("robots: longest match wins; Allow wins length ties") {
+    val txt = "User-agent: *\nDisallow: /dir\nAllow: /dir/ok\n"
+    assert(!allow(txt, "/dir/no"))
+    assert(allow(txt, "/dir/ok/page"))
+    val tie = "User-agent: *\nDisallow: /p\nAllow: /p\n"
+    assert(allow(tie, "/page"), "equal-length Allow must win")
+  }
+
+  test("robots: empty Disallow, comments, CRLF, case, unknown directives") {
+    val txt = "# policy\r\nUSER-AGENT: *\r\nCrawl-delay: 2\r\n" +
+      "Disallow:\r\nDisallow: /x # inline comment\r\nSitemap: /s.xml\r\n"
+    assert(allow(txt, "/anything"), "empty Disallow matches nothing")
+    assert(!allow(txt, "/x/y"), "inline comment stripped from value")
+    assert(allow("", "/x"), "no groups at all -> allowed")
+    assert(allow("User-agent: other\nDisallow: /\n", "/x"),
+      "no applicable group -> allowed")
+  }
+
+  test("robots: q180 reconciles with the frontier and splits both ways") {
+    val rows = run("q180_robots_filter").collect()
+    val frontier = run("q177_url_canonicalize").collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (host, n, a, b) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(a + b == n, s"$host: allowed+blocked must cover the frontier")
+      assert(n == frontier(host), s"$host: input is the canonical frontier")
+    }
+    // the fixture plants both outcomes on at least one host each
+    assert(rows.exists(_.getLong(3) > 0), "some URLs must be blocked")
+    assert(rows.forall(_.getLong(2) > 0), "no host blocks everything")
+  }
+
   // ---- q178: WARC framing ----------------------------------------------
 
   private def rec(uri: String, payload: Array[Byte]): Array[Byte] =
