@@ -315,9 +315,33 @@ object SelectionOps {
     * left to AQE: tiny at test SFs (broadcast), still fine shuffled —
     * keys are (grp, bucket), finer than any group skew.
     */
+  /** Pin a tiny multi-consumer frame. Batch callers (scratch = None) use
+    * localCheckpoint — cheapest, executor-local, fine when the caller
+    * can simply re-run the query. Stream callers pass a scratch dir and
+    * get a parquet round-trip instead: a localCheckpoint block lives
+    * only on its executor AND truncates lineage, so one executor kill
+    * mid-fold is unrecoverable and fails the whole streaming query
+    * (measured: q146 died with CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND in the
+    * r16 kill-injection BEFORE run — the same failure class
+    * [[graft.ops.ConnectedComponents.clustersReliable]] closes for
+    * q134/q158). A lineage-keeping persist() is NOT an alternative: the
+    * r16 post-swap twins measured 2–6× executor CPU on q141/q142/q145/
+    * q146 because the multi-consumer cache was recomputed per consumer.
+    */
+  private def pinTiny(df: org.apache.spark.sql.DataFrame,
+                      scratch: Option[String], tag: String)
+      : org.apache.spark.sql.DataFrame = scratch match {
+    case Some(dir) =>
+      val p = s"$dir/$tag"
+      df.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(p)
+      df.sparkSession.read.parquet(p)
+    case None => df.localCheckpoint()
+  }
+
   private[graft] def exactKPerGroup(rows: org.apache.spark.sql.DataFrame,
                                     targets: org.apache.spark.sql.DataFrame,
-                                    nb: Long = 1024L)
+                                    nb: Long = 1024L,
+                                    scratch: Option[String] = None)
       : org.apache.spark.sql.DataFrame = {
     val bw = graft.functions.TextHash.Mod / nb + 1L
     val withB = rows.withColumn("gb", expr(s"h DIV ${bw}L"))
@@ -325,12 +349,10 @@ object SelectionOps {
       .agg(count(lit(1)).as("c"))
     // meta is TINY (≤ groups·nb rows) but derives from a corpus
     // aggregate; it feeds both union branches below, so pin it once
-    // instead of re-running the bucket-count scan per consumer.
-    // persist WITH lineage, not localCheckpoint: this helper sits on
-    // the q146 stream path, and a localCheckpoint block dies with its
-    // executor (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND under the r16
-    // kill-injection run) — persisted blocks recompute instead
-    val meta = bcounts
+    // instead of re-running the bucket-count scan per consumer
+    // (localCheckpoint for batch, parquet scratch on stream paths —
+    // see pinTiny)
+    val meta = pinTiny(bcounts
       .withColumn("cum_before", coalesce(
         sum(col("c")).over(Window.partitionBy(col("grp")).orderBy(col("gb"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
@@ -338,8 +360,8 @@ object SelectionOps {
       .where(col("cum_before") < col("target_n"))
       .select(col("grp"), col("gb"),
         (col("cum_before") + col("c") <= col("target_n")).as("keep_all"),
-        (col("target_n") - col("cum_before")).as("k_in"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        (col("target_n") - col("cum_before")).as("k_in")),
+      scratch, "ekpg_meta")
     val joined = withB.join(meta, Seq("grp", "gb"))
     val full = joined.where(col("keep_all")).select(col("grp"), col("id"), col("h"))
     val partial = joined.where(!col("keep_all"))
@@ -459,19 +481,18 @@ object SelectionOps {
     * language pinning the selected SET (count + id/hash sums).
     */
   private[graft] def mixtureResult(docs: org.apache.spark.sql.DataFrame,
-                                   ap: org.apache.spark.sql.DataFrame)
+                                   ap: org.apache.spark.sql.DataFrame,
+                                   scratch: Option[String] = None)
       : org.apache.spark.sql.DataFrame = {
     // ap is ≤|langs| rows but derives from a corpus count aggregate and
     // feeds two consumers (the election targets + the output spine) —
-    // pin the tiny frame so the corpus agg runs once. persist WITH
-    // lineage, not localCheckpoint: this runs on the q146 STREAM path,
-    // where an executor SIGKILL kills a localCheckpoint block with no
-    // recompute path (measured: CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND in
-    // the r16 kill-injection BEFORE run)
-    val apC = ap.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // pin the tiny frame so the corpus agg runs once (localCheckpoint
+    // for batch, parquet scratch on the q146 stream path — see pinTiny)
+    val apC = pinTiny(ap, scratch, "mix_ap")
     val sel = exactKPerGroup(
       docs.select(col("lang").as("grp"), col("doc_id").as("id"), col("h")),
-      apC.select(col("lang").as("grp"), col("target_n")))
+      apC.select(col("lang").as("grp"), col("target_n")),
+      scratch = scratch)
     val kept = sel.groupBy(col("grp")).agg(
       count(lit(1)).as("n_kept"),
       sum(col("id")).as("sel_sum_id"),
@@ -2517,18 +2538,18 @@ object SelectionOps {
     */
   private[graft] def dsirScore(toks: org.apache.spark.sql.DataFrame,
                                counts: org.apache.spark.sql.DataFrame,
-                               dim: Int, k: Int)
+                               dim: Int, k: Int,
+                               scratch: Option[String] = None)
       : org.apache.spark.sql.DataFrame = {
     import graft.functions.TopKBy.topKBy
-    val scored = dsirScored(toks, counts, dim)
-      // scored feeds two consumers (the threshold aggregate + the final
-      // flag projection); without the pin each re-runs the token scan,
-      // the count aggregate, and the scoring join — 4 corpus passes
-      // instead of 2 for one small row per doc (the q106 rule).
-      // persist WITH lineage, not localCheckpoint: q142's STREAM twin
-      // shares this helper, and executor-local checkpoint blocks die
-      // with their executor under real failure injection (W85/r16)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // scored feeds two consumers (the threshold aggregate + the final
+    // flag projection); without the pin each re-runs the token scan,
+    // the count aggregate, and the scoring join — 4 corpus passes
+    // instead of 2 for one small row per doc (the q106 rule).
+    // localCheckpoint for batch q141, parquet scratch for q142's
+    // stream twin — see pinTiny
+    val scored = pinTiny(dsirScored(toks, counts, dim), scratch,
+      "dsir_scored")
     // O(k) selection state: the kth-largest key via the bounded-heap
     // aggregate, broadcast back as a threshold — never a global rank
     // window over the corpus. Fewer than k docs → min key → all selected.

@@ -72,7 +72,10 @@ object DsirStream {
       .agg(sum(col("rc")).as("rc"), sum(col("tc")).as("tc"))
     val arrived = spark.read.parquet(s"$inputDir/split_*.parquet")
     SelectionOps.dsirScore(
-      SelectionOps.dsirToks(arrived, isTarget, dim), counts, dim, k)
+      SelectionOps.dsirToks(arrived, isTarget, dim), counts, dim, k,
+      // the fold runs under a live stream's lifetime: pin to parquet
+      // scratch so an executor kill can't strand a checkpoint block
+      scratch = Some(s"$workDir/scratch"))
   }
 
   /** Stage + run in a fresh work dir: the q142 entry. */

@@ -49,7 +49,10 @@ object MixtureStream {
       .groupBy(col("lang")).agg(sum(col("n_lang")).as("n_lang"))
     val arrived = SelectionOps.mixDocs(
       spark.read.parquet(s"$inputDir/split_*.parquet"))
-    SelectionOps.mixtureResult(arrived, SelectionOps.mixtureTargets(counts))
+    SelectionOps.mixtureResult(arrived, SelectionOps.mixtureTargets(counts),
+      // the fold runs under a live stream's lifetime: pin to parquet
+      // scratch so an executor kill can't strand a checkpoint block
+      scratch = Some(s"$workDir/scratch"))
   }
 
   /** Stage + run in a fresh work dir: the q146 entry. */
