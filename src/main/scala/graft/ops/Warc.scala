@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
@@ -92,6 +93,27 @@ object WarcOps {
   private def fail(off: Int, msg: String): Nothing =
     throw new IllegalArgumentException(s"warc parse at offset $off: $msg")
 
+  /** Find the next plausible record start at or after `from`: the next
+    * occurrence of the version-line bytes "WARC/1.0\r\n". No
+    * line-boundary requirement — a truncated record can butt its
+    * payload directly against the next record's magic, and a false
+    * positive can only occur INSIDE a region already being skipped
+    * (good records are framed by Content-Length, never scanned), where
+    * it costs one more failed parse attempt, not data. Returns
+    * seg.length when none remains.
+    */
+  private def nextMagic(seg: Array[Byte], from: Int): Int = {
+    var i = math.max(from, 0)
+    while (i + 10 <= seg.length) {
+      if (seg(i) == 'W' && seg(i + 1) == 'A' && seg(i + 2) == 'R' &&
+          seg(i + 3) == 'C' && seg(i + 4) == '/' && seg(i + 5) == '1' &&
+          seg(i + 6) == '.' && seg(i + 7) == '0' &&
+          seg(i + 8) == '\r' && seg(i + 9) == '\n') return i
+      i += 1
+    }
+    seg.length
+  }
+
   private def lineEnd(b: Array[Byte], from: Int): Int = {
     var i = from
     while (i + 1 < b.length && !(b(i) == '\r' && b(i + 1) == '\n')) i += 1
@@ -99,60 +121,101 @@ object WarcOps {
     i
   }
 
+  /** Parse one record starting at `start`; returns (record struct, end
+    * offset). Throws IAE on any framing violation.
+    */
+  private def parseRecord(seg: Array[Byte], start: Int)
+      : (GenericInternalRow, Int) = {
+    var off = start
+    var e = lineEnd(seg, off)
+    if (!(e - off == 8 && seg(off) == 'W' && seg(off + 1) == 'A' &&
+          seg(off + 2) == 'R' && seg(off + 3) == 'C' && seg(off + 4) == '/' &&
+          seg(off + 5) == '1' && seg(off + 6) == '.' && seg(off + 7) == '0'))
+      fail(off, "missing WARC/1.0 version line")
+    off = e + 2
+    var uri: String = null
+    var recType: String = null
+    var clen = -1L
+    // header lines until the blank line
+    var done = false
+    while (!done) {
+      e = lineEnd(seg, off)
+      if (e == off) { done = true; off += 2 }
+      else {
+        val line = new String(seg, off, e - off,
+          java.nio.charset.StandardCharsets.UTF_8)
+        val c = line.indexOf(':')
+        if (c < 0) fail(off, s"header line without colon: '$line'")
+        val k = line.substring(0, c)
+        val v = line.substring(c + 1).trim
+        if (k.equalsIgnoreCase("Content-Length")) {
+          try clen = java.lang.Long.parseLong(v)
+          catch { case _: NumberFormatException =>
+            fail(off, s"bad Content-Length '$v'") }
+        } else if (k.equalsIgnoreCase("WARC-Target-URI")) uri = v
+        else if (k.equalsIgnoreCase("WARC-Type")) recType = v
+        off = e + 2
+      }
+    }
+    if (clen < 0) fail(start, "record without Content-Length")
+    if (clen > seg.length - off - 4)
+      fail(start, s"Content-Length $clen overruns segment")
+    val payload = java.util.Arrays.copyOfRange(seg, off, off + clen.toInt)
+    off += clen.toInt
+    if (!(seg(off) == '\r' && seg(off + 1) == '\n' &&
+          seg(off + 2) == '\r' && seg(off + 3) == '\n'))
+      fail(off, "missing record separator")
+    off += 4
+    (new GenericInternalRow(Array[Any](
+      if (uri == null) null else UTF8String.fromString(uri),
+      if (recType == null) null else UTF8String.fromString(recType),
+      start.toLong, clen, payload)), off)
+  }
+
   /** Walk a segment: one struct (uri, rec_type, offset, content_length,
     * payload) per record, in segment order. Quarantines (IAE) on any
-    * framing violation.
+    * framing violation — the whole segment is rejected (q178's
+    * round-trip contract; use [[parseLenient]] for record-level
+    * salvage over dirty segments).
     */
   def parse(seg: Array[Byte]): ArrayData = {
     val out = scala.collection.mutable.ArrayBuffer.empty[AnyRef]
     var off = 0
     while (off < seg.length) {
-      val recStart = off
-      var e = lineEnd(seg, off)
-      if (!(e - off == 8 && seg(off) == 'W' && seg(off + 1) == 'A' &&
-            seg(off + 2) == 'R' && seg(off + 3) == 'C' && seg(off + 4) == '/' &&
-            seg(off + 5) == '1' && seg(off + 6) == '.' && seg(off + 7) == '0'))
-        fail(off, "missing WARC/1.0 version line")
-      off = e + 2
-      var uri: String = null
-      var recType: String = null
-      var clen = -1L
-      // header lines until the blank line
-      var done = false
-      while (!done) {
-        e = lineEnd(seg, off)
-        if (e == off) { done = true; off += 2 }
-        else {
-          val line = new String(seg, off, e - off,
-            java.nio.charset.StandardCharsets.UTF_8)
-          val c = line.indexOf(':')
-          if (c < 0) fail(off, s"header line without colon: '$line'")
-          val k = line.substring(0, c)
-          val v = line.substring(c + 1).trim
-          if (k.equalsIgnoreCase("Content-Length")) {
-            try clen = java.lang.Long.parseLong(v)
-            catch { case _: NumberFormatException =>
-              fail(off, s"bad Content-Length '$v'") }
-          } else if (k.equalsIgnoreCase("WARC-Target-URI")) uri = v
-          else if (k.equalsIgnoreCase("WARC-Type")) recType = v
-          off = e + 2
-        }
-      }
-      if (clen < 0) fail(recStart, "record without Content-Length")
-      if (clen > seg.length - off - 4)
-        fail(recStart, s"Content-Length $clen overruns segment")
-      val payload = java.util.Arrays.copyOfRange(seg, off, off + clen.toInt)
-      off += clen.toInt
-      if (!(seg(off) == '\r' && seg(off + 1) == '\n' &&
-            seg(off + 2) == '\r' && seg(off + 3) == '\n'))
-        fail(off, "missing record separator")
-      off += 4
-      out += new GenericInternalRow(Array[Any](
-        if (uri == null) null else UTF8String.fromString(uri),
-        if (recType == null) null else UTF8String.fromString(recType),
-        recStart.toLong, clen, payload))
+      val (rec, next) = parseRecord(seg, off)
+      out += rec
+      off = next
     }
     new GenericArrayData(out.toArray)
+  }
+
+  /** Record-level salvage over a possibly dirty segment — what a real
+    * crawl reader does, because one flipped byte must cost one record,
+    * not a whole 1 GB segment: on any framing violation, scan forward
+    * to the next plausible record start (a "WARC/1.0\r\n" at a line
+    * boundary) and resume; the bytes jumped over are accounted, never
+    * silently dropped. Returns (records, n_bad, skipped_bytes).
+    */
+  def parseLenient(seg: Array[Byte]): InternalRow = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[AnyRef]
+    var off = 0
+    var nBad = 0L
+    var skipped = 0L
+    while (off < seg.length) {
+      try {
+        val (rec, next) = parseRecord(seg, off)
+        out += rec
+        off = next
+      } catch {
+        case _: IllegalArgumentException =>
+          val resume = nextMagic(seg, off + 1)
+          nBad += 1
+          skipped += resume - off
+          off = resume
+      }
+    }
+    new GenericInternalRow(Array[Any](
+      new GenericArrayData(out.toArray), nBad, skipped))
   }
 }
 
@@ -202,6 +265,25 @@ case class WarcParse(child: Expression) extends UnaryExpression {
   override def prettyName: String = "warc_parse"
 }
 
+/** warc_parse_lenient(segment): (records, n_bad, skipped_bytes) with
+  * record-level salvage instead of whole-segment quarantine.
+  */
+case class WarcParseLenient(child: Expression) extends UnaryExpression {
+  private val recordType = WarcParse(child).dataType
+  override def dataType: DataType = StructType(Seq(
+    StructField("records", recordType, nullable = false),
+    StructField("n_bad", LongType, nullable = false),
+    StructField("skipped_bytes", LongType, nullable = false)))
+  override def nullSafeEval(v: Any): Any =
+    WarcOps.parseLenient(v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.ops.WarcOps.parseLenient($c)")
+  override protected def withNewChildInternal(c: Expression)
+      : WarcParseLenient = copy(c)
+  override def prettyName: String = "warc_parse_lenient"
+}
+
 object Warc {
   import org.apache.spark.sql.graftbridge.ColumnBridge
 
@@ -214,4 +296,7 @@ object Warc {
 
   def warcParse(segment: Column): Column =
     ColumnBridge.column(WarcParse(ColumnBridge.expression(segment)))
+
+  def warcParseLenient(segment: Column): Column =
+    ColumnBridge.column(WarcParseLenient(ColumnBridge.expression(segment)))
 }

@@ -195,6 +195,51 @@ object CurationOps {
     |FROM raw JOIN ded USING (host)
     |ORDER BY host""".stripMargin
 
+  /** Shared q178/q181 oracle prefix: replay the HTML page, the WARC
+    * header string, and each record's total length (header + payload +
+    * separator) per doc — `sized` carries (doc_id, file_id, uri, clen,
+    * payload_md5, rlen).
+    */
+  private val WarcSizedSql: String =
+    """WITH nn AS (SELECT greatest(CAST(1 AS BIGINT),
+      |    CAST((count(*) + 511) // 512 AS BIGINT)) AS nf
+      |  FROM documents WHERE doc_id IS NOT NULL),
+      |d AS (SELECT doc_id, coalesce(text, '') AS text
+      |      FROM documents WHERE doc_id IS NOT NULL),
+      |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM d),
+      |paras AS (SELECT doc_id,
+      |    string_agg('<p>' || array_to_string(list_slice(t, i*12 + 1,
+      |      least((i+1)*12, len(t))), ' ') || '</p>', '' ORDER BY i) AS ps
+      |  FROM toks, unnest(range(0, (len(t) + 11) // 12)) AS u(i)
+      |  GROUP BY doc_id),
+      |page AS (SELECT d.doc_id,
+      |    '<html><head><title>doc ' || d.doc_id || '</title><script>var page='
+      |    || d.doc_id || ';</script></head><body>'
+      |    || '<nav><ul><li><a href="/home">home</a></li>'
+      |    || '<li><a href="/about">about</a></li>'
+      |    || '<li><a href="/contact">contact</a></li></ul></nav>'
+      |    || '<h1>document ' || d.doc_id || '</h1>'
+      |    || coalesce(p.ps, '')
+      |    || '<div class="related">related: '
+      |    || array_to_string(list_transform(range(0, 2 + d.doc_id % 3),
+      |         j -> '<a href="/d/' || ((d.doc_id + j) % 1000) || '">doc-'
+      |              || ((d.doc_id + j) % 1000) || '</a>'), ' ')
+      |    || '</div><footer>copyright 2026 the corpus company all rights reserved</footer>'
+      |    || '</body></html>' AS html
+      |  FROM d LEFT JOIN paras p ON d.doc_id = p.doc_id),
+      |rec AS (SELECT doc_id, doc_id % nf AS file_id,
+      |    'https://example' || (doc_id % 5) || '.com/doc/' || doc_id AS uri,
+      |    CAST(strlen(html) AS BIGINT) AS clen, md5(html) AS payload_md5
+      |  FROM page, nn),
+      |sized AS (SELECT *,
+      |    CAST(strlen('WARC/1.0' || chr(13) || chr(10)
+      |      || 'WARC-Type: response' || chr(13) || chr(10)
+      |      || 'WARC-Target-URI: ' || uri || chr(13) || chr(10)
+      |      || 'Content-Type: text/html' || chr(13) || chr(10)
+      |      || 'Content-Length: ' || clen || chr(13) || chr(10)
+      |      || chr(13) || chr(10)) AS BIGINT) + clen + 4 AS rlen
+      |  FROM rec)""".stripMargin
+
   val defs: Seq[Q] = Seq(
     // ---- E4+: free-text PII scrubbing, staged-count semantics ----------
     // Counts are taken on the PROGRESSIVELY redacted text (emails on the
@@ -323,44 +368,7 @@ object CurationOps {
             md5(col("r.payload")).as("payload_md5"))
           .orderBy(col("doc_id"))
       },
-      Some("""WITH nn AS (SELECT greatest(CAST(1 AS BIGINT),
-            |    CAST((count(*) + 511) // 512 AS BIGINT)) AS nf
-            |  FROM documents WHERE doc_id IS NOT NULL),
-            |d AS (SELECT doc_id, coalesce(text, '') AS text
-            |      FROM documents WHERE doc_id IS NOT NULL),
-            |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM d),
-            |paras AS (SELECT doc_id,
-            |    string_agg('<p>' || array_to_string(list_slice(t, i*12 + 1,
-            |      least((i+1)*12, len(t))), ' ') || '</p>', '' ORDER BY i) AS ps
-            |  FROM toks, unnest(range(0, (len(t) + 11) // 12)) AS u(i)
-            |  GROUP BY doc_id),
-            |page AS (SELECT d.doc_id,
-            |    '<html><head><title>doc ' || d.doc_id || '</title><script>var page='
-            |    || d.doc_id || ';</script></head><body>'
-            |    || '<nav><ul><li><a href="/home">home</a></li>'
-            |    || '<li><a href="/about">about</a></li>'
-            |    || '<li><a href="/contact">contact</a></li></ul></nav>'
-            |    || '<h1>document ' || d.doc_id || '</h1>'
-            |    || coalesce(p.ps, '')
-            |    || '<div class="related">related: '
-            |    || array_to_string(list_transform(range(0, 2 + d.doc_id % 3),
-            |         j -> '<a href="/d/' || ((d.doc_id + j) % 1000) || '">doc-'
-            |              || ((d.doc_id + j) % 1000) || '</a>'), ' ')
-            |    || '</div><footer>copyright 2026 the corpus company all rights reserved</footer>'
-            |    || '</body></html>' AS html
-            |  FROM d LEFT JOIN paras p ON d.doc_id = p.doc_id),
-            |rec AS (SELECT doc_id, doc_id % nf AS file_id,
-            |    'https://example' || (doc_id % 5) || '.com/doc/' || doc_id AS uri,
-            |    CAST(strlen(html) AS BIGINT) AS clen, md5(html) AS payload_md5
-            |  FROM page, nn),
-            |sized AS (SELECT *,
-            |    CAST(strlen('WARC/1.0' || chr(13) || chr(10)
-            |      || 'WARC-Type: response' || chr(13) || chr(10)
-            |      || 'WARC-Target-URI: ' || uri || chr(13) || chr(10)
-            |      || 'Content-Type: text/html' || chr(13) || chr(10)
-            |      || 'Content-Length: ' || clen || chr(13) || chr(10)
-            |      || chr(13) || chr(10)) AS BIGINT) + clen + 4 AS rlen
-            |  FROM rec)
+      Some(WarcSizedSql + """
             |SELECT doc_id, file_id,
             |  CAST(row_number() OVER (PARTITION BY file_id ORDER BY doc_id) - 1
             |       AS BIGINT) AS rec_idx,
@@ -461,6 +469,66 @@ object CurationOps {
         |           ELSE 0 END) AS BIGINT) AS allowed_hashsum
         |FROM dec
         |GROUP BY host
-        |ORDER BY host""".stripMargin))
+        |ORDER BY host""".stripMargin)),
+
+    // ---- E5+: WARC record-level salvage over dirty segments ------------
+    // One flipped byte must cost one record, not a 1 GB segment: the
+    // query corrupts the version magic of every doc_id % 37 == 0 record
+    // AFTER building it, packs the same segments as q178, and reads
+    // them back with [[graft.ops.WarcParseLenient]] — parse errors skip
+    // to the next plausible record start ("WARC/1.0\r\n" at a line
+    // boundary) with the jumped bytes ACCOUNTED, never silently
+    // dropped. The oracle knows exactly which records are corrupt and
+    // how long each one is (the q178 header-length replay), so
+    // per-file good/bad counts, skipped byte totals, and the surviving
+    // records' content-length sum are all independently recomputed.
+    Q(
+      "q181_warc_salvage",
+      (s, d) => {
+        val base = docs(s, d).where(col("doc_id").isNotNull)
+        val n = base.agg(count(lit(1)).as("n_docs"))
+        val nf = greatest(lit(1L), expr("(n_docs + 511) DIV 512"))
+        val recs = base.crossJoin(broadcast(n))
+          .select(col("doc_id"), pmod(col("doc_id"), nf).as("file_id"),
+            Warc.warcBuild(
+              concat(lit("https://example"),
+                str(pmod(col("doc_id"), lit(5L))),
+                lit(".com/doc/"), str(col("doc_id"))),
+              encode(HtmlExtract.htmlWrap(col("doc_id"), col("text")),
+                "UTF-8")).as("rec"))
+          .withColumn("rec",
+            when(pmod(col("doc_id"), lit(37L)) === 0,
+              concat(lit("X".getBytes("UTF-8")),
+                expr("substring(rec, 2, length(rec) - 1)")))
+              .otherwise(col("rec")))
+        recs
+          .groupBy(col("file_id"))
+          .agg(sort_array(collect_list(struct(col("doc_id"), col("rec"))))
+            .as("rs"))
+          .select(col("file_id"),
+            Warc.warcParseLenient(
+              Warc.warcSegment(expr("transform(rs, r -> r.rec)"))).as("st"))
+          .select(col("file_id"),
+            size(col("st.records")).cast("long").as("n_good"),
+            col("st.n_bad").as("n_bad"),
+            col("st.skipped_bytes").as("skipped_bytes"),
+            aggregate(col("st.records"), lit(0L),
+              (a, r) => a + r.getField("content_length"))
+              .as("good_clen_sum"))
+          .orderBy(col("file_id"))
+      },
+      Some(WarcSizedSql + """
+        |SELECT file_id,
+        |  CAST(sum(CASE WHEN doc_id % 37 = 0 THEN 0 ELSE 1 END) AS BIGINT)
+        |    AS n_good,
+        |  CAST(sum(CASE WHEN doc_id % 37 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_bad,
+        |  CAST(sum(CASE WHEN doc_id % 37 = 0 THEN rlen ELSE 0 END) AS BIGINT)
+        |    AS skipped_bytes,
+        |  CAST(sum(CASE WHEN doc_id % 37 = 0 THEN 0 ELSE clen END) AS BIGINT)
+        |    AS good_clen_sum
+        |FROM sized
+        |GROUP BY file_id
+        |ORDER BY file_id""".stripMargin))
   )
 }

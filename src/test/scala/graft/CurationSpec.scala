@@ -198,6 +198,38 @@ class CurationSpec extends SparkSpec {
     assert(iae(sep).getMessage.contains("separator"))
   }
 
+  test("warc salvage: one flipped byte costs one record, bytes accounted") {
+    val recs = (1 to 4).map(i =>
+      rec(s"https://a/$i", s"payload number $i".getBytes("UTF-8")))
+    def corrupt(b: Array[Byte]) = { val c = b.clone(); c(0) = 'X'; c }
+    // corrupt the SECOND record: salvage must keep 1, 3, 4
+    val seg = recs(0) ++ corrupt(recs(1)) ++ recs(2) ++ recs(3)
+    val st = WarcOps.parseLenient(seg)
+    val got = st.getArray(0)
+    assert(got.numElements() == 3 && st.getLong(1) == 1L)
+    assert(st.getLong(2) == recs(1).length.toLong, "skipped = full record")
+    assert(got.getStruct(0, 5).getString(0) == "https://a/1")
+    assert(got.getStruct(1, 5).getString(0) == "https://a/3")
+    assert(got.getStruct(1, 5).getLong(2) ==
+      (recs(0).length + recs(1).length).toLong,
+      "salvaged offsets stay absolute")
+    // corrupt FIRST and LAST: middle records survive, tail fully skipped
+    val seg2 = corrupt(recs(0)) ++ recs(1) ++ corrupt(recs(3))
+    val st2 = WarcOps.parseLenient(seg2)
+    assert(st2.getArray(0).numElements() == 1 && st2.getLong(1) == 2L)
+    assert(st2.getLong(2) == (recs(0).length + recs(3).length).toLong)
+    // mid-record damage (overrunning Content-Length) also salvages
+    val bad = rec("https://a/x", "0123456789".getBytes("UTF-8"))
+    val seg3 = bad.dropRight(6) ++ recs(2)
+    val st3 = WarcOps.parseLenient(seg3)
+    assert(st3.getArray(0).numElements() == 1 && st3.getLong(1) == 1L)
+    assert(st3.getArray(0).getStruct(0, 5).getString(0) == "https://a/3")
+    // clean segment: lenient == strict, zero accounting
+    val st4 = WarcOps.parseLenient(recs(0) ++ recs(1))
+    assert(st4.getArray(0).numElements() == 2 &&
+      st4.getLong(1) == 0L && st4.getLong(2) == 0L)
+  }
+
   test("warc: q178 offsets are contiguous and md5s match a direct rebuild") {
     val out = run("q178_warc_roundtrip").collect()
     assert(out.nonEmpty)
