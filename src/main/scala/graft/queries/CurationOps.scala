@@ -195,23 +195,21 @@ object CurationOps {
     |FROM raw JOIN ded USING (host)
     |ORDER BY host""".stripMargin
 
-  /** Shared q178/q181 oracle prefix: replay the HTML page, the WARC
-    * header string, and each record's total length (header + payload +
-    * separator) per doc — `sized` carries (doc_id, file_id, uri, clen,
-    * payload_md5, rlen).
+  /** Page-replay CTE block shared by the WARC oracles. Expects a CTE
+    * `d(doc_id, …, text)` already defined; adds `toks`, per-paragraph
+    * `paras(doc_id, i, btext)`, the aggregated `pageps`, and
+    * `page(doc_id, html)` — the exact bytes `HtmlExtractOps.wrap`
+    * renders.
     */
-  private val WarcSizedSql: String =
-    """WITH nn AS (SELECT greatest(CAST(1 AS BIGINT),
-      |    CAST((count(*) + 511) // 512 AS BIGINT)) AS nf
-      |  FROM documents WHERE doc_id IS NOT NULL),
-      |d AS (SELECT doc_id, coalesce(text, '') AS text
-      |      FROM documents WHERE doc_id IS NOT NULL),
-      |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM d),
-      |paras AS (SELECT doc_id,
-      |    string_agg('<p>' || array_to_string(list_slice(t, i*12 + 1,
-      |      least((i+1)*12, len(t))), ' ') || '</p>', '' ORDER BY i) AS ps
-      |  FROM toks, unnest(range(0, (len(t) + 11) // 12)) AS u(i)
-      |  GROUP BY doc_id),
+  private val WarcPagesSql: String =
+    """toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM d),
+      |paras AS (SELECT doc_id, i,
+      |    array_to_string(list_slice(t, i*12 + 1,
+      |      least((i+1)*12, len(t))), ' ') AS btext
+      |  FROM toks, unnest(range(0, (len(t) + 11) // 12)) AS u(i)),
+      |pageps AS (SELECT doc_id,
+      |    string_agg('<p>' || btext || '</p>', '' ORDER BY i) AS ps
+      |  FROM paras GROUP BY doc_id),
       |page AS (SELECT d.doc_id,
       |    '<html><head><title>doc ' || d.doc_id || '</title><script>var page='
       |    || d.doc_id || ';</script></head><body>'
@@ -226,7 +224,20 @@ object CurationOps {
       |              || ((d.doc_id + j) % 1000) || '</a>'), ' ')
       |    || '</div><footer>copyright 2026 the corpus company all rights reserved</footer>'
       |    || '</body></html>' AS html
-      |  FROM d LEFT JOIN paras p ON d.doc_id = p.doc_id),
+      |  FROM d LEFT JOIN pageps p ON d.doc_id = p.doc_id)""".stripMargin
+
+  /** Shared q178/q181 oracle prefix: replay the HTML page, the WARC
+    * header string, and each record's total length (header + payload +
+    * separator) per doc — `sized` carries (doc_id, file_id, uri, clen,
+    * payload_md5, rlen).
+    */
+  private val WarcSizedSql: String =
+    """WITH nn AS (SELECT greatest(CAST(1 AS BIGINT),
+      |    CAST((count(*) + 511) // 512 AS BIGINT)) AS nf
+      |  FROM documents WHERE doc_id IS NOT NULL),
+      |d AS (SELECT doc_id, coalesce(text, '') AS text
+      |      FROM documents WHERE doc_id IS NOT NULL),
+      |""".stripMargin + WarcPagesSql + """,
       |rec AS (SELECT doc_id, doc_id % nf AS file_id,
       |    'https://example' || (doc_id % 5) || '.com/doc/' || doc_id AS uri,
       |    CAST(strlen(html) AS BIGINT) AS clen, md5(html) AS payload_md5
@@ -529,6 +540,65 @@ object CurationOps {
         |    AS good_clen_sum
         |FROM sized
         |GROUP BY file_id
-        |ORDER BY file_id""".stripMargin))
+        |ORDER BY file_id""".stripMargin)),
+
+    // ---- E6: end-to-end incremental crawl ingestion --------------------
+    // WARC segments arrive as files; each micro-batch runs salvage
+    // demux → HTML boilerplate extraction → per-language accounting
+    // (language parsed back from the WARC-Target-URI, the metadata path
+    // a real crawl uses). Pure additive statistics — partial-fold
+    // family, no cross-batch store — so stream == batch under any
+    // arrival order, and the oracle replays page build + extraction +
+    // fold straight from the documents table, gating the whole chain.
+    Q(
+      "q182_warc_ingest_stream",
+      (s, d) => {
+        val prev = s.conf.get("spark.sql.shuffle.partitions")
+        try {
+          s.conf.set("spark.sql.shuffle.partitions", "8")
+          graft.streaming.WarcIngestStream.runOn(
+            s, Tables.documents(s, d), nSplits = 2)
+        } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      },
+      Some(s"""WITH d AS (SELECT doc_id, coalesce(lang, 'und') AS lang,
+        |           coalesce(text, '') AS text
+        |         FROM documents WHERE doc_id IS NOT NULL),
+        |""".stripMargin + WarcPagesSql + s""",
+        |rel AS (SELECT doc_id,
+        |    'related: ' || array_to_string(list_transform(
+        |      range(0, 2 + doc_id % 3),
+        |      j -> 'doc-' || ((doc_id + j) % 1000)), ' ') AS btext,
+        |    CAST(list_sum(list_transform(range(0, 2 + doc_id % 3),
+        |      j -> length('doc-' || ((doc_id + j) % 1000)))) AS BIGINT) AS lc
+        |  FROM d),
+        |blocks AS (
+        |  SELECT doc_id, 0 AS ord, 'document ' || doc_id AS btext,
+        |         CAST(0 AS BIGINT) AS lc FROM d
+        |  UNION ALL SELECT doc_id, 1 + i, btext, CAST(0 AS BIGINT) FROM paras
+        |  UNION ALL SELECT doc_id, 2147483647, btext, lc FROM rel),
+        |nz AS (SELECT doc_id, ord, btext, lc,
+        |         CAST(length(btext) AS BIGINT) AS blen,
+        |         (length(btext) >= 25 AND lc * 10 < length(btext) * 3) AS keep
+        |       FROM blocks WHERE length(btext) > 0),
+        |perdoc AS (SELECT doc_id,
+        |    CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |    CAST(coalesce(sum(CASE WHEN keep THEN blen END), 0) AS BIGINT)
+        |      AS kept_chars,
+        |    string_agg(CASE WHEN keep THEN btext END, chr(10)
+        |               ORDER BY ord) AS main_text
+        |  FROM nz GROUP BY doc_id),
+        |docrows AS (SELECT d.lang, CAST(strlen(pg.html) AS BIGINT) AS clen,
+        |    pd.n_kept, pd.kept_chars,
+        |    ${polyHashSql("coalesce(pd.main_text, '')")} AS th
+        |  FROM d JOIN page pg ON d.doc_id = pg.doc_id
+        |         JOIN perdoc pd ON d.doc_id = pd.doc_id)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(clen) AS BIGINT) AS sum_clen,
+        |  CAST(sum(n_kept) AS BIGINT) AS n_kept,
+        |  CAST(sum(kept_chars) AS BIGINT) AS kept_chars,
+        |  CAST(sum(th) AS BIGINT) AS text_hashsum
+        |FROM docrows
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin))
   )
 }

@@ -230,6 +230,18 @@ class CurationSpec extends SparkSpec {
       st4.getLong(1) == 0L && st4.getLong(2) == 0L)
   }
 
+  test("warc ingest stream: per-lang totals reconcile with q172 per-doc") {
+    val ing = run("q182_warc_ingest_stream").collect()
+    val q172 = run("q172_html_extract").collect()
+    val docs = Tables.documents(spark, sfDir)
+    assert(ing.map(_.getLong(1)).sum == docs.where(col("doc_id").isNotNull)
+      .count(), "every record ingested exactly once")
+    assert(ing.map(_.getLong(3)).sum == q172.map(_.getLong(2)).sum,
+      "n_kept total == q172's")
+    assert(ing.map(_.getLong(4)).sum == q172.map(_.getLong(3)).sum,
+      "kept_chars total == q172's")
+  }
+
   test("warc: q178 offsets are contiguous and md5s match a direct rebuild") {
     val out = run("q178_warc_roundtrip").collect()
     assert(out.nonEmpty)
