@@ -12,7 +12,7 @@
 # uninterrupted local[32] run.
 set -u
 cd /root/repo
-STREAMS=q109_cms_stream,q111_ivf_stream,q122_bigram_lm_stream,q125_hll_stream,q138_nb_stream,q142_dsir_stream,q146_mixture_stream
+STREAMS=q109_cms_stream,q111_ivf_stream,q122_bigram_lm_stream,q125_hll_stream,q138_nb_stream,q142_dsir_stream,q146_mixture_stream,q179_url_frontier_stream,q182_warc_ingest_stream
 SF=${SF:-/root/testdata/sf0.1}
 JAR=target/scala-2.13/avkjobskillanalyticsspark_2.13-0.1.0.jar
 KILL_EVERY=${KILL_EVERY:-12}
