@@ -59,6 +59,20 @@ object WarcIngestStream {
   def run(spark: SparkSession, inputDir: String, workDir: String)
       : DataFrame = {
     val partsDir = s"$workDir/partials"
+    // Megabyte-scale binary rows break the vectorized parquet reader's
+    // default sizing: 4096 rows/batch × ~1 MB segments tries to reserve
+    // a multi-GB contiguous byte vector (measured OOM at the sf100
+    // rung). 32 × ~1 MB ≈ 32 MB per batch — the right order for any
+    // row size this source stages.
+    val batchKey = "spark.sql.parquet.columnarReaderBatchSize"
+    val prevBatch = spark.conf.get(batchKey, "4096")
+    spark.conf.set(batchKey, "32")
+    try runInner(spark, inputDir, partsDir, workDir)
+    finally spark.conf.set(batchKey, prevBatch)
+  }
+
+  private def runInner(spark: SparkSession, inputDir: String,
+                       partsDir: String, workDir: String): DataFrame = {
     val stream = spark.readStream
       .schema(spark.read.parquet(inputDir).schema)
       .option("maxFilesPerTrigger", "1")
