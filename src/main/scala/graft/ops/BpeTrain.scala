@@ -17,6 +17,10 @@ final case class WordSyms(word: String, freq: Long, syms: Seq[String])
 final case class BpeMerge(round: Long, a: String, b: String, pair_n: Long,
                           corpus_syms_after: Long)
 
+/** One q159 curve rung (top-level for by-name encoder resolution). */
+final case class BpeCurveRow(rung: Long, corpus_pieces: Long,
+                             vocab_syms: Long, compress_permille: Long)
+
 /** Encoder input/output rows (top-level for by-name encoder resolution). */
 final case class BpeEncIn(doc_id: Long, text: String)
 final case class BpeEncOut(doc_id: Long, n_words: Long, n_pieces: Long,
@@ -57,10 +61,108 @@ object BpeTrain {
     out.toSeq
   }
 
+  /** Word-type count up to which merge learning folds on the driver.
+    * 2^17 (word, freq) rows is a few MB — the same bounded-collect
+    * budget as ConnectedComponents.DriverFoldCap — while every merge
+    * round it replaces costs three jobs (pair-count argmax collect,
+    * checkpointed merge map, corpus-syms aggregate): 3k+1 scheduling
+    * round-trips for k merges, ~50% of the q99/q102/q148/q159 sf0.1
+    * bench rows (guide §1: the time was scheduling latency, not
+    * compute). Above the cap the distributed rounds run unchanged —
+    * the probe is one bounded limit(cap+1) job over the type table the
+    * distributed path materializes anyway. BpeTrainSpec pins
+    * fast == distributed on the fixture corpus.
+    */
+  private[graft] val DriverTrainCap = 1 << 17
+
+  /** Spark's default UTF8_BINARY string order (unsigned UTF-8 bytes) —
+    * the driver fold's pair tie-break must match the distributed
+    * `orderBy(desc(n), a, b)` exactly. Java's String.compareTo orders
+    * by UTF-16 code unit, which differs for supplementary-plane code
+    * points, so compare encoded bytes.
+    */
+  private def utf8Lt(x: String, y: String): Boolean =
+    java.util.Arrays.compareUnsigned(
+      x.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      y.getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0
+
+  /** One code-point per symbol — the driver-side twin of the
+    * distributed seed `transform(sequence(1, length(w)), i ->
+    * substring(w, i, 1))` (Spark's substring/length index by code
+    * point) and of [[encode]]'s `codePoints()` split.
+    */
+  private def splitCodePoints(w: String): Seq[String] =
+    w.codePoints().toArray.toSeq.map(cp => new String(Character.toChars(cp)))
+
+  /** Collect the frequency-weighted word-TYPE table when it fits
+    * [[DriverTrainCap]]; None above it (the caller falls back to the
+    * distributed rounds). One bounded job either way.
+    */
+  private def collectTypes(words: DataFrame): Option[Array[(Long, Seq[String])]] = {
+    val rows = words.groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .limit(DriverTrainCap + 1).collect()
+    if (rows.length > DriverTrainCap) None
+    else Some(rows.map(r => (r.getLong(1), splitCodePoints(r.getString(0)))))
+  }
+
+  /** The in-memory merge recurrence — bit-identical to the distributed
+    * loop: same pair counts (freq-weighted, per adjacent position),
+    * same argmax order (count DESC, pair ASC under UTF8-binary), same
+    * [[applyMerge]], same corpus_syms_after certificate.
+    */
+  private def trainLocal(tys0: Array[(Long, Seq[String])], k: Int)
+      : Vector[BpeMerge] = {
+    var tys = tys0
+    val merges = Vector.newBuilder[BpeMerge]
+    var r = 1
+    var exhausted = false
+    while (r <= k && !exhausted) {
+      val cnt = new java.util.HashMap[(String, String), Long]()
+      tys.foreach { case (f, syms) =>
+        var i = 0
+        while (i + 1 < syms.length) {
+          cnt.merge((syms(i), syms(i + 1)), f, java.lang.Long.sum _)
+          i += 1
+        }
+      }
+      if (cnt.isEmpty) exhausted = true
+      else {
+        var bA: String = null; var bB: String = null; var bN = Long.MinValue
+        cnt.forEach { (p, n) =>
+          val better = n > bN || (n == bN &&
+            (utf8Lt(p._1, bA) || (p._1 == bA && utf8Lt(p._2, bB))))
+          if (better) { bA = p._1; bB = p._2; bN = n }
+        }
+        tys = tys.map { case (f, syms) => (f, applyMerge(bA, bB, syms)) }
+        var after = 0L
+        tys.foreach { case (f, syms) => after += f * syms.length }
+        merges += BpeMerge(r.toLong, bA, bB, bN, after)
+        r += 1
+      }
+    }
+    merges.result()
+  }
+
   /** Learn `k` merges from a one-column DataFrame of word occurrences
     * (`w`, non-empty). Returns the merge table ordered by round.
+    * Cost switch (round-16 optimization; the q60/q134 driver-fold
+    * pattern): a type table under [[DriverTrainCap]] trains entirely
+    * on the driver from one bounded collect; bigger vocabularies run
+    * the distributed rounds unchanged.
     */
-  def learnMerges(s: SparkSession, words: DataFrame, k: Int): DataFrame = {
+  def learnMerges(s: SparkSession, words: DataFrame, k: Int): DataFrame =
+    collectTypes(words) match {
+      case Some(tys) =>
+        s.createDataFrame(trainLocal(tys, k)).orderBy(col("round"))
+      case None => learnMergesDistributed(s, words, k)
+    }
+
+  /** The distributed merge rounds (the pre-fold learnMerges body) —
+    * the scale path above [[DriverTrainCap]], and the equality
+    * reference for BpeTrainSpec's fast==distributed pin.
+    */
+  private[graft] def learnMergesDistributed(s: SparkSession, words: DataFrame,
+                                            k: Int): DataFrame = {
     import s.implicits._
     var syms = words.groupBy(col("w")).agg(count(lit(1)).as("freq"))
       .select(col("w").as("word"), col("freq"),
@@ -100,6 +202,40 @@ object BpeTrain {
     }
     s.createDataFrame(merges.result()).orderBy(col("round"))
   }
+
+  /** q159's whole curve from the same bounded type collect: train the
+    * k merges locally, then for each rung r replay merges.take(r) over
+    * every word type (the [[wordTypes]] foldLeft, same [[applyMerge]])
+    * and read corpus piece mass + live symbol vocabulary off the
+    * folded table. None above [[DriverTrainCap]] — the caller keeps
+    * the distributed rung path. Mirrors the distributed composition
+    * exactly, including the rung-0 crossJoin semantics (no rung-0 row
+    * ⇒ empty result) and the positive-long floor DIV.
+    */
+  def curveFast(s: SparkSession, words: DataFrame, k: Int,
+                rungs: Seq[Int]): Option[DataFrame] =
+    collectTypes(words).map { tys =>
+      val merges = trainLocal(tys, k).map(m => (m.a, m.b))
+      val folded = rungs.map { r =>
+        val prefix = merges.take(r)
+        var pieces = 0L
+        val vocab = new java.util.HashSet[String]()
+        tys.foreach { case (f, syms0) =>
+          val syms = prefix.foldLeft(syms0) {
+            case (acc, (a, b)) => applyMerge(a, b, acc)
+          }
+          pieces += f * syms.length
+          syms.foreach(vocab.add)
+        }
+        (r.toLong, pieces, vocab.size.toLong)
+      }
+      val rows = folded.find(_._1 == 0L) match {
+        case Some((_, p0, _)) => folded.map { case (r, p, v) =>
+          BpeCurveRow(r, p, v, (1000L * p) / p0) }
+        case None => Seq.empty[BpeCurveRow]
+      }
+      s.createDataFrame(rows).orderBy(col("rung"))
+    }
 
   /** The word-TYPE table after applying a learned merge-list prefix —
     * (word, freq, syms), the `s<r>` state of training replayed from a

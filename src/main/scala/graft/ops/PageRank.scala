@@ -3,6 +3,9 @@ package graft.ops
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+/** Driver-fold output row (top-level for by-name encoder resolution). */
+final case class PrRank(node: Long, rank_units: Long)
+
 /** Distributed PageRank in exact fixed-point integer arithmetic.
   *
   * Rank mass is carried as BIGINT units ([[Mass]] total, ~1e12), every
@@ -69,6 +72,22 @@ object PageRank {
 
   /** Total rank mass in fixed-point units. */
   val Mass: Long = 1000000000000L
+
+  /** Pair count up to which the SYMMETRIC fixpoints fold on the driver
+    * (round-16 optimization; the ConnectedComponents.DriverFoldCap
+    * pattern, sized up because the collect is a flat (Long, Long[, w])
+    * tuple array: 2^20 pairs ≈ 24 MB — bounded by construction via the
+    * limit(cap+1) probe). Integer fixed-point arithmetic is
+    * order-independent, so the driver fold is bit-identical to the
+    * distributed rounds (PageRankSpec pins it); above the cap, and on
+    * every corpus-scale call (the columnar-edge-cache hint), the
+    * distributed path runs unchanged. What it buys at the benched
+    * sf0.1 point: the k-round loop was ~45 scheduling round-trips
+    * (per-round join/agg stages + localCheckpoint jobs) over
+    * node-sized frames — pure latency, not plan cost (guide §1.2:
+    * algorithm first).
+    */
+  private[graft] val DriverFoldCap = 1 << 20
 
   /** Rounds between rank localCheckpoints. Each checkpoint is an eager
     * materialization (a scheduled job); batching 2 rounds per
@@ -191,6 +210,21 @@ object PageRank {
   def ranksSymmetric(pairs: DataFrame, k: Int,
                      columnarEdgeCache: Boolean = false): DataFrame = {
     require(k >= 0, s"pagerank rounds must be >= 0, got $k")
+    if (!columnarEdgeCache) {
+      driverRanksSymmetric(pairs, k) match {
+        case Some(out) => return out
+        case None => ()
+      }
+    }
+    ranksSymmetricDistributed(pairs, k, columnarEdgeCache)
+  }
+
+  /** The distributed [[ranksSymmetric]] body — the scale path above
+    * [[DriverFoldCap]] and the equality reference for PageRankSpec's
+    * fast==distributed pin.
+    */
+  private[graft] def ranksSymmetricDistributed(
+      pairs: DataFrame, k: Int, columnarEdgeCache: Boolean): DataFrame = {
     val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
     val ed = persistEdges(edges, columnarEdgeCache)
@@ -338,6 +372,21 @@ object PageRank {
   def personalizedSymmetric(pw: DataFrame, seeds: DataFrame, k: Int,
                             columnarEdgeCache: Boolean = false): DataFrame = {
     require(k >= 0, s"pagerank rounds must be >= 0, got $k")
+    if (!columnarEdgeCache) {
+      driverPersonalizedSymmetric(pw, seeds, k) match {
+        case Some(out) => return out
+        case None => ()
+      }
+    }
+    personalizedSymmetricDistributed(pw, seeds, k, columnarEdgeCache)
+  }
+
+  /** The distributed [[personalizedSymmetric]] body — see
+    * [[ranksSymmetricDistributed]].
+    */
+  private[graft] def personalizedSymmetricDistributed(
+      pw: DataFrame, seeds: DataFrame, k: Int,
+      columnarEdgeCache: Boolean): DataFrame = {
     val edges = pw.select(col("a").as("src"), col("b").as("dst"), col("w"))
       .unionByName(pw.select(col("b").as("src"), col("a").as("dst"), col("w")))
     val ed = persistEdges(edges, columnarEdgeCache)
@@ -413,5 +462,170 @@ object PageRank {
       releaseLocalCkpt(nodesS)
     }
     r.select(col("node"), col("rank").as("rank_units"))
+  }
+
+  /** Long-typed (a, b[, w]) schema guard for the driver folds — the
+    * [[graft.ops.ConnectedComponents]] rule: any other id type keeps
+    * the distributed path, whose output node type follows the input.
+    */
+  private def longCols(df: DataFrame, names: String*): Boolean =
+    names.forall(n => df.schema.fields.exists(f =>
+      f.name == n &&
+        f.dataType == org.apache.spark.sql.types.LongType))
+
+  /** [[ranksSymmetric]] folded on the driver when the pair list fits
+    * [[DriverFoldCap]] (probe: one bounded limit(cap+1) job). None when
+    * it does not, or when the ids are not Long. Bit-identical to the
+    * distributed rounds: same deg/spine construction, same per-round
+    * floor divisions, and integer sums commute.
+    */
+  private def driverRanksSymmetric(pairs: DataFrame, k: Int)
+      : Option[DataFrame] = {
+    if (!longCols(pairs, "a", "b")) return None
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val probe = pairs.select(col("a"), col("b"))
+      .limit(DriverFoldCap + 1).as[(Long, Long)].collect()
+    if (probe.length > DriverFoldCap) return None
+    // index nodes; deg(v) = #pairs containing v (both endpoint
+    // aggregates merged — a self-pair counts twice, as distributed)
+    val idx = new java.util.HashMap[java.lang.Long, Integer]()
+    def id(n: Long): Int = {
+      val got = idx.get(n)
+      if (got != null) got.intValue()
+      else { val i = idx.size(); idx.put(n, i); i }
+    }
+    val m = probe.length
+    val srcA = new Array[Int](2 * m); val dstA = new Array[Int](2 * m)
+    var i = 0
+    while (i < m) {
+      val (a, b) = probe(i)
+      val ia = id(a); val ib = id(b)
+      srcA(2 * i) = ia; dstA(2 * i) = ib
+      srcA(2 * i + 1) = ib; dstA(2 * i + 1) = ia
+      i += 1
+    }
+    val n = idx.size()
+    if (n == 0)
+      return Some(spark.createDataFrame(Seq.empty[PrRank]))
+    val deg = new Array[Long](n)
+    i = 0
+    while (i < m) {
+      val (a, b) = probe(i)
+      deg(idx.get(a).intValue()) += 1L; deg(idx.get(b).intValue()) += 1L
+      i += 1
+    }
+    val teleport = (15L * Mass) / (100L * n)
+    var rank = Array.fill(n)(Mass / n)
+    var round = 0
+    while (round < k) {
+      val share = new Array[Long](n)
+      var u = 0
+      while (u < n) {
+        if (deg(u) > 0L) share(u) = (85L * rank(u)) / (100L * deg(u))
+        u += 1
+      }
+      val next = Array.fill(n)(teleport)
+      var e = 0
+      while (e < 2 * m) {
+        next(dstA(e)) += share(srcA(e))
+        e += 1
+      }
+      rank = next
+      round += 1
+    }
+    val out = new Array[PrRank](n)
+    idx.forEach { (node, ix) =>
+      out(ix.intValue()) = PrRank(node.longValue(), rank(ix.intValue())) }
+    Some(spark.createDataFrame(out.toIndexedSeq))
+  }
+
+  /** [[personalizedSymmetric]] folded on the driver — the weighted,
+    * seeded twin of [[driverRanksSymmetric]]. Both the pair list and
+    * the seed set must fit [[DriverFoldCap]] (each probed with one
+    * bounded limit(cap+1) job); otherwise None.
+    */
+  private def driverPersonalizedSymmetric(pw: DataFrame, seeds: DataFrame,
+                                          k: Int): Option[DataFrame] = {
+    if (!longCols(pw, "a", "b", "w") || !longCols(seeds, "node")) return None
+    val spark = pw.sparkSession
+    import spark.implicits._
+    val probe = pw.select(col("a"), col("b"), col("w"))
+      .limit(DriverFoldCap + 1).as[(Long, Long, Long)].collect()
+    if (probe.length > DriverFoldCap) return None
+    val seedArr = seeds.select(col("node")).distinct()
+      .limit(DriverFoldCap + 1).as[Long].collect()
+    if (seedArr.length > DriverFoldCap) return None
+    val idx = new java.util.HashMap[java.lang.Long, Integer]()
+    def id(n: Long): Int = {
+      val got = idx.get(n)
+      if (got != null) got.intValue()
+      else { val i = idx.size(); idx.put(n, i); i }
+    }
+    val m = probe.length
+    val srcA = new Array[Int](2 * m); val dstA = new Array[Int](2 * m)
+    val wA = new Array[Long](2 * m)
+    var i = 0
+    while (i < m) {
+      val (a, b, w) = probe(i)
+      val ia = id(a); val ib = id(b)
+      srcA(2 * i) = ia; dstA(2 * i) = ib; wA(2 * i) = w
+      srcA(2 * i + 1) = ib; dstA(2 * i + 1) = ia; wA(2 * i + 1) = w
+      i += 1
+    }
+    val n = idx.size()
+    val tw = new Array[Long](n)
+    i = 0
+    while (i < m) {
+      val (a, b, w) = probe(i)
+      tw(idx.get(a).intValue()) += w; tw(idx.get(b).intValue()) += w
+      i += 1
+    }
+    // in-graph seeds only (out-of-graph seeds can never hold mass)
+    val seed = new Array[Boolean](n)
+    var ns = 0L
+    seedArr.foreach { sNode =>
+      val got = idx.get(sNode)
+      if (got != null && !seed(got.intValue())) {
+        seed(got.intValue()) = true; ns += 1
+      }
+    }
+    if (ns == 0L) {
+      // no in-graph seed: every rank is exactly 0 for any k — the same
+      // closed form the distributed path returns
+      val out = new Array[PrRank](n)
+        idx.forEach { (node, ix) =>
+        out(ix.intValue()) = PrRank(node.longValue(), 0L) }
+      return Some(spark.createDataFrame(out.toIndexedSeq))
+    }
+    val teleport = (15L * Mass) / (100L * ns)
+    val r0 = Mass / ns
+    var rank = Array.tabulate(n)(v => if (seed(v)) r0 else 0L)
+    var round = 0
+    while (round < k) {
+      // pre-divided numerator/denominator exactly as distributed:
+      // c(u→v) = (85·r(u)·w) div (100·tw(u)) via the identical long
+      // product and floor division
+      val r85 = new Array[Long](n)
+      val tw100 = new Array[Long](n)
+      var u = 0
+      while (u < n) {
+        r85(u) = 85L * rank(u); tw100(u) = 100L * tw(u)
+        u += 1
+      }
+      val next = Array.tabulate(n)(v => if (seed(v)) teleport else 0L)
+      var e = 0
+      while (e < 2 * m) {
+        val su = srcA(e)
+        if (tw(su) > 0L) next(dstA(e)) += (r85(su) * wA(e)) / tw100(su)
+        e += 1
+      }
+      rank = next
+      round += 1
+    }
+    val out = new Array[PrRank](n)
+    idx.forEach { (node, ix) =>
+      out(ix.intValue()) = PrRank(node.longValue(), rank(ix.intValue())) }
+    Some(spark.createDataFrame(out.toIndexedSeq))
   }
 }

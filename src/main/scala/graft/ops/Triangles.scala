@@ -20,14 +20,81 @@ import org.apache.spark.sql.functions._
   * and not. Everything is equi-joins plus integer counts:
   * deterministic under any partitioning, SQL-oracle replayable.
   */
+/** Driver-fold output row (top-level for by-name encoder resolution). */
+final case class TriNode(node: Long, deg: Long, n_tri: Long)
+
 object Triangles {
+
+  /** Edge count up to which the census folds on the driver (round-16
+    * optimization; the ConnectedComponents.DriverFoldCap pattern and
+    * size): the distributed path pays two localCheckpoints, a wedge
+    * self-join and two aggregates (~8 jobs + a 50 MB wedge shuffle at
+    * sf0.1) for a pair graph of a few thousand rows. The probe is one
+    * bounded limit(cap+1) job; above the cap — or on any input that
+    * violates the canonical contract (non-Long ids, a ≥ b, duplicate
+    * rows) — the distributed census runs unchanged. TrianglesSpec pins
+    * fast == distributed.
+    */
+  private[graft] val DriverFoldCap = 1 << 17
 
   /** Per-node triangle stats over a canonical undirected edge list
     * (`a` < `b`, distinct rows, no self-loops). Returns one row per
     * node incident to ≥1 edge: (`node`, `deg` = neighbor count,
     * `n_tri` = triangles through the node, 0 when none).
     */
-  def perNode(edges: DataFrame): DataFrame = {
+  def perNode(edges: DataFrame): DataFrame =
+    perNodeDriver(edges).getOrElse(perNodeDistributed(edges))
+
+  private def perNodeDriver(edges: DataFrame): Option[DataFrame] = {
+    import org.apache.spark.sql.types.LongType
+    val longIds = edges.schema.fields.length >= 2 &&
+      edges.schema("a").dataType == LongType &&
+      edges.schema("b").dataType == LongType
+    if (!longIds) return None
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val probe = edges.select(col("a"), col("b"))
+      .limit(DriverFoldCap + 1).as[(Long, Long)].collect()
+    if (probe.length > DriverFoldCap) return None
+    // canonical-contract check: the distributed operators assume it,
+    // the fold verifies it (falling back keeps ANY caller exact)
+    val seen = new java.util.HashSet[(Long, Long)]()
+    if (probe.exists(p => p._1 >= p._2 || !seen.add(p))) return None
+    val adj = new java.util.HashMap[Long, java.util.HashSet[Long]]()
+    def nbrs(n: Long): java.util.HashSet[Long] = {
+      var s = adj.get(n)
+      if (s == null) { s = new java.util.HashSet[Long](); adj.put(n, s) }
+      s
+    }
+    probe.foreach { case (a, b) => nbrs(a).add(b); nbrs(b).add(a); () }
+    val tri = new java.util.HashMap[Long, Long]()
+    probe.foreach { case (a, b) =>
+      // each triangle counted once at its canonical a < b < c edge
+      val (small, large) =
+        if (adj.get(a).size() <= adj.get(b).size()) (adj.get(a), adj.get(b))
+        else (adj.get(b), adj.get(a))
+      small.forEach { c =>
+        if (c > b && large.contains(c)) {
+          tri.merge(a, 1L, java.lang.Long.sum _)
+          tri.merge(b, 1L, java.lang.Long.sum _)
+          tri.merge(c, 1L, java.lang.Long.sum _)
+          ()
+        }
+      }
+    }
+    val out = new Array[TriNode](adj.size())
+    var i = 0
+    adj.forEach { (n, s) =>
+      out(i) = TriNode(n, s.size().toLong, tri.getOrDefault(n, 0L))
+      i += 1
+    }
+    Some(spark.createDataFrame(out.toIndexedSeq))
+  }
+
+  /** The distributed census (the pre-fold perNode body) — the scale
+    * path above [[DriverFoldCap]] and the fast==distributed reference.
+    */
+  private[graft] def perNodeDistributed(edges: DataFrame): DataFrame = {
     val e = edges.select(col("a"), col("b")).localCheckpoint()
     val deg = e.select(col("a").as("node"))
       .unionByName(e.select(col("b").as("node")))

@@ -2440,9 +2440,101 @@ object SelectionOps {
     * the rest. Terminates early when k exceeds the candidate pool
     * (same rule as BPE's merge learning).
     */
+  /** Candidate-row count up to which [[mmrSelect]] folds on the driver
+    * (the registered q110 frame is already bounded to the cell top-100
+    * by construction, so the probe is belt-and-braces for spec-sized
+    * corpus-wide inputs). The k greedy rounds each cost a distributed
+    * argmax collect + broadcast crossJoin + localCheckpoint — ~4
+    * scheduling round-trips per pick for <1 s of executor CPU at
+    * sf0.1 (guide §1.2). The driver fold replays the identical
+    * arithmetic: VectorOps2.dot in array order, Catalyst's exact
+    * 4-dp HALF_UP rounding (VectorOps2.round4), java.lang.Double
+    * total order for the (score DESC, vec_id ASC) argmax, and
+    * greatest() via the same comparison. SelectionOpsSpec pins
+    * fast == distributed.
+    */
+  private val MmrDriverCap = 1 << 12
+
   private[graft] def mmrSelect(s: org.apache.spark.sql.SparkSession,
                                frame: org.apache.spark.sql.DataFrame,
-                               k: Int): org.apache.spark.sql.DataFrame = {
+                               k: Int): org.apache.spark.sql.DataFrame =
+    mmrSelectDriver(s, frame, k)
+      .getOrElse(mmrSelectDistributed(s, frame, k))
+
+  private def mmrSelectDriver(s: org.apache.spark.sql.SparkSession,
+                              frame: org.apache.spark.sql.DataFrame,
+                              k: Int): Option[org.apache.spark.sql.DataFrame] = {
+    import org.apache.spark.sql.types._
+    val byName = frame.schema.fields.map(f => f.name -> f.dataType).toMap
+    val typed = byName.get("vec_id").contains(LongType) &&
+      byName.get("n2").contains(DoubleType) &&
+      (byName.get("v") match {
+        case Some(ArrayType(DoubleType, _)) => true
+        case _ => false
+      })
+    if (!typed) return None
+    val rows = frame.select(col("vec_id"), col("v"), col("n2"))
+      .limit(MmrDriverCap + 1).collect()
+    if (rows.length > MmrDriverCap) return None
+    val qRows = rows.filter(_.getLong(0) == 0L)
+    // the fold's exactness argument assumes one query row (the
+    // distributed crossJoin would MULTIPLY candidates under several);
+    // zero query rows yield zero picks in both paths, but keep the
+    // single code path that is spec-pinned
+    if (qRows.length != 1) return None
+    import graft.functions.VectorOps2.round4
+    def vec(r: org.apache.spark.sql.Row): Array[Double] =
+      r.getSeq[Double](1).toArray
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      val n = math.min(a.length, b.length)
+      var acc = 0.0; var i = 0
+      while (i < n) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    val qv = vec(qRows.head); val qn2 = qRows.head.getDouble(2)
+    final class Cand(val id: Long, val v: Array[Double], val n2: Double,
+                     val rel: Double) {
+      var ms: Double = 0.0
+      var hasMs: Boolean = false
+    }
+    var cand = rows.filter(_.getLong(0) >= 1L).map { r =>
+      val v = vec(r); val n2 = r.getDouble(2)
+      new Cand(r.getLong(0), v, n2, round4(dot(v, qv) / math.sqrt(n2 * qn2)))
+    }
+    val picks = Seq.newBuilder[MmrPick]
+    var r = 1
+    while (r <= k && cand.nonEmpty) {
+      var best: Cand = null; var bestScore = 0.0
+      cand.foreach { c =>
+        val score = if (r == 1) c.rel else round4(0.7 * c.rel - 0.3 * c.ms)
+        val cmp = if (best == null) 1
+          else {
+            val d = java.lang.Double.compare(score, bestScore)
+            if (d != 0) d else java.lang.Long.compare(best.id, c.id)
+          }
+        if (cmp > 0) { best = c; bestScore = score }
+      }
+      picks += MmrPick(r.toLong, best.id, best.rel, bestScore)
+      val pv = best.v; val pn2 = best.n2
+      cand = cand.filter(_.id != best.id)
+      cand.foreach { c =>
+        val sim = round4(dot(c.v, pv) / math.sqrt(c.n2 * pn2))
+        val base = if (c.hasMs) c.ms else -1.0
+        c.ms = if (java.lang.Double.compare(sim, base) > 0) sim else base
+        c.hasMs = true
+      }
+      r += 1
+    }
+    Some(s.createDataFrame(picks.result()).orderBy(col("sel_rank")))
+  }
+
+  /** The distributed k-round loop (the pre-fold mmrSelect body) — the
+    * path above [[MmrDriverCap]] and the fast==distributed reference.
+    */
+  private[graft] def mmrSelectDistributed(
+      s: org.apache.spark.sql.SparkSession,
+      frame: org.apache.spark.sql.DataFrame,
+      k: Int): org.apache.spark.sql.DataFrame = {
     // pin the input once: each round's picked-vector lookup re-reads
     // this frame, and when the caller passes a composed pipeline
     // (mmrCandidates' assignment + top-N) an un-pinned plan would

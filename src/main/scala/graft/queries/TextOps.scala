@@ -972,10 +972,21 @@ object TextOps {
       (s, d) => {
         val M = graft.functions.TextHash.Mod
         val (hA, hB) = (982451653L, 12345L)
+        // pin the pair set once (r16 optimization, guide §1.2 "don't
+        // compute things twice"): it feeds BOTH the CC labeling (whose
+        // driver-fold probe collects it) and the leak join — unpinned,
+        // the exact shingle self-join (the query's dominant cost, ~7 s
+        // executor CPU at sf0.1) re-ran per consumer. The pair frame is
+        // doc-pair-sized (tiny next to its shingle input), so the
+        // checkpoint is node-sized storage
         val pairs = jaccardPairs(s, d, 0.8)
           .select(col("doc_a"), col("doc_b"))
+          .localCheckpoint()
         val labels = graft.ops.ConnectedComponents.clusters(
           pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+        // keyed feeds three consumers (two leak-join sides + the final
+        // aggregate): pin the narrow (doc_id, k, split) frame instead of
+        // re-deriving the docs scan + label join per consumer
         val keyed = docs(s, d).select(col("doc_id"))
           .join(labels, col("doc_id") === col("node"), "left")
           .select(col("doc_id"),
@@ -984,6 +995,7 @@ object TextOps {
           .withColumn("split",
             when(col("h") < 80, "train").when(col("h") < 90, "val")
               .otherwise("test"))
+          .localCheckpoint()
         val leaked = pairs
           .join(keyed.select(col("doc_id").as("doc_a"), col("split").as("sa")),
             Seq("doc_a"))

@@ -1137,6 +1137,13 @@ object TrainingOps {
         val words = Tables.documents(s, d)
           .select(explode_outer(split(col("text"), " ")).as("w"))
           .where(col("w").isNotNull && col("w") =!= "")
+        // driver fold under the type-table cap (r16 optimization): the
+        // whole curve — training plus all three rung replays — from one
+        // bounded collect, vs ~59 scheduling round-trips for ~0.5 s of
+        // executor CPU. Above the cap the distributed rungs below run
+        // unchanged (BpeTrainSpec pins row equality).
+        graft.ops.BpeTrain.curveFast(s, words, k = 6, rungs = Seq(0, 3, 6))
+          .getOrElse {
         val merges = graft.ops.BpeTrain.learnMerges(s, words, k = 6)
           .collect().map(r => (r.getString(1), r.getString(2))).toSeq
         def rungRow(r: Int): DataFrame = {
@@ -1159,6 +1166,7 @@ object TrainingOps {
           .select(col("rung"), col("corpus_pieces"), col("vocab_syms"),
             col("compress_permille"))
           .orderBy(col("rung"))
+          }
       },
       Some(bpeCurveSql(6))),
 

@@ -109,6 +109,47 @@ object VectorOps {
     */
   private[graft] val PdScale = 1L << 30
 
+  /** [[kmeansCentroids]] over G independent groups in ONE plan: `em`
+    * carries (`m`, `vec_id`, `v`, `n2`) and each group `m` trains its
+    * own k centroids — the per-m crossJoin becomes an equi-join on m
+    * and the assignment window partitions by (m, vec_id), so the
+    * whole M-codebook training is one job chain instead of M
+    * (r16 optimization: q73 ran 4 serial Lloyd trainings, ~28 of its
+    * 38 scheduling round-trips). Identical arithmetic per group —
+    * same rounded-cos assignment, same (cos DESC, c_id ASC) window
+    * tie-break, same integer-scaled mean — so the per-m results are
+    * bit-equal to M separate [[kmeansCentroids]] calls (OpsSpec pins
+    * it; the q73 DuckDB oracle replays the composition end to end).
+    */
+  private[graft] def kmeansCentroidsGrouped(em: DataFrame, k: Int,
+                                            iters: Int): DataFrame = {
+    var cent = em.where(col("vec_id") < k)
+      .select(col("m"), col("vec_id").as("c_id"), col("v").as("cv"))
+    for (_ <- 0 until iters) {
+      val withN2 = cent.withColumn("cn2", squaredNorm(col("cv")))
+      val assigned = em.join(broadcast(withN2), "m")
+        .withColumn("cos_c", round(
+          dotProduct(col("v"), col("cv")) / sqrt(col("n2") * col("cn2")), 4))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("m"), col("vec_id"))
+            .orderBy(col("cos_c").desc, col("c_id"))))
+        .where(col("rn") === 1)
+        .select(col("m"), col("c_id"), col("v"))
+      cent = assigned
+        .select(col("m"), col("c_id"), posexplode(col("v")).as(Seq("i", "x")))
+        .groupBy(col("m"), col("c_id"), col("i"))
+        .agg(sum(round(col("x") * MeanScale).cast("long")).as("sx"),
+             count(lit(1)).as("n"))
+        .withColumn("m2", col("sx").cast("double") /
+          (col("n") * MeanScale).cast("double"))
+        .groupBy(col("m"), col("c_id"))
+        .agg(expr("transform(array_sort(collect_list(struct(i, m2))), s -> s.m2)")
+          .as("cv"))
+        .localCheckpoint()
+    }
+    cent
+  }
+
   private[graft] def kmeansCentroids(e: DataFrame, k: Int,
                                      iters: Int): DataFrame = {
     var cent = e.where(col("vec_id") < k)
@@ -435,12 +476,19 @@ object VectorOps {
         val M = 4
         val subDim = 16
         val e = withNorm(s, d)
-        val cb = (0 until M).map { m =>
-          val em = e.select(col("vec_id"),
-              expr(s"slice(v, ${m * subDim + 1}, $subDim)").as("v"))
-            .withColumn("n2", squaredNorm(col("v")))
-          kmeansCentroids(em, 16, 1).select(lit(m).as("m"), col("c_id"), col("cv"))
-        }.reduce(_ unionByName _)
+        // all M sub-codebooks trained in ONE grouped plan (r16
+        // optimization — see kmeansCentroidsGrouped): bit-equal to the
+        // old M serial kmeansCentroids calls at a quarter of the
+        // scheduling round-trips
+        val cb = kmeansCentroidsGrouped(
+          e.select(col("vec_id"), explode(
+              array((0 until M).map(m => struct(lit(m).as("m"),
+                expr(s"slice(v, ${m * subDim + 1}, $subDim)").as("v"))): _*))
+              .as("ms"))
+            .select(col("ms.m").as("m"), col("vec_id"), col("ms.v").as("v"))
+            .withColumn("n2", squaredNorm(col("v"))),
+          16, 1)
+          .select(col("m"), col("c_id"), col("cv"))
           .withColumn("cn2", squaredNorm(col("cv")))
           .localCheckpoint()
         val subs = e.select(col("vec_id"), col("n2"), explode_outer(

@@ -173,6 +173,35 @@ class PageRankSpec extends SparkSpec {
     }
   }
 
+  test("driver fold equals the distributed rounds on a random pair graph") {
+    // r16 optimization pin: under DriverFoldCap the symmetric builders
+    // fold on the driver; the distributed rounds must stay bit-equal
+    // (incl. self-loops and duplicate pairs, which the random draw hits)
+    val rnd = new scala.util.Random(42)
+    val pairs = Seq.fill(400)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+    val df = pairs.toDF("a", "b")
+    for (k <- Seq(0, 1, 8)) {
+      val fast = PageRank.ranksSymmetric(df, k)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val dist = PageRank
+        .ranksSymmetricDistributed(df, k, columnarEdgeCache = false)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(fast == dist, s"k=$k")
+    }
+    val wdf = pairs.zipWithIndex
+      .map { case ((a, b), i) => (a, b, (i % 7 + 1).toLong) }
+      .toDF("a", "b", "w")
+    val seeds = Seq(1L, 5L, 9L, 999L).toDF("node")
+    for (k <- Seq(0, 1, 6)) {
+      val fast = PageRank.personalizedSymmetric(wdf, seeds, k)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val dist = PageRank.personalizedSymmetricDistributed(
+        wdf, seeds, k, columnarEdgeCache = false)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(fast == dist, s"k=$k")
+    }
+  }
+
   test("q132 registered query returns segment-proximate suppliers at sf0.001") {
     val out = queries.Registry.byName("q132_personalized_pagerank")
       .run(spark, sfDir).collect()

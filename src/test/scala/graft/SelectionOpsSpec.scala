@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.VectorFunctions.{dotProduct, squaredNorm}
-import graft.queries.{Registry, SelectionOps}
+import graft.queries.{Registry, SelectionOps, VectorOps}
 import org.apache.spark.sql.functions._
 
 /** Evidence for the round-4 data-selection operators beyond the DuckDB
@@ -277,6 +277,54 @@ class SelectionOpsSpec extends SparkSpec {
     // per-pick loop then runs over a localCheckpoint'd frame of <= N rows
     val plan = cand.queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan.take(800))
+  }
+
+  test("q73: grouped codebook training equals per-subspace kmeans") {
+    // r16 optimization pin: the one-plan grouped Lloyd training must be
+    // bit-equal, per subspace, to M separate kmeansCentroids calls
+    val e = embFrame.where(col("n2") > 0d)
+    val subDim = 16
+    val grouped = VectorOps.kmeansCentroidsGrouped(
+      e.select(col("vec_id"), explode(
+          array((0 until 4).map(m => struct(lit(m).as("m"),
+            expr(s"slice(v, ${m * subDim + 1}, $subDim)").as("v"))): _*))
+          .as("ms"))
+        .select(col("ms.m").as("m"), col("vec_id"), col("ms.v").as("v"))
+        .withColumn("n2", squaredNorm(col("v"))),
+      16, 1)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getSeq[Double](2))
+      .toMap
+    (0 until 4).foreach { m =>
+      val em = e.select(col("vec_id"),
+          expr(s"slice(v, ${m * subDim + 1}, $subDim)").as("v"))
+        .withColumn("n2", squaredNorm(col("v")))
+      val solo = VectorOps.kmeansCentroids(em, 16, 1).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+      assert(solo.keySet == grouped.keySet.collect {
+        case (mm, c) if mm == m => c })
+      solo.foreach { case (c, cv) =>
+        assert(grouped((m, c)) == cv, s"m=$m c_id=$c") }
+    }
+  }
+
+  test("q110: driver fold equals the distributed greedy rounds") {
+    // r16 optimization pin: under MmrDriverCap mmrSelect folds on the
+    // driver; every column of every pick (rank, id, rel, score — the
+    // 4-dp rounded doubles included) must equal the distributed loop
+    val e = embFrame
+    val fast = SelectionOps.mmrSelect(spark, e, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    val dist = SelectionOps.mmrSelectDistributed(spark, e, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(fast.toSeq == dist.toSeq)
+    // and through the registered bounded-candidate composition
+    val cand = SelectionOps.mmrCandidates(e, 100)
+    val fastC = SelectionOps.mmrSelect(spark, cand, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    val distC = SelectionOps.mmrSelectDistributed(spark, cand, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(fastC.toSeq == distC.toSeq)
   }
 
   test("q110: k beyond the candidate pool terminates with the picks made") {

@@ -346,6 +346,39 @@ class TrainingOpsSpec extends SparkSpec {
     assert((t.getString(1), t.getString(2), t.getLong(3)) == ("a", "b", 1L))
   }
 
+  test("q99/q159: driver-fold training equals the distributed rounds") {
+    // r16 optimization pin: under DriverTrainCap learnMerges folds on
+    // the driver from one type-table collect; every column of every
+    // round must equal the distributed recurrence — including non-ASCII
+    // words, whose tie-break order is UTF8-binary, not UTF-16
+    import graft.ops.BpeTrain
+    import spark.implicits._
+    val words = (Seq.fill(3)("banana") ++ Seq.fill(2)("bandana") ++
+      Seq("añejo", "añada", "ab", "ba", "日本語", "日本")).toDF("w")
+    val fast = BpeTrain.learnMerges(spark, words, k = 5).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3),
+                 r.getLong(4))).toSeq
+    val dist = BpeTrain.learnMergesDistributed(spark, words, k = 5).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3),
+                 r.getLong(4))).toSeq
+    assert(fast == dist)
+    // the q159 curve fold equals the distributed rung computation
+    val fastCurve = BpeTrain.curveFast(spark, words, k = 5, rungs = Seq(0, 2, 5))
+      .get.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    val distCurve = Seq(0, 2, 5).map { r =>
+      val merges = dist.take(r).map(m => (m._2, m._3))
+      val types = BpeTrain.wordTypes(spark, words, merges).collect()
+        .map(row => (row.getLong(1), row.getSeq[String](2)))
+      val pieces = types.map { case (f, s) => f * s.length }.sum
+      val vocab = types.flatMap(_._2).distinct.length.toLong
+      (r.toLong, pieces, vocab)
+    }
+    val p0 = distCurve.find(_._1 == 0L).get._2
+    assert(fastCurve == distCurve.map { case (r, p, v) =>
+      (r, p, v, (1000L * p) / p0) })
+  }
+
   // ---- q102 BPE encoding -------------------------------------------------
 
   test("q102: encode applies merges in rank order; totals equal q99's audit") {

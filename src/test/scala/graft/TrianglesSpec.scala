@@ -22,6 +22,30 @@ class TrianglesSpec extends SparkSpec {
     Triangles.perNode(edges).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
 
+  test("driver fold equals the distributed census on a random graph") {
+    // r16 optimization pin: under DriverFoldCap perNode folds on the
+    // driver; node/deg/n_tri must equal the distributed census exactly
+    val rnd = new scala.util.Random(7)
+    val pairs = Seq.fill(600)((rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+      .filter { case (x, y) => x != y }
+    val df = edgesDF(pairs)
+    val fast = Triangles.perNode(df).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val dist = Triangles.perNodeDistributed(df).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(fast == dist)
+    // non-canonical input (duplicate row) must fall back, not mis-fold:
+    // the fold path is only taken on the documented contract
+    val dup = (pairs.take(5) ++ pairs.take(1))
+      .map { case (x, y) => (math.min(x, y), math.max(x, y)) }
+      .toDF("a", "b")
+    val viaPublic = Triangles.perNode(dup).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val viaDist = Triangles.perNodeDistributed(dup).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(viaPublic == viaDist)
+  }
+
   test("planted k-clique: C(k,3) triangles, C(k-1,2) per clique node") {
     val k = 6L
     val clique = for (i <- 0L until k; j <- i + 1 until k) yield (i, j)
