@@ -28,8 +28,7 @@ object Profile {
       if (trace) {
         val desc = Option(j.properties)
           .flatMap(p => Option(p.getProperty("spark.job.description")))
-          .orElse(Option(j.properties)
-            .flatMap(p => Option(p.getProperty("callSite.short"))))
+          .orElse(j.stageInfos.lastOption.map(_.name))
           .getOrElse("")
         t0.put(j.jobId, (j.time, desc))
         ()
@@ -43,7 +42,14 @@ object Profile {
       }
     }
     override def onStageCompleted(s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
-      stages.incrementAndGet(); ()
+      stages.incrementAndGet()
+      if (trace) {
+        val i = s.stageInfo
+        val ms = (for (a <- i.completionTime; b <- i.submissionTime)
+          yield a - b).getOrElse(-1L)
+        System.err.println(f"[stage] ${i.stageId}%4d ${ms / 1e3}%7.3fs " +
+          f"tasks=${i.numTasks}%3d  ${i.name.take(100)}")
+      }
     }
     override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
       tasks.incrementAndGet()

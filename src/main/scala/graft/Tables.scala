@@ -99,4 +99,41 @@ object Tables {
     normTs(load(s, d, "events"), "ts")
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Round-robin spread for a CPU-heavy per-row chain over an
+    * under-parallelized scan (r16 optimization; guide §2.5 "input
+    * skew" / one-big-unsplittable-file). The fixtures stage each table
+    * as ONE small parquet file, so a chain whose cost is per-row CPU
+    * (regex cleaning, skill extraction, image/audio/video codecs, PII
+    * scrubbing) would otherwise run on a single core with the rest of
+    * the box idle — measured on q55 as a 3.3 s single-task stage, wall
+    * ≈ executor CPU. Cost switch: spread only while the table's scan
+    * split count (file bytes over spark.sql.files.maxPartitionBytes)
+    * undershoots the session shuffle width — both conf-derived,
+    * nothing hard-codes the local core count, and at warehouse scale
+    * (splits ≥ width) this is the identity, so no extra corpus-sized
+    * exchange ever appears in a production plan. Results are
+    * partition-invariant: every consumer is per-row work followed by
+    * keyed aggregation/joins (and the round-robin repartition itself
+    * is deterministic under retry via sortBeforeRepartition).
+    */
+  def spreadIfNarrow(s: SparkSession, d: String, table: String,
+                     df: DataFrame): DataFrame = {
+    val width = s.conf.get("spark.sql.shuffle.partitions").toIntOption
+      .getOrElse(1)
+    val mpb = math.max(1L, s.sessionState.conf.filesMaxPartitionBytes)
+    val bytes =
+      try {
+        val p = new org.apache.hadoop.fs.Path(s"$d/$table.parquet")
+        p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .getContentSummary(p).getLength
+      } catch { case _: Throwable => return df }
+    val splits = ((bytes + mpb - 1) / mpb).toInt
+    // cap the spread: every extra task pays a fixed deserialize-CPU
+    // cost for these codegen-heavy plans (measured: spreading a 1 s
+    // single-core codec row to 32 tasks cut wall but inflated
+    // executor CPU ~8x on pure per-task overhead); 8-way captures
+    // most of the single-core win at a quarter of that tax
+    if (splits < width) df.repartition(math.min(width, 8)) else df
+  }
 }

@@ -40,7 +40,11 @@ object CurationJob {
 
   def run(spark: SparkSession, sfDir: String, outDir: String,
           w: Int = 8, tokenBudget: Long = 2000L): CurationReport = {
-    val docs = Tables.documents(spark, sfDir)
+    // the gate/span-hash/LM passes below are per-row CPU over a
+    // one-split fixture scan — spread it (Tables.spreadIfNarrow:
+    // identity at warehouse scale)
+    val docs = Tables.spreadIfNarrow(spark, sfDir, "documents",
+        Tables.documents(spark, sfDir))
       .select(col("doc_id").cast("long").as("doc_id"), col("lang"), col("text"))
     val nInput = docs.count()
 

@@ -260,7 +260,10 @@ object CurationOps {
     Q(
       "q176_pii_redact",
       (s, d) =>
-        docs(s, d)
+        // the staged regex scrub is pure per-row CPU over a one-split
+        // fixture scan — spread it (Tables.spreadIfNarrow: identity at
+        // warehouse scale)
+        Tables.spreadIfNarrow(s, d, "documents", docs(s, d))
           .select(col("doc_id"), piiSalted.as("r0"))
           .withColumn("n_email",
             size(regexp_extract_all(col("r0"), lit(EmailRe), lit(0)))

@@ -42,7 +42,13 @@ object PipelineOps {
     val payloadSchema = StructType(Seq(
       StructField("media_id", LongType),
       StructField("payload", BinaryType)))
-    bins.mapPartitions { rows =>
+    // the encode below and every consumer's decode are per-row codec
+    // CPU, but AQE coalesces the tiny cells aggregate to ONE partition
+    // (it sizes by bytes, which can't see codec cost) — spread it under
+    // the same scan-width cost switch (identity at warehouse scale,
+    // where the aggregate is wide anyway)
+    val spread = Tables.spreadIfNarrow(s, d, "documents", bins)
+    spread.mapPartitions { rows =>
       rows.map { r =>
         val rgb = new Array[Byte](n * 3)
         r.getSeq[Row](1).foreach { cell =>
@@ -217,7 +223,11 @@ object PipelineOps {
     Q(
       "q55_jobs_pipeline",
       (s, d) => {
-        val raw = rawPostings(s, d)
+        // the extract→clean→classify chain is per-row CPU (regex
+        // normalization + skill extraction) over a one-split fixture
+        // scan — measured as ONE 3.3 s task on a 32-core box; spread
+        // it (Tables.spreadIfNarrow: identity at warehouse scale)
+        val raw = Tables.spreadIfNarrow(s, d, "orders", rawPostings(s, d))
         val extracted = Extract.run(
           kaggle = raw,
           huggingFace = raw.where(lit(false)),
