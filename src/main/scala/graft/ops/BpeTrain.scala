@@ -214,7 +214,12 @@ object BpeTrain {
     */
   def curveFast(s: SparkSession, words: DataFrame, k: Int,
                 rungs: Seq[Int]): Option[DataFrame] =
-    collectTypes(words).map { tys =>
+    collectTypes(words).filter(_.nonEmpty).map { tys =>
+      // empty corpus falls back (the filter above): the distributed
+      // rungs aggregate over ZERO type rows, which yields NULL-valued
+      // corpus_pieces/compress rows — a shape a Long-typed local row
+      // cannot reproduce, and a naive 0/0 here threw / by zero (caught
+      // by the r16 degenerate sweep's `empty` scenario)
       val merges = trainLocal(tys, k).map(m => (m.a, m.b))
       val folded = rungs.map { r =>
         val prefix = merges.take(r)

@@ -377,6 +377,10 @@ class TrainingOpsSpec extends SparkSpec {
     val p0 = distCurve.find(_._1 == 0L).get._2
     assert(fastCurve == distCurve.map { case (r, p, v) =>
       (r, p, v, (1000L * p) / p0) })
+    // empty corpus: the fold declines (the distributed rungs produce
+    // NULL-valued aggregate rows, not zeros) — r16 degenerate-sweep fix
+    val none = Seq.empty[String].toDF("w")
+    assert(BpeTrain.curveFast(spark, none, k = 5, rungs = Seq(0, 2)).isEmpty)
   }
 
   // ---- q102 BPE encoding -------------------------------------------------
