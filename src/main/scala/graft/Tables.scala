@@ -127,7 +127,7 @@ object Tables {
         val p = new org.apache.hadoop.fs.Path(s"$d/$table.parquet")
         p.getFileSystem(s.sparkContext.hadoopConfiguration)
           .getContentSummary(p).getLength
-      } catch { case _: Throwable => return df }
+      } catch { case scala.util.control.NonFatal(_) => return df }
     val splits = ((bytes + mpb - 1) / mpb).toInt
     // cap the spread: every extra task pays a fixed deserialize-CPU
     // cost for these codegen-heavy plans (measured: spreading a 1 s

@@ -102,6 +102,13 @@ object BpeTrain {
     val rows = words.groupBy(col("w")).agg(count(lit(1)).as("freq"))
       .limit(DriverTrainCap + 1).collect()
     if (rows.length > DriverTrainCap) None
+    // contract check (ADVICE r16, mirroring Triangles.perNodeDriver):
+    // the fold treats an empty/null word as zero symbols, but the
+    // distributed seed `sequence(1, length(w))` on an empty word yields
+    // [1,0] → two empty-string symbols and a phantom ("","") pair —
+    // fall back to the distributed rounds on contract-violating input
+    // rather than diverge from them
+    else if (rows.exists(r => r.isNullAt(0) || r.getString(0).isEmpty)) None
     else Some(rows.map(r => (r.getLong(1), splitCodePoints(r.getString(0)))))
   }
 

@@ -606,18 +606,29 @@ object PageRank {
       // pre-divided numerator/denominator exactly as distributed:
       // c(u→v) = (85·r(u)·w) div (100·tw(u)) via the identical long
       // product and floor division
+      // exact-arithmetic parity with the ANSI distributed path: every
+      // product/sum there (85*rank, 100*Σw, r85*w, the contribution
+      // SUM) throws ArithmeticException on Long overflow under Spark 4
+      // ANSI mode, so the fold must throw at exactly the same points
+      // instead of silently wrapping (ADVICE r16). multiplyExact /
+      // addExact are JIT intrinsics — no measurable cost in this loop.
       val r85 = new Array[Long](n)
       val tw100 = new Array[Long](n)
       var u = 0
       while (u < n) {
-        r85(u) = 85L * rank(u); tw100(u) = 100L * tw(u)
+        r85(u) = Math.multiplyExact(85L, rank(u))
+        tw100(u) = Math.multiplyExact(100L, tw(u))
         u += 1
       }
       val next = Array.tabulate(n)(v => if (seed(v)) teleport else 0L)
       var e = 0
       while (e < 2 * m) {
         val su = srcA(e)
-        if (tw(su) > 0L) next(dstA(e)) += (r85(su) * wA(e)) / tw100(su)
+        if (tw(su) > 0L) {
+          val d = dstA(e)
+          next(d) = Math.addExact(next(d),
+            Math.multiplyExact(r85(su), wA(e)) / tw100(su))
+        }
         e += 1
       }
       rank = next

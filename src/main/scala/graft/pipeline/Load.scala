@@ -81,7 +81,20 @@ object Load {
         spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase))
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
-    df.write.mode(SaveMode.Overwrite)
+    // Cost-switched write parallelism (guide §6, r16 verdict item 5):
+    // when the input scan is NARROWER than the bucket count (the
+    // one-small-file fixture case), every bucket file funnels through
+    // one task's sequential write. Hash-repartitioning on the bucket
+    // key to nBuckets uses the SAME murmur3 hashpartitioning as the
+    // bucketing itself, so each task then holds exactly one whole
+    // bucket — nBuckets parallel writers, still one file per bucket.
+    // Inputs already at least nBuckets wide keep their natural
+    // parallelism (identity — no plan change at warehouse scale).
+    val src =
+      if (df.rdd.getNumPartitions < nBuckets)
+        df.repartition(nBuckets, col(bucketCol))
+      else df
+    src.write.mode(SaveMode.Overwrite)
       .bucketBy(nBuckets, bucketCol)
       .sortBy(bucketCol)
       .format("parquet")

@@ -232,6 +232,9 @@ object EventOps {
         val daily = Tables.events(s, d)
           .groupBy(to_date(col("ts")).as("day"))
           .agg(count(lit(1)).as("n"))
+        // unpartitioned window AUDIT: the frame is the pre-aggregated
+        // daily series — one row per calendar day, bounded by the date
+        // span (thousands of rows at any corpus scale), never raw events
         val w = Window.orderBy(col("day"))
         daily
           .withColumn("prev_n", lag(col("n"), 1).over(w))

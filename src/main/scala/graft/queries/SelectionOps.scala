@@ -466,6 +466,10 @@ object SelectionOps {
       .withColumn("qnum", col("k_budget") * col("w"))
       .withColumn("base", expr("qnum DIV w_total"))
       .withColumn("rem", expr("qnum % w_total"))
+      // unpartitioned window AUDIT: both windows run over the per-
+      // language weight table — one row per distinct lang (single
+      // digits here, at most vocabulary-of-languages anywhere), never
+      // corpus rows
       .withColumn("base_sum", sum(col("base")).over(Window.partitionBy()))
       .withColumn("rk",
         row_number().over(Window.orderBy(col("rem").desc, col("lang"))))
@@ -2476,6 +2480,12 @@ object SelectionOps {
     val rows = frame.select(col("vec_id"), col("v"), col("n2"))
       .limit(MmrDriverCap + 1).collect()
     if (rows.length > MmrDriverCap) return None
+    // contract check (ADVICE r16): the fold unboxes vec_id/v/n2, so a
+    // null in a caller-composed frame would NPE here where the
+    // distributed loop's null-propagating predicates silently drop the
+    // row — fall back to the distributed path instead of diverging
+    if (rows.exists(r => r.isNullAt(0) || r.isNullAt(1) || r.isNullAt(2)))
+      return None
     val qRows = rows.filter(_.getLong(0) == 0L)
     // the fold's exactness argument assumes one query row (the
     // distributed crossJoin would MULTIPLY candidates under several);

@@ -1003,11 +1003,21 @@ object TextOps {
             Seq("doc_b"))
           .agg(coalesce(sum(when(col("sa") =!= col("sb"), 1L).otherwise(0L)),
             lit(0L)).as("leaked_pairs"))
-        keyed.groupBy(col("split"))
+        val result = keyed.groupBy(col("split"))
           .agg(count(lit(1)).as("n_docs"),
             countDistinct(col("k")).as("n_clusters"))
           .crossJoin(leaked)
           .orderBy(col("split"))
+        // materialize the (≤3-row) aggregate, then free the two pinned
+        // frames' blocks (ADVICE r16: un-released localCheckpoints
+        // accumulate across runs in a long-lived session — the
+        // PageRank/CC retire-after-materialize discipline). The local
+        // relation returned is this run's freshly computed rows, not a
+        // cross-run cache.
+        val outRows = result.collect()
+        graft.ops.CheckpointBlocks.release(pairs)
+        graft.ops.CheckpointBlocks.release(keyed)
+        s.createDataFrame(java.util.Arrays.asList(outRows: _*), result.schema)
       },
       // MATERIALIZED hints as in q60/q134 (recursive-CTE inlining spill
       // at sf10), plus on `sp`: it is referenced three times (both leak

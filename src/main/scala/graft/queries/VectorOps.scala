@@ -109,6 +109,22 @@ object VectorOps {
     */
   private[graft] val PdScale = 1L << 30
 
+  /** Pin a CONSTANT-size frame (centroid tables: k·M rows where k and
+    * M are operator constants, never data-dependent) as a driver-local
+    * relation: one bounded collect replaces a localCheckpoint job, and
+    * every later `broadcast(...)` of it builds from the LocalTableScan
+    * on the driver with NO distributed job — under AQE each of those
+    * was a whole scheduling round-trip (r17 optimization, guide §1.2).
+    * Values are the collected rows verbatim, so downstream arithmetic
+    * is bit-identical; row order is irrelevant to every consumer (hash
+    * joins, fully tie-broken windows, sorted collect_list aggregates).
+    */
+  private def pinLocal(df: DataFrame): DataFrame = {
+    val rows = df.collect()
+    df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), df.schema)
+  }
+
   /** [[kmeansCentroids]] over G independent groups in ONE plan: `em`
     * carries (`m`, `vec_id`, `v`, `n2`) and each group `m` trains its
     * own k centroids — the per-m crossJoin becomes an equi-join on m
@@ -145,7 +161,9 @@ object VectorOps {
         .groupBy(col("m"), col("c_id"))
         .agg(expr("transform(array_sort(collect_list(struct(i, m2))), s -> s.m2)")
           .as("cv"))
-        .localCheckpoint()
+      // M·k rows (operator constants): pin locally — cuts the
+      // checkpoint job AND makes the next round's broadcast free
+      cent = pinLocal(cent)
     }
     cent
   }
@@ -163,10 +181,12 @@ object VectorOps {
           Window.partitionBy(col("vec_id")).orderBy(col("cos_c").desc, col("c_id"))))
         .where(col("rn") === 1)
         .select(col("c_id"), col("v"))
-      // localCheckpoint truncates the lineage each Lloyd round (k tiny
-      // rows) — without it the nested crossJoin plans grow exponentially
-      // and choke the optimizer, the standard iterative-algorithm trap.
-      cent = assigned
+      // the per-round pin truncates the lineage (k tiny rows) — without
+      // it the nested crossJoin plans grow exponentially and choke the
+      // optimizer, the standard iterative-algorithm trap. pinLocal
+      // (k rows, an operator constant) instead of localCheckpoint: no
+      // checkpoint job, and the next round's broadcast builds free.
+      cent = pinLocal(assigned
         .select(col("c_id"), posexplode(col("v")).as(Seq("i", "x")))
         .groupBy(col("c_id"), col("i"))
         .agg(sum(round(col("x") * MeanScale).cast("long")).as("sx"),
@@ -175,8 +195,7 @@ object VectorOps {
           (col("n") * MeanScale).cast("double"))
         .groupBy(col("c_id"))
         .agg(expr("transform(array_sort(collect_list(struct(i, m))), s -> s.m)")
-          .as("cv"))
-        .localCheckpoint()
+          .as("cv")))
     }
     cent
   }
@@ -490,7 +509,9 @@ object VectorOps {
           16, 1)
           .select(col("m"), col("c_id"), col("cv"))
           .withColumn("cn2", squaredNorm(col("cv")))
-          .localCheckpoint()
+        // cb is already a local relation (pinLocal inside the trainer):
+        // the squaredNorm projection stays local, and both broadcasts
+        // below (encode + LUT) build driver-side with no job
         val subs = e.select(col("vec_id"), col("n2"), explode_outer(
             array((0 until M).map(m => struct(lit(m).as("m"),
               expr(s"slice(v, ${m * subDim + 1}, $subDim)").as("sv"))): _*)).as("ms"))

@@ -36,4 +36,22 @@ private[streaming] object BatchTuning {
       finally { spark.conf.set(Aqe, aqe0); spark.conf.set(Width, w0) }
     }
   }
+
+  /** [[withNarrowShuffles]] over EVERY session a foreachBatch body plans
+    * with. MicroBatchExecution hands the body a DataFrame bound to the
+    * stream's CLONED SparkSession (isolated SQLConf), so frames derived
+    * from the batch plan with the clone's conf and silently ignore a
+    * narrow scope set on the outer session — measured on q134: the out
+    * write alone ran as 9 AQE stage-materialization jobs because the
+    * clone kept AQE on while the outer session was dutifully narrowed.
+    * Tuning the distinct set (outer session for store-read-rooted plans,
+    * batch session for batch-rooted ones) closes that hole; direct
+    * processBatch calls (retry specs) pass the same session twice and
+    * dedup to one.
+    */
+  def withNarrowShufflesOn[T](sessions: Seq[SparkSession], narrow: Boolean,
+                              partitions: Int = 4)(f: => T): T =
+    sessions.distinct.foldRight(() => f) { (s, g) =>
+      () => withNarrowShuffles(s, narrow, partitions)(g())
+    }()
 }

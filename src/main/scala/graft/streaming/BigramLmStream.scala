@@ -36,7 +36,7 @@ object BigramLmStream {
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // sketch-sized reduce side by construction: always narrow (BatchTuning)
-        BatchTuning.withNarrowShuffles(spark, narrow = true) {
+        BatchTuning.withNarrowShufflesOn(Seq(spark, batch.sparkSession), narrow = true) {
         graft.pipeline.Load.writeBatchPartial(
           SelectionOps.docBigrams(SelectionOps.tokedDocs(
               batch.select(col("doc_id").cast("long").as("doc_id"), col("text"))))

@@ -37,7 +37,7 @@ object CmsStream {
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // sketch-sized reduce side by construction: always narrow (BatchTuning)
-        BatchTuning.withNarrowShuffles(spark, narrow = true) {
+        BatchTuning.withNarrowShufflesOn(Seq(spark, batch.sparkSession), narrow = true) {
         graft.pipeline.Load.writeBatchPartial(
           batch
             .select(explode_outer(split(col("text"), " ")).as("tok"))

@@ -117,7 +117,7 @@ object CorpusPrepStream {
     val big = graft.pipeline.Load.storeBytes(spark, storeDir) >=
       64L * 1024 * 1024
     // narrow-shuffle/AQE-off scope below the switch (BatchTuning)
-    BatchTuning.withNarrowShuffles(spark, narrow = !big) {
+    BatchTuning.withNarrowShufflesOn(Seq(spark, batch.sparkSession), narrow = !big) {
     val store = graft.pipeline.Load
       .readStoreExcludingBatch(spark, storeDir, batchId)
       .map { s =>
@@ -139,18 +139,24 @@ object CorpusPrepStream {
           .orderBy(col("doc_id"))))
       .where(col("rn") === 1)
       .select(col("doc_id"), col("lang"), col("text"))
-    graft.pipeline.Load.writeBatchPartial(
-      TrainingOps.chunkSplitStats(kept).coalesce(1), partsDir, batchId)
-    // one writer per bucket (a 4-task shuffle under the narrow width;
+    // the stats partial and the store delta are independent batch-keyed
+    // Overwrite partials over the shared cached `gated` — overlap them
+    // on a driver pool (Sinks.inParallel, guide §2.6). One writer per
+    // bucket for the delta (a 4-task shuffle under the narrow width;
     // it bounds store files per batch); consolidation cadence is
     // cost-gated like SpanDedupStream — rewriting a tiny store every
     // few batches was pure overhead
-    graft.pipeline.Load.writeBatchPartial(
-      gated.select(PackKeys.map(col): _*).distinct()
-        .join(store, PackKeys, "left_anti")
-        .withColumn("bucket", bucketOf)
-        .repartition(col("bucket")),
-      storeDir, batchId, Seq("bucket"))
+    Sinks.inParallel(spark, Seq(
+      s"b$batchId: stats partial write" -> (() =>
+        graft.pipeline.Load.writeBatchPartial(
+          TrainingOps.chunkSplitStats(kept).coalesce(1), partsDir, batchId)),
+      s"b$batchId: prefix store write" -> (() =>
+        graft.pipeline.Load.writeBatchPartial(
+          gated.select(PackKeys.map(col): _*).distinct()
+            .join(store, PackKeys, "left_anti")
+            .withColumn("bucket", bucketOf)
+            .repartition(col("bucket")),
+          storeDir, batchId, Seq("bucket")))))
     if (compactEvery > 0 && (batchId + 1) % compactEvery == 0 &&
         (big || graft.pipeline.Load.storeFileCount(spark, storeDir) >
           4 * nBuckets))

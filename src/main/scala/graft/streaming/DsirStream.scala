@@ -52,7 +52,7 @@ object DsirStream {
       .parquet(s"$inputDir/split_*.parquet")
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        BatchTuning.withNarrowShuffles(spark, narrow = true) {
+        BatchTuning.withNarrowShufflesOn(Seq(spark, batch.sparkSession), narrow = true) {
           graft.pipeline.Load.writeBatchPartial(
             SelectionOps.dsirToks(batch, isTarget, dim)
               .groupBy(col("b")).agg(

@@ -34,7 +34,7 @@ object HllStream {
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // sketch-sized reduce side by construction: always narrow (BatchTuning)
-        BatchTuning.withNarrowShuffles(spark, narrow = true) {
+        BatchTuning.withNarrowShufflesOn(Seq(spark, batch.sparkSession), narrow = true) {
         graft.pipeline.Load.writeBatchPartial(
           batch
             .select(SketchOps.hllPack(col("key")).as("pack"))

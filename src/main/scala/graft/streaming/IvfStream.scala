@@ -50,7 +50,7 @@ object IvfStream {
         // narrow-shuffle/AQE-off scope below the cost switch (BatchTuning)
         val big = graft.pipeline.Load.storeBytes(spark, storeDir) >=
           64L * 1024 * 1024
-        BatchTuning.withNarrowShuffles(spark, narrow = !big) {
+        BatchTuning.withNarrowShufflesOn(Seq(spark, batch.sparkSession), narrow = !big) {
         // staged via the shared doc_id-range stager; restore the key
         // name. Zero-norm rows drop here like everywhere in the
         // similarity family (r13 degenerate sweep): they can neither

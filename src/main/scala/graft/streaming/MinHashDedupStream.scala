@@ -170,7 +170,7 @@ object MinHashDedupStream {
     val smallStores =
       Load.storeBytes(spark, bandStoreDir) < pruneThresholdBytes &&
         Load.storeBytes(spark, packStoreDir) < pruneThresholdBytes
-    BatchTuning.withNarrowShuffles(spark, narrow = smallStores) {
+    BatchTuning.withNarrowShufflesOn(Seq(spark, batch0.sparkSession), narrow = smallStores) {
     // per-doc shingle packs and banded signature, one codegen'd
     // kernel pass (the q70 shape); docs under 3 tokens have no
     // shingles and band with nothing
@@ -211,8 +211,9 @@ object MinHashDedupStream {
         .getOrElse(emptyFrame(spark, schema))
 
     val storeBands = prunedStore(bandStoreDir, bandSchema,
-      bands.select(bandBucket.as("bucket")).distinct()
-        .collect().map(_.getInt(0)).toSeq)
+      JobLabel.labeled(spark, s"b$batchId: band bucket list")(
+        bands.select(bandBucket.as("bucket")).distinct()
+          .collect().map(_.getInt(0)).toSeq))
     // ONE join covers both candidate classes: the probe side is
     // history ∪ this batch, the build side is the batch alone, and
     // the `x.doc_id < y.doc_id` predicate is exactly the "prior
@@ -232,8 +233,9 @@ object MinHashDedupStream {
     // from the pack store's candidate buckets (plus the batch's own
     // packs for same-batch partners)
     val histPacks = prunedStore(packStoreDir, packSchema,
-      cand.select(pmod(col("da"), lit(nBuckets.toLong)).cast("int")
-        .as("bucket")).distinct().collect().map(_.getInt(0)).toSeq)
+      JobLabel.labeled(spark, s"b$batchId: pack bucket list")(
+        cand.select(pmod(col("da"), lit(nBuckets.toLong)).cast("int")
+          .as("bucket")).distinct().collect().map(_.getInt(0)).toSeq))
     val partnerPacks = histPacks.unionByName(batchPacks)
     val qual0 = cand
       .join(partnerPacks.as("sa"), col("da") === col("sa.doc_id"))
@@ -265,18 +267,25 @@ object MinHashDedupStream {
       .select(col("doc_id"),
         coalesce(col("n_dup_prior"), lit(0L)).as("n_dup_prior"),
         col("n_dup_prior").isNull.cast("int").as("kept"))
-    Load.writeBatchPartial(out, outDir, batchId)
+    JobLabel.labeled(spark, s"b$batchId: out write")(
+      Load.writeBatchPartial(out, outDir, batchId))
 
     // every doc's bands and packs enter the stores (kept AND
     // dropped — the all-priors semantics), one task per bucket (a
     // narrow shuffle below the cost switch), idempotent under retry
-    // via the batch= overwrite
-    Load.writeBatchPartial(
-      bands.withColumn("bucket", bandBucket).repartition(col("bucket")),
-      bandStoreDir, batchId, Seq("bucket"))
-    Load.writeBatchPartial(
-      batchPacks.withColumn("bucket", docBucket).repartition(col("bucket")),
-      packStoreDir, batchId, Seq("bucket"))
+    // via the batch= overwrite. The remaining sinks are independent
+    // batch-keyed partials over frames the out write already
+    // materialized into the caches, so they overlap on a driver pool
+    // (Sinks.inParallel, guide §2.6) instead of paying one scheduling
+    // round-trip each.
+    val bandSink = s"b$batchId: band store write" -> (() =>
+      Load.writeBatchPartial(
+        bands.withColumn("bucket", bandBucket).repartition(col("bucket")),
+        bandStoreDir, batchId, Seq("bucket")))
+    val packSink = s"b$batchId: pack store write" -> (() =>
+      Load.writeBatchPartial(
+        batchPacks.withColumn("bucket", docBucket).repartition(col("bucket")),
+        packStoreDir, batchId, Seq("bucket")))
 
     // q134 incremental connected components: the batch's confirmed
     // pairs land in a pair store (batch= partial, retry-idempotent) and
@@ -288,32 +297,41 @@ object MinHashDedupStream {
     // of the full pair history. Snapshots write to labels/batch=<id>
     // with Overwrite and READ batch=<id-1>: a retried batch recomputes
     // bit-identically from pre-batch state (same contract as the
-    // bucketed stores; RetryIdempotenceSpec covers it).
-    if (foldCc) {
+    // bucketed stores; RetryIdempotenceSpec covers it). Both fold sinks
+    // consume only the persisted `qual` (materialized by the out write)
+    // and the PREVIOUS batch's snapshot, so they are independent of the
+    // band/pack appends and join the same overlap pool.
+    if (!foldCc) Sinks.inParallel(spark, Seq(bandSink, packSink))
+    else {
       val labelsDir = s"$workDir/labels"
-      Load.writeBatchPartial(
-        qual.select(col("da").cast("long"), col("db").cast("long")),
-        s"$workDir/pair_store", batchId)
-      val prevEdges =
-        if (batchId > 0)
-          spark.read.parquet(s"$labelsDir/batch=${batchId - 1}")
-            .select(col("node").as("src"), col("cluster_rep").as("dst"))
-        else
-          emptyFrame(spark, StructType(Seq(
-            StructField("src", LongType), StructField("dst", LongType))))
-      val edges = prevEdges.unionByName(qual.select(
-        col("da").cast("long").as("src"), col("db").cast("long").as("dst")))
-      // reliable variant: a fold bigger than the driver cap pins its
-      // star-round frontiers to parquet scratch (Overwrite — retry-
-      // idempotent), never to executor-local checkpoint blocks
-      graft.ops.ConnectedComponents
-        .clustersReliable(edges, s"$workDir/cc_scratch")
-        .write.mode("overwrite").parquet(s"$labelsDir/batch=$batchId")
-      // keep-last-2 retention: only batch=<id-1> is ever read (the
-      // next fold's input, and what a RETRY of this batch recomputes
-      // from), so older snapshots are dead weight — without this a
-      // long-running stream stores O(batches x nodes)
-      Load.expireNumericPartitions(spark, labelsDir, "batch", batchId - 1)
+      val pairSink = s"b$batchId: pair store write" -> (() =>
+        Load.writeBatchPartial(
+          qual.select(col("da").cast("long"), col("db").cast("long")),
+          s"$workDir/pair_store", batchId))
+      val ccSink = s"b$batchId: cc fold + labels write" -> (() => {
+        val prevEdges =
+          if (batchId > 0)
+            spark.read.parquet(s"$labelsDir/batch=${batchId - 1}")
+              .select(col("node").as("src"), col("cluster_rep").as("dst"))
+          else
+            emptyFrame(spark, StructType(Seq(
+              StructField("src", LongType), StructField("dst", LongType))))
+        val edges = prevEdges.unionByName(qual.select(
+          col("da").cast("long").as("src"), col("db").cast("long").as("dst")))
+        // reliable variant: a fold bigger than the driver cap pins its
+        // star-round frontiers to parquet scratch (Overwrite — retry-
+        // idempotent), never to executor-local checkpoint blocks
+        graft.ops.ConnectedComponents
+          .clustersReliable(edges, s"$workDir/cc_scratch")
+          .write.mode("overwrite").parquet(s"$labelsDir/batch=$batchId")
+        // keep-last-2 retention: only batch=<id-1> is ever read (the
+        // next fold's input, and what a RETRY of this batch recomputes
+        // from), so older snapshots are dead weight — without this a
+        // long-running stream stores O(batches x nodes)
+        Load.expireNumericPartitions(spark, labelsDir, "batch", batchId - 1)
+        ()
+      })
+      Sinks.inParallel(spark, Seq(bandSink, packSink, pairSink, ccSink))
     }
     bands.unpersist(); base.unpersist(); batch.unpersist()
     // qual is persisted under the CC fold — retire it here because

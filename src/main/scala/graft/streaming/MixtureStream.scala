@@ -33,7 +33,7 @@ object MixtureStream {
       .parquet(s"$inputDir/split_*.parquet")
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        BatchTuning.withNarrowShuffles(spark, narrow = true) {
+        BatchTuning.withNarrowShufflesOn(Seq(spark, batch.sparkSession), narrow = true) {
           graft.pipeline.Load.writeBatchPartial(
             batch.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
               .coalesce(1),

@@ -32,22 +32,27 @@ object NbClassifierStream {
       .parquet(s"$inputDir/split_*.parquet")
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        BatchTuning.withNarrowShuffles(spark, narrow = true) {
+        BatchTuning.withNarrowShufflesOn(Seq(spark, batch.sparkSession), narrow = true) {
           val train = batch
             .select(col("doc_id").cast("long").as("doc_id"),
               col("lang"), col("text"))
             .where(col("doc_id") % 5 =!= 4)
-          graft.pipeline.Load.writeBatchPartial(
-            TextOps.nbToks(train)
-              .groupBy(col("lang").as("cls"), col("tok"))
-              .agg(count(lit(1)).as("n"))
-              .coalesce(1),
-            tokDir, batchId)
-          graft.pipeline.Load.writeBatchPartial(
-            train.groupBy(col("lang").as("cls"))
-              .agg(count(lit(1)).as("nd"))
-              .coalesce(1),
-            docDir, batchId)
+          // two independent batch-keyed count partials — overlap them
+          // on a driver pool (Sinks.inParallel, guide §2.6)
+          Sinks.inParallel(spark, Seq(
+            s"b$batchId: token count write" -> (() =>
+              graft.pipeline.Load.writeBatchPartial(
+                TextOps.nbToks(train)
+                  .groupBy(col("lang").as("cls"), col("tok"))
+                  .agg(count(lit(1)).as("n"))
+                  .coalesce(1),
+                tokDir, batchId)),
+            s"b$batchId: doc count write" -> (() =>
+              graft.pipeline.Load.writeBatchPartial(
+                train.groupBy(col("lang").as("cls"))
+                  .agg(count(lit(1)).as("nd"))
+                  .coalesce(1),
+                docDir, batchId))))
           ()
         }
       }

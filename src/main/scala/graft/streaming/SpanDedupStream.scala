@@ -35,7 +35,20 @@ object SpanDedupStream {
     * arrival order = doc_id order.
     */
   def stageSplits(spark: SparkSession, docs: DataFrame, inputDir: String,
-                  nSplits: Int): Unit = {
+                  nSplits: Int): Unit =
+    // staging moves a micro-batch-sized table: plan it like a micro
+    // batch (AQE off, narrow width — each AQE exchange materialization
+    // is an extra scheduling round-trip on a table this size). The
+    // hash-repartition on `split` keeps each split value wholly inside
+    // one task at any width, so the one-file-per-split layout the
+    // replay order depends on is width-independent.
+    BatchTuning.withNarrowShuffles(spark, narrow = true,
+      partitions = math.max(4, nSplits)) {
+      stageSplitsInner(spark, docs, inputDir, nSplits)
+    }
+
+  private def stageSplitsInner(spark: SparkSession, docs: DataFrame,
+                               inputDir: String, nSplits: Int): Unit = {
     val boundRow = docs.agg(max(col("doc_id"))).collect().head
     new java.io.File(inputDir).mkdirs()
     val tmp = s"$inputDir/_stage"
@@ -174,7 +187,7 @@ object SpanDedupStream {
     // below the switch, plan the whole batch with narrow shuffles and
     // AQE off — micro-batch data never needs runtime re-planning, and
     // each AQE exchange materialization is a whole extra job
-    BatchTuning.withNarrowShuffles(spark, narrow = !big) {
+    BatchTuning.withNarrowShufflesOn(Seq(spark, batch0.sparkSession), narrow = !big) {
     val store = graft.pipeline.Load
       .readStoreExcludingBatch(spark, storeDir, batchId)
       .map { s =>
@@ -189,13 +202,19 @@ object SpanDedupStream {
       .getOrElse(spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](), packSchema))
     val (out, fresh, done) = SpanDedup.dedupBatch(batch, store, w)
-    // materialize the doc output, then the batch-keyed store delta —
-    // one writer per bucket (under the narrow width the repartition is
-    // a 4-task shuffle, and it is what bounds store files per batch)
-    graft.pipeline.Load.writeBatchPartial(out, outDir, batchId)
-    graft.pipeline.Load.writeBatchPartial(
-      fresh.withColumn("bucket", bucketOf).repartition(col("bucket")),
-      storeDir, batchId, Seq("bucket"))
+    // the doc output and the batch-keyed store delta are independent
+    // batch-keyed Overwrite partials sharing one cached election
+    // (dedupBatch's firstsKept) — overlap them on a driver pool
+    // (Sinks.inParallel, guide §2.6); one writer per bucket for the
+    // delta (under the narrow width the repartition is a 4-task
+    // shuffle, and it is what bounds store files per batch)
+    Sinks.inParallel(spark, Seq(
+      s"b$batchId: out write" -> (() =>
+        graft.pipeline.Load.writeBatchPartial(out, outDir, batchId)),
+      s"b$batchId: gram store write" -> (() =>
+        graft.pipeline.Load.writeBatchPartial(
+          fresh.withColumn("bucket", bucketOf).repartition(col("bucket")),
+          storeDir, batchId, Seq("bucket")))))
     // consolidation cadence is also cost-gated: rewriting a tiny store
     // every few batches was pure overhead; it now waits for byte-scale
     // OR file-count fragmentation (a crashed consolidation's leftover

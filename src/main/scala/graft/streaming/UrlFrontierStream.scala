@@ -94,7 +94,7 @@ object UrlFrontierStream {
       .cache()
     val big = graft.pipeline.Load.storeBytes(spark, storeDir) >=
       64L * 1024 * 1024
-    BatchTuning.withNarrowShuffles(spark, narrow = !big) {
+    BatchTuning.withNarrowShufflesOn(Seq(spark, batch.sparkSession), narrow = !big) {
       val store = graft.pipeline.Load
         .readStoreExcludingBatch(spark, storeDir, batchId)
         .map { s =>
@@ -118,18 +118,24 @@ object UrlFrontierStream {
       val newCounts = accepted.groupBy(col("host"))
         .agg(count(lit(1)).as("n_new"),
              sum(polyHash(col("canon"))).as("hashsum_new"))
-      graft.pipeline.Load.writeBatchPartial(
-        rawCounts.join(newCounts, Seq("host"), "left")
-          .select(col("host"), col("n_raw"),
-            coalesce(col("n_new"), lit(0L)).as("n_new"),
-            coalesce(col("hashsum_new"), lit(0L)).as("hashsum_new"))
-          .coalesce(1),
-        partsDir, batchId)
-      graft.pipeline.Load.writeBatchPartial(
-        accepted.select(PackKeys.map(col): _*)
-          .withColumn("bucket", bucketOf)
-          .repartition(col("bucket")),
-        storeDir, batchId, Seq("bucket"))
+      // per-host partial and store delta are independent batch-keyed
+      // Overwrite partials sharing the cached `withPacks`/`accepted` —
+      // overlap them on a driver pool (Sinks.inParallel, guide §2.6)
+      Sinks.inParallel(spark, Seq(
+        s"b$batchId: host partial write" -> (() =>
+          graft.pipeline.Load.writeBatchPartial(
+            rawCounts.join(newCounts, Seq("host"), "left")
+              .select(col("host"), col("n_raw"),
+                coalesce(col("n_new"), lit(0L)).as("n_new"),
+                coalesce(col("hashsum_new"), lit(0L)).as("hashsum_new"))
+              .coalesce(1),
+            partsDir, batchId)),
+        s"b$batchId: url store write" -> (() =>
+          graft.pipeline.Load.writeBatchPartial(
+            accepted.select(PackKeys.map(col): _*)
+              .withColumn("bucket", bucketOf)
+              .repartition(col("bucket")),
+            storeDir, batchId, Seq("bucket")))))
       if (compactEvery > 0 && (batchId + 1) % compactEvery == 0 &&
           (big || graft.pipeline.Load.storeFileCount(spark, storeDir) >
             4 * nBuckets))

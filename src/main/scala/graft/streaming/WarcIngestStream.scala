@@ -79,7 +79,7 @@ object WarcIngestStream {
       .parquet(s"$inputDir/split_*.parquet")
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        BatchTuning.withNarrowShuffles(spark, narrow = true) {
+        BatchTuning.withNarrowShufflesOn(Seq(spark, batch.sparkSession), narrow = true) {
           val recs = batch
             .select(Warc.warcParseLenient(col("seg")).as("st"))
             .select(explode(col("st.records")).as("r"))
