@@ -29,6 +29,13 @@ object BigramLmStream {
     */
   def run(spark: SparkSession, inputDir: String, workDir: String): DataFrame = {
     val countsDir = s"$workDir/bigram_counts"
+    // micro-batch-sized inputs plan with AQE off + narrow width;
+    // rung-scale inputs keep the session's AQE planning (the same
+    // 64 MB cost switch the store-gated streams use — always-narrow
+    // regressed the sf10 rung once the clone-session fix made the
+    // narrow scope actually reach the batch plans)
+    val smallInput = graft.pipeline.Load.storeBytes(spark, inputDir) <
+      64L * 1024 * 1024
     val stream = spark.readStream
       .schema(spark.read.parquet(inputDir).schema)
       .option("maxFilesPerTrigger", "1")
@@ -36,7 +43,7 @@ object BigramLmStream {
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // sketch-sized reduce side by construction: always narrow (BatchTuning)
-        BatchTuning.withNarrowShufflesOn(Seq(spark, batch.sparkSession), narrow = true) {
+        BatchTuning.withNarrowShufflesOn(Seq(spark, batch.sparkSession), narrow = smallInput) {
         graft.pipeline.Load.writeBatchPartial(
           SelectionOps.docBigrams(SelectionOps.tokedDocs(
               batch.select(col("doc_id").cast("long").as("doc_id"), col("text"))))

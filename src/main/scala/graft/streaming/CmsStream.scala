@@ -30,6 +30,13 @@ object CmsStream {
     */
   def run(spark: SparkSession, inputDir: String, workDir: String): DataFrame = {
     val partsDir = s"$workDir/cms_partials"
+    // micro-batch-sized inputs plan with AQE off + narrow width;
+    // rung-scale inputs keep the session's AQE planning (the same
+    // 64 MB cost switch the store-gated streams use — always-narrow
+    // regressed the sf10 rung once the clone-session fix made the
+    // narrow scope actually reach the batch plans)
+    val smallInput = graft.pipeline.Load.storeBytes(spark, inputDir) <
+      64L * 1024 * 1024
     val stream = spark.readStream
       .schema(spark.read.parquet(inputDir).schema)
       .option("maxFilesPerTrigger", "1")
@@ -37,7 +44,7 @@ object CmsStream {
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // sketch-sized reduce side by construction: always narrow (BatchTuning)
-        BatchTuning.withNarrowShufflesOn(Seq(spark, batch.sparkSession), narrow = true) {
+        BatchTuning.withNarrowShufflesOn(Seq(spark, batch.sparkSession), narrow = smallInput) {
         graft.pipeline.Load.writeBatchPartial(
           batch
             .select(explode_outer(split(col("text"), " ")).as("tok"))

@@ -46,13 +46,20 @@ object DsirStream {
   private def runInner(spark: SparkSession, inputDir: String,
                        workDir: String, cntDir: String, dim: Int, k: Int,
                        isTarget: => org.apache.spark.sql.Column): DataFrame = {
+    // micro-batch-sized inputs plan with AQE off + narrow width;
+    // rung-scale inputs keep the session's AQE planning (the same
+    // 64 MB cost switch the store-gated streams use — always-narrow
+    // regressed the sf10 rung once the clone-session fix made the
+    // narrow scope actually reach the batch plans)
+    val smallInput = graft.pipeline.Load.storeBytes(spark, inputDir) <
+      64L * 1024 * 1024
     val stream = spark.readStream
       .schema(spark.read.parquet(inputDir).schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(s"$inputDir/split_*.parquet")
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        BatchTuning.withNarrowShufflesOn(Seq(spark, batch.sparkSession), narrow = true) {
+        BatchTuning.withNarrowShufflesOn(Seq(spark, batch.sparkSession), narrow = smallInput) {
           graft.pipeline.Load.writeBatchPartial(
             SelectionOps.dsirToks(batch, isTarget, dim)
               .groupBy(col("b")).agg(

@@ -27,13 +27,20 @@ object MixtureStream {
   def run(spark: SparkSession, inputDir: String, workDir: String)
       : DataFrame = {
     val cntDir = s"$workDir/lang_counts"
+    // micro-batch-sized inputs plan with AQE off + narrow width;
+    // rung-scale inputs keep the session's AQE planning (the same
+    // 64 MB cost switch the store-gated streams use — always-narrow
+    // regressed the sf10 rung once the clone-session fix made the
+    // narrow scope actually reach the batch plans)
+    val smallInput = graft.pipeline.Load.storeBytes(spark, inputDir) <
+      64L * 1024 * 1024
     val stream = spark.readStream
       .schema(spark.read.parquet(inputDir).schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(s"$inputDir/split_*.parquet")
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        BatchTuning.withNarrowShufflesOn(Seq(spark, batch.sparkSession), narrow = true) {
+        BatchTuning.withNarrowShufflesOn(Seq(spark, batch.sparkSession), narrow = smallInput) {
           graft.pipeline.Load.writeBatchPartial(
             batch.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
               .coalesce(1),

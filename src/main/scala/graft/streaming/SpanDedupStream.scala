@@ -35,17 +35,25 @@ object SpanDedupStream {
     * arrival order = doc_id order.
     */
   def stageSplits(spark: SparkSession, docs: DataFrame, inputDir: String,
-                  nSplits: Int): Unit =
-    // staging moves a micro-batch-sized table: plan it like a micro
-    // batch (AQE off, narrow width — each AQE exchange materialization
-    // is an extra scheduling round-trip on a table this size). The
-    // hash-repartition on `split` keeps each split value wholly inside
-    // one task at any width, so the one-file-per-split layout the
-    // replay order depends on is width-independent.
-    BatchTuning.withNarrowShuffles(spark, narrow = true,
-      partitions = math.max(4, nSplits)) {
+                  nSplits: Int): Unit = {
+    // Cost-switched staging plan: when the frame to stage is itself a
+    // narrow scan (the small-fixture case — one or two input splits),
+    // plan it like a micro batch (AQE off, narrow width — each AQE
+    // exchange materialization is an extra scheduling round-trip on a
+    // table this size). A WIDE input keeps the session's AQE planning:
+    // narrowing it funneled a 100x rung's staged table through 4
+    // AQE-off partitions (measured at sf10: q125 35 -> 51 s before
+    // this switch). The hash-repartition on `split` keeps each split
+    // value wholly inside one task at any width, so the
+    // one-file-per-split layout the replay order depends on is
+    // width-independent.
+    val width = math.max(4, nSplits)
+    val narrow = docs.rdd.getNumPartitions <= width
+    BatchTuning.withNarrowShuffles(spark, narrow = narrow,
+      partitions = width) {
       stageSplitsInner(spark, docs, inputDir, nSplits)
     }
+  }
 
   private def stageSplitsInner(spark: SparkSession, docs: DataFrame,
                                inputDir: String, nSplits: Int): Unit = {
